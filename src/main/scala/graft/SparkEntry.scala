@@ -7,7 +7,9 @@ object SparkEntry {
 
   /** Every declared operator (SURVEY §2), one Q each. */
   lazy val declared: Seq[Q] =
-    ops.Relational.all
+    ops.Relational.all ++ ops.Filters.all ++ ops.Joins.all ++
+      ops.Aggregates.all ++ ops.Windows.all ++ ops.SortsSets.all ++
+      ops.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 — aggregations beyond the flagship Q1 (in Relational).
+  * All double aggregates rounded 4dp in both engines (D2); counts and
+  * grouping flags cast to BIGINT in both (D6).
+  */
+object Aggregates {
+
+  private val qAggGlobal = Q(
+    "q_agg_global",
+    (s, dir) => {
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        min("l_orderkey").as("min_ok"),
+        max("l_orderkey").as("max_ok"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+            ROUND(SUM(l_quantity), 4) AS sum_qty,
+            MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+            MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+            FROM lineitem"""))
+
+  private val qAggCountDistinct = Q(
+    "q_agg_count_distinct",
+    (s, dir) => {
+      // Exact distinct: Spark plans this as Expand + two-phase agg —
+      // at 100 TB prefer the approx twin (q_agg_approx_hll) when the exact
+      // cardinality isn't contractually required.
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+            CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val qAggHaving = Q(
+    "q_agg_having",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+            ROUND(SUM(o_totalprice), 4) AS sum_price
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+            ORDER BY o_custkey"""))
+
+  private val qAggRollup = Q(
+    "q_agg_rollup",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          grouping(col("r_name")).cast("long").as("g_r"),
+          grouping(col("n_name")).cast("long").as("g_n"))
+        .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first,
+          col("n_name").asc_nulls_first)
+    },
+    Some("""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+            CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+            CAST(GROUPING(n_name) AS BIGINT) AS g_n
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
+  private val qAggCube = Q(
+    "q_agg_cube",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          round(sum("o_totalprice"), 4).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_s"),
+          grouping(col("o_orderpriority")).cast("long").as("g_p"))
+        .orderBy(col("g_s"), col("g_p"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+            ROUND(SUM(o_totalprice), 4) AS sum_price, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST"""))
+
+  private val qAggGroupingSets = Q(
+    "q_agg_grouping_sets",
+    (s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_f,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_s
+               FROM li_gs
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+               ORDER BY g_f, g_s, l_returnflag ASC NULLS FIRST,
+                        l_linestatus ASC NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            ROUND(SUM(l_quantity), 4) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(GROUPING(l_returnflag) AS BIGINT) AS g_f,
+            CAST(GROUPING(l_linestatus) AS BIGINT) AS g_s
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            ORDER BY g_f, g_s, l_returnflag ASC NULLS FIRST,
+                     l_linestatus ASC NULLS FIRST"""))
+
+  private val qAggStats = Q(
+    "q_agg_stats",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+            ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+            ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+            ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+            CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  private val qAggPercentileExact = Q(
+    "q_agg_percentile_exact",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+            ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+            ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95,
+            ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // Approx twins — the 100 TB path for distinct/quantile. Sketches are
+  // engine-specific, so no DuckDB oracle (D5); our ScalaTest suite sanity-
+  // bounds them against the exact values instead.
+  private val qAggApproxHll = Q(
+    "q_agg_approx_hll",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+          approx_count_distinct(col("l_suppkey")).as("approx_nd_supp"))
+        .orderBy("l_returnflag")
+    })
+
+  private val qAggApproxQuantile = Q(
+    "q_agg_approx_quantile",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+          .as("approx_pcts"))
+        .orderBy("l_returnflag")
+    })
+
+  val all: Seq[Q] = Seq(
+    qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
+    qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
+    qAggApproxQuantile)
+}

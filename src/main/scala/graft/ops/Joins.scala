@@ -1,0 +1,225 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — joins, exhaustive over the join types the API exposes.
+  *
+  * Scale notes (100 TB design): small dimensions (`part`, `customer`,
+  * `nation`, `region`, `supplier`) are explicitly `broadcast()` so the big
+  * fact side never shuffles for them; the one genuinely large-large join
+  * (`lineitem ⋈ orders`) is pinned to sort-merge, which AQE can convert or
+  * skew-split at runtime. The theta/range join aggregates before emitting so
+  * output stays bounded.
+  */
+object Joins {
+
+  private val qJoinInnerBroadcast = Q(
+    "q_join_inner_broadcast",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val part = Tables(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"), "inner")
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("p_name"), col("p_brand"), col("l_quantity"))
+        // (l_orderkey, l_linenumber) not unique → sort all output columns.
+        .orderBy("l_orderkey", "l_linenumber", "p_name", "p_brand", "l_quantity")
+    },
+    Some("""SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+            p.p_name, p.p_brand, l.l_quantity
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ORDER BY l.l_orderkey, l_linenumber, p.p_name, p.p_brand, l.l_quantity"""))
+
+  private val qJoinInnerShuffle = Q(
+    "q_join_inner_shuffle",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.hint("merge")
+        .join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("o_orderstatus"), col("o_totalprice"), col("l_extendedprice"))
+        // (l_orderkey, l_linenumber) not unique → sort all output columns.
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+    Some("""SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+            o.o_orderstatus, o.o_totalprice, l.l_extendedprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ORDER BY l.l_orderkey, l_linenumber, l.l_extendedprice"""))
+
+  private val qJoinLeftOuter = Q(
+    "q_join_left_outer",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+    Some("""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey, o.o_orderkey ASC NULLS FIRST"""))
+
+  private val qJoinFullOuter = Q(
+    "q_join_full_outer",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
+      val o = Tables(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    },
+    Some("""SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+            FROM orders o
+            FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+              ON o.o_custkey = c.c_custkey
+            ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST"""))
+
+  private val qJoinLeftSemi = Q(
+    "q_join_left_semi",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+            ORDER BY c_custkey"""))
+
+  private val qJoinLeftAnti = Q(
+    "q_join_left_anti",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  private val qJoinCross = Q(
+    "q_join_cross",
+    (s, dir) => {
+      // Bounded cartesian: 5 regions × 25 nations = 125 rows at every sf.
+      val r = Tables(s, dir, "region")
+      val n = Tables(s, dir, "nation")
+      r.crossJoin(n)
+        .select(
+          col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"),
+          col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        .orderBy("r_regionkey", "n_nationkey")
+    },
+    Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+            CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM region CROSS JOIN nation
+            ORDER BY r_regionkey, n_nationkey"""))
+
+  private val qJoinThetaRange = Q(
+    "q_join_theta_range",
+    (s, dir) => {
+      // Non-equi band join (BroadcastNestedLoopJoin physically). Output is
+      // aggregated per brand so the result stays bounded even though the
+      // pair space is O(n²) — at 100 TB this shape would be a range-bucketed
+      // join (bucket by price band, join adjacent buckets) instead.
+      val p1 = Tables(s, dir, "part").select(
+        col("p_partkey").as("k1"), col("p_retailprice").as("price1"))
+      val p2 = Tables(s, dir, "part").select(
+        col("p_partkey").as("k2"), col("p_retailprice").as("price2"), col("p_brand"))
+      p1.join(broadcast(p2),
+          col("price1") >= col("price2") &&
+          col("price1") <= col("price2") * 1.001 &&
+          col("k1") < col("k2"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(sum(col("price1") - col("price2")), 4).as("sum_diff"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p2.p_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            ROUND(SUM(p1.p_retailprice - p2.p_retailprice), 4) AS sum_diff
+            FROM part p1, part p2
+            WHERE p1.p_retailprice >= p2.p_retailprice
+              AND p1.p_retailprice <= p2.p_retailprice * 1.001
+              AND p1.p_partkey < p2.p_partkey
+            GROUP BY p2.p_brand ORDER BY p2.p_brand"""))
+
+  private val qJoinAsof = Q(
+    "q_join_asof",
+    (s, dir) => {
+      // As-of join: each purchase matched to the latest click of the same
+      // user at/before it. No native as-of in Spark SQL — union + running
+      // MAX window (clicks' ts is monotone within the window order, so MAX
+      // of the click-ts column ≡ latest click). One shuffle on user_id,
+      // no self-join: this is the 100 TB-friendly formulation.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"),
+          when(col("event_type") === "click", col("ts_us")).as("click_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("is_click").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_us", max("click_ts").over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_us"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some("""WITH u AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+                     CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_ts
+              FROM events WHERE event_type IN ('click','purchase'))
+            SELECT event_id, user_id, ts_us, last_click_us FROM (
+              SELECT event_id, user_id, ts_us, event_type,
+                     MAX(click_ts) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, is_click DESC, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+              FROM u) t
+            WHERE event_type = 'purchase'
+            ORDER BY user_id, ts_us, event_id"""))
+
+  private val qJoinStar = Q(
+    "q_join_star",
+    (s, dir) => {
+      // 5-way star: one shuffle join (lineitem ⋈ orders) + broadcast the
+      // three dimension hops; revenue per region.
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name,
+            ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+            CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  val all: Seq[Q] = Seq(
+    qJoinInnerBroadcast, qJoinInnerShuffle, qJoinLeftOuter, qJoinFullOuter,
+    qJoinLeftSemi, qJoinLeftAnti, qJoinCross, qJoinThetaRange, qJoinAsof,
+    qJoinStar)
+}

@@ -26,12 +26,15 @@ object Relational {
           col("l_discount"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("disc_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in this data — sort by
+        // every output column so tied rows are identical (D1).
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
     },
     Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
             l_extendedprice, l_discount,
             l_extendedprice * (1.0 - l_discount) AS disc_price
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount"""))
 
   // ---------------------------------------------------------------- §2.4
   private val qAggQ1 = Q(

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.5 — window functions (q_win_lag_lead lives in Relational as a
+  * canary). Window orderings always carry a unique tie-break key (D1).
+  */
+object Windows {
+
+  private val qWinRank = Q(
+    "q_win_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(rank() OVER w AS BIGINT) AS rnk,
+            CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+            CAST(row_number() OVER w AS BIGINT) AS rn
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_custkey, rn"""))
+
+  private val qWinRunning = Q(
+    "q_win_running",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"),
+          round(sum("o_totalprice").over(w), 4).as("running"))
+        .orderBy("o_custkey", "od", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+            FROM orders ORDER BY o_custkey, od, o_orderkey"""))
+
+  private val qWinRangeFrame = Q(
+    "q_win_range_frame",
+    (s, dir) => {
+      // 7-day trailing sum via numeric RANGE over BIGINT epoch seconds —
+      // portable across engines (D4), and the scalable formulation (one
+      // shuffle on user_id, no self-join).
+      val w = Window.partitionBy("user_id").orderBy("ts_s")
+        .rangeBetween(-604800L, 0L)
+      Tables.events(s, dir)
+        .withColumn("ts_s", expr("ts_us DIV 1000000"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_s"),
+          round(sum("value").over(w), 4).as("trail_7d"))
+        .orderBy("user_id", "ts_s", "event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
+            ROUND(SUM(value) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) // 1000000
+              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS trail_7d
+            FROM events ORDER BY user_id, ts_s, event_id"""))
+
+  private val qWinNtilePct = Q(
+    "q_win_ntile_pct",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("tile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cdist"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+            CAST(ntile(4) OVER w AS BIGINT) AS tile,
+            ROUND(percent_rank() OVER w, 4) AS pct_rank,
+            ROUND(cume_dist() OVER w, 4) AS cdist
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_custkey"""))
+
+  private val qWinFirstLast = Q(
+    "q_win_first_last",
+    (s, dir) => {
+      // NOTE: l_linenumber is NOT unique within l_orderkey in this data —
+      // tie-break the window order by l_partkey so first/last values are
+      // deterministic (D1).
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          first("l_partkey").over(w).as("first_part"),
+          last("l_partkey").over(w).as("last_part"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+            first_value(l_partkey) OVER w AS first_part,
+            last_value(l_partkey) OVER w AS last_part
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  val all: Seq[Q] = Seq(
+    qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast)
+}
