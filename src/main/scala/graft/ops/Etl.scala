@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.9 (reference-parity ETL, batch-expressible) + §2.10 batch-mode
+  * streaming windows.
+  *
+  * These encode the reference's Kinesis→Firehose pipeline semantics
+  * (decode → parse → route → batch → deliver/DLQ) as deterministic batch
+  * queries; the live streaming versions (foreachBatch sink, watermarks,
+  * stateful sessionization) live in graft.streaming and are exercised by
+  * ScalaTest, not the t2 map.
+  */
+object Etl {
+
+  /** The reference's routing rule: event field → Firehose delivery stream.
+    * click/view → analytics; purchase/signup → transactions; error →
+    * errors; anything else → default.
+    */
+  def routeCol: Column =
+    when(col("event_type").isin("click", "view"), "analytics")
+      .when(col("event_type").isin("purchase", "signup"), "transactions")
+      .when(col("event_type") === "error", "errors")
+      .otherwise("default")
+
+  val routeSql: String =
+    """CASE WHEN event_type IN ('click','view') THEN 'analytics'
+            WHEN event_type IN ('purchase','signup') THEN 'transactions'
+            WHEN event_type = 'error' THEN 'errors'
+            ELSE 'default' END"""
+
+  /** Firehose PutRecordBatch limit: ≤500 records per call. */
+  val BatchSize = 500
+
+  private val qEtlDecodeParse = Q(
+    "q_etl_decode_parse",
+    (s, dir) => {
+      // Round-trips the payload through base64 exactly like the Kinesis
+      // record `data` field, then parses the JSON (§0.1 steps 2+3).
+      Tables.events(s, dir)
+        .select(col("event_id"), base64(col("props").cast("binary")).as("b64"))
+        .withColumn("decoded", unbase64(col("b64")).cast("string"))
+        .withColumn("k_val", get_json_object(col("decoded"), "$.k").cast("long"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, to_base64(CAST(props AS BLOB)) AS b64,
+            decode(from_base64(to_base64(CAST(props AS BLOB)))) AS decoded,
+            CAST(decode(from_base64(to_base64(CAST(props AS BLOB))))->>'$.k' AS BIGINT) AS k_val
+            FROM events ORDER BY event_id"""))
+
+  private val qEtlRoute = Q(
+    "q_etl_route",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("route", routeCol)
+        .groupBy("route")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("route")
+    },
+    Some(s"""SELECT $routeSql AS route, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 4) AS sum_value
+             FROM events GROUP BY route ORDER BY route"""))
+
+  private val qEtlBatchAssign = Q(
+    "q_etl_batch_assign",
+    (s, dir) => {
+      // PutRecordBatch grouping (§0.1 step 5): per route, deterministic
+      // arrival order (ts, event_id), batches of ≤500 records. Emits
+      // per-batch record counts + payload bytes — n_records ≤ 500 proves
+      // the invariant. Scale note: row_number per route is a single
+      // shuffle; at 100 TB the batch id would be assigned per
+      // micro-batch + shard (see graft.streaming.FirehoseSink).
+      val w = Window.partitionBy("route").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .withColumn("route", routeCol)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", expr(s"CAST((rn - 1) DIV $BatchSize AS BIGINT)"))
+        .groupBy("route", "batch_id")
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(length(col("props"))).cast("long").as("sum_bytes"))
+        .orderBy("route", "batch_id")
+    },
+    Some(s"""WITH routed AS (
+               SELECT $routeSql AS route, epoch_us(ts) AS ts_us, event_id, props
+               FROM events),
+             numbered AS (
+               SELECT route, props,
+                      (row_number() OVER (PARTITION BY route ORDER BY ts_us, event_id) - 1)
+                        // $BatchSize AS batch_id
+               FROM routed)
+             SELECT route, CAST(batch_id AS BIGINT) AS batch_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_records,
+                    CAST(SUM(length(props)) AS BIGINT) AS sum_bytes
+             FROM numbered GROUP BY route, batch_id
+             ORDER BY route, batch_id"""))
+
+  private val qEtlDlq = Q(
+    "q_etl_dlq",
+    (s, dir) => {
+      // Partial-failure split (§0.1 step 6): a deterministic poison
+      // predicate stands in for per-record PutRecordBatch failures;
+      // delivered ∪ dead ≡ input per route.
+      val poison = col("value") < 10.0 || col("props").isNull ||
+        expr("try_cast(get_json_object(props, '$.k') AS INT) IS NULL") ||
+        expr("try_cast(get_json_object(props, '$.k') AS INT) % 10 = 0")
+      Tables.events(s, dir)
+        .withColumn("route", routeCol)
+        .withColumn("is_dead", when(poison, 1L).otherwise(0L))
+        .groupBy("route")
+        .agg(
+          sum("is_dead").as("n_dead"),
+          sum(expr("1 - is_dead")).as("n_delivered"),
+          count(lit(1)).as("n_total"))
+        .orderBy("route")
+    },
+    Some(s"""SELECT $routeSql AS route,
+             CAST(SUM(CASE WHEN value < 10.0 OR props IS NULL
+                    OR TRY_CAST(props->>'$$.k' AS INT) IS NULL
+                    OR TRY_CAST(props->>'$$.k' AS INT) % 10 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+             CAST(SUM(CASE WHEN value < 10.0 OR props IS NULL
+                    OR TRY_CAST(props->>'$$.k' AS INT) IS NULL
+                    OR TRY_CAST(props->>'$$.k' AS INT) % 10 = 0
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_delivered,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+             FROM events GROUP BY route ORDER BY route"""))
+
+  // ------------------------------------------------------------- §2.10
+  // Event-time windows, declared batch-mode (window()/session_window() are
+  // batch-legal expressions); identical window() calls run under
+  // readStream in graft.streaming. Window starts emitted as epoch seconds
+  // (D3/D4); the oracle computes bucket boundaries arithmetically so no
+  // engine-specific bucketing function is trusted.
+
+  private val qStreamTumbling = Q(
+    "q_stream_tumbling",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(
+          col("window.start").cast("long").as("win_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start_s", "event_type")
+    },
+    Some("""SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+            event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY win_start_s, event_type
+            ORDER BY win_start_s, event_type"""))
+
+  private val qStreamSliding = Q(
+    "q_stream_sliding",
+    (s, dir) => {
+      // 1-hour window sliding 15 min: each event lands in 4 windows. The
+      // oracle replicates each event against k=0..3 and reconstructs the
+      // window start arithmetically.
+      Tables.events(s, dir)
+        .groupBy(window(col("ts_ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .select(
+          col("window.start").cast("long").as("win_start_s"),
+          col("event_type"), col("n"), col("avg_value"))
+        .orderBy("win_start_s", "event_type")
+    },
+    Some("""WITH expanded AS (
+              SELECT ((epoch_us(ts) // 1000000) // 900 - k) * 900 AS win_start_s,
+                     event_type, value
+              FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) ks(k))
+            SELECT win_start_s, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM expanded GROUP BY win_start_s, event_type
+            ORDER BY win_start_s, event_type"""))
+
+  private val qStreamSession = Q(
+    "q_stream_session",
+    (s, dir) => {
+      // Per-user sessions with 30-min inactivity gap. Spark merge rule: an
+      // event at ts joins the session iff ts < last_event + gap, i.e. a new
+      // session starts when (ts - prev) >= gap — the oracle's
+      // gaps-and-islands formulation uses >= to match.
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .select(
+          col("user_id"),
+          col("session_window.start").cast("long").as("session_start_s"),
+          col("session_window.end").cast("long").as("session_end_s"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_s")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            m AS (SELECT user_id, us, value,
+                   CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+                  FROM e),
+            i AS (SELECT user_id, us, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM m)
+            SELECT user_id,
+                   MIN(us) // 1000000 AS session_start_s,
+                   (MAX(us) + 1800000000) // 1000000 AS session_end_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM i GROUP BY user_id, sid
+            ORDER BY user_id, session_start_s"""))
+
+  val all: Seq[Q] = Seq(
+    qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq,
+    qStreamTumbling, qStreamSliding, qStreamSession)
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** foreachBatch delivery stage — the PutRecordBatch emulation (SURVEY §0.1
+  * steps 5–6, §7.3.8). Each micro-batch is routed, then batched and
+  * "delivered" per executor partition via [[Batcher.deliver]]; the outcome
+  * (delivered vs dead-lettered after retries) is appended to
+  * `outDir` parquet partitioned by status/route — the per-route delivery
+  * streams. No driver-side collect: batching state lives inside
+  * mapPartitions, so this scales with partition count, not stream size.
+  *
+  * Failure injection (deterministic, for tests): with failEvery = k > 0,
+  * records with event_id % (10k) == 0 fail every attempt (→ DLQ), and the
+  * remaining event_id % k == 0 fail only their first attempt (→ delivered
+  * on retry) — exercising both halves of the reference's retry semantics.
+  */
+object FirehoseSink {
+  val MaxAttempts = 3
+
+  def process(batch: DataFrame, batchId: Long, outDir: String, failEvery: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val tagged = batch
+      .select(col("event_id").cast("long"), col("route"), col("props"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.toVector.groupBy(_._2).iterator.flatMap { case (route, recs) =>
+          val failedOnce = scala.collection.mutable.Set.empty[Long]
+          val out = Batcher.deliver(recs, MaxAttempts)(r =>
+            if (r._3 == null) 0L else r._3.getBytes("UTF-8").length.toLong) { b =>
+            b.map { case (id, _, _) =>
+              if (failEvery <= 0) true
+              else if (id % (failEvery * 10) == 0) false // permanent failure
+              else if (id % failEvery == 0 && failedOnce.add(id)) false // transient
+              else true
+            }
+          }
+          out.delivered.iterator.map(r => (r._1, route, "delivered")) ++
+            out.dead.iterator.map(r => (r._1, route, "dead"))
+        }
+      }
+      .toDF("event_id", "route", "status")
+    tagged.write.mode("append").partitionBy("status", "route").parquet(outDir)
+  }
+}

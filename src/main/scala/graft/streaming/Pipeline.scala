@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.ops.Etl
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming re-expression of the reference's Kinesis→Firehose
+  * hop (SURVEY §2.10 / §7.4): a streaming source stands in for the Kinesis
+  * shard iterator, `foreachBatch` + [[FirehoseSink]] stands in for
+  * PutRecordBatch delivery. In production the source would be the Kinesis
+  * connector and `put` an AWS SDK call; nothing else changes — that is the
+  * point of keeping routing/batching/retry in engine-agnostic functions.
+  *
+  * Scale design: every transform here is per-partition (route is a map,
+  * batching runs inside mapPartitions); the only stateful operators are
+  * watermark-bounded, so state-store size is O(active windows/sessions),
+  * not O(stream length).
+  */
+object Pipeline {
+
+  /** Typed event row for the stateful APIs. `tsUs` is epoch microseconds
+    * (the D4 bridge value).
+    */
+  final case class Event(
+      event_id: Long, tsUs: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class Session(
+      user_id: Long, startUs: Long, endUs: Long, n_events: Long, sum_value: Double)
+
+  /** File-source replay of `events.parquet` as the stream (no Kinesis
+    * connector offline; each arriving file = one micro-batch). The file
+    * source needs a directory, and the fixture is a single parquet file,
+    * so stage a hard link into a temp dir.
+    */
+  def fileReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("events-replay")
+    java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** §0.1 step 4 — identical routing rule to the batch query `q_etl_route`. */
+  def route(df: DataFrame): DataFrame = df.withColumn("route", Etl.routeCol)
+
+  /** Watermarked 1-hour tumbling counts per route; late rows beyond 10
+    * minutes are dropped by the watermark.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    route(events)
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("route"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** At-least-once → effectively-once: drop duplicate event_ids within the
+    * watermark horizon (state is bounded by the watermark, SURVEY §2.10).
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: per-user
+    * sessions closed after 30 minutes of event-time inactivity. Emits a
+    * session when the gap rule closes it (plus on state timeout).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    events
+      .withColumn("ts_ts", expr("timestamp_micros(tsUs)"))
+      .withWatermark("ts_ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.tsUs, e.event_id))
+            var cur = state.getOption
+            val closed = Vector.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsUs - s.endUs < gapUs =>
+                  cur = Some(s.copy(endUs = e.tsUs, n_events = s.n_events + 1,
+                    sum_value = s.sum_value + e.value))
+                case other =>
+                  other.foreach(closed += _)
+                  cur = Some(Session(userId, e.tsUs, e.tsUs, 1L, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.endUs / 1000 + gapUs / 1000)
+              case None => ()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Full reference pipeline as a streaming writer: route → per-partition
+    * batch → deliver-with-retry → delivered/DLQ parquet dirs per route
+    * (§0.1 steps 4–6). `failEvery` injects a deterministic per-record
+    * failure on first attempt for records with event_id % failEvery == 0
+    * (succeeds on retry), emulating partial PutRecordBatch failures.
+    */
+  def firehose(events: DataFrame, outDir: String, failEvery: Long = 0L): DataStreamWriter[Row] =
+    route(events).writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        FirehoseSink.process(batch, batchId, outDir, failEvery)
+      }
+
+  def runToCompletion(w: DataStreamWriter[Row], checkpoint: String): StreamingQuery = {
+    val q = w.option("checkpointLocation", checkpoint).start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
+}

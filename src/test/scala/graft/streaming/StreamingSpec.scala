@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+/** SURVEY §2.10 streaming-only operators: watermarked windows, late-row
+  * drop, streaming dedup, stateful sessionization, and the foreachBatch
+  * firehose sink with retry/DLQ — exercised via MemoryStream and
+  * file-source replay of the driver's events.parquet.
+  */
+class StreamingSpec extends SparkSpec {
+  import Pipeline.Event
+
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
+  // Base event-time: 2024-01-01 00:00:00 UTC in epoch µs.
+  private val t0 = 1704067200000000L
+
+  private def ev(id: Long, minOffset: Long, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): Event =
+    Event(id, t0 + us(minOffset), user, typ, value, s"""{"k": $id}""")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("windowedCounts: tumbling windows aggregate per route, late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val df = mem.toDF().withColumn("ts_ts", expr("timestamp_micros(tsUs)"))
+    val q = Pipeline.windowedCounts(df).writeStream
+      .format("memory").queryName("win_counts").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt-win")).start()
+    // batch 1: two events in hour 0, one in hour 1
+    mem.addData(ev(1, 5), ev(2, 10, typ = "purchase"), ev(3, 65))
+    q.processAllAvailable()
+    // batch 2: advance watermark far past hour 0, then a late row into hour 0
+    mem.addData(ev(4, 300))
+    q.processAllAvailable()
+    mem.addData(ev(5, 6)) // late: watermark is 300min - 10min >> 60min
+    q.processAllAvailable()
+    mem.addData(ev(6, 400)) // push watermark so hour-5 window finalizes
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_counts")
+      .select(col("window.start").cast("long").as("w"), col("route"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // hour-0 analytics window must contain exactly events 1 (click) — event
+    // 5 was late and dropped; purchase routes to transactions.
+    assert(rows.contains((t0 / 1000000L, "analytics", 1L)))
+    assert(rows.contains((t0 / 1000000L, "transactions", 1L)))
+    assert(rows.contains((t0 / 1000000L + 3600, "analytics", 1L)))
+    assert(!rows.exists { case (w, r, n) => w == t0 / 1000000L && r == "analytics" && n > 1 })
+  }
+
+  test("dedup: duplicate event_ids within watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val df = mem.toDF().withColumn("ts_ts", expr("timestamp_micros(tsUs)"))
+    val q = Pipeline.dedup(df).writeStream
+      .format("memory").queryName("dedup_out").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt-dedup")).start()
+    mem.addData(ev(1, 0), ev(2, 1), ev(1, 2)) // dup id=1 in same batch
+    q.processAllAvailable()
+    mem.addData(ev(2, 3), ev(3, 4)) // dup id=2 across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toList.sorted
+    assert(ids == List(1L, 2L, 3L))
+  }
+
+  test("sessionize: 30-min gap closes a session; stats accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = Pipeline.sessionize(mem.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt-sess")).start()
+    // session A: 3 events within gaps < 30min; then 40-min silence; session B
+    mem.addData(ev(1, 0, value = 2.0), ev(2, 10, value = 3.0), ev(3, 25, value = 5.0))
+    q.processAllAvailable()
+    mem.addData(ev(4, 65, value = 7.0)) // closes session A (gap 40min)
+    q.processAllAvailable()
+    q.stop()
+    val done = spark.table("sessions").as[Pipeline.Session].collect()
+    val a = done.find(_.startUs == t0)
+    assert(a.isDefined, s"session A not emitted: ${done.toList}")
+    assert(a.get.n_events == 3L && a.get.sum_value == 10.0 && a.get.endUs == t0 + us(25))
+  }
+
+  test("firehose sink: delivered ∪ DLQ ≡ input; transient failures retried") {
+    val out = tmp("firehose-out")
+    val events = Pipeline.fileReplay(spark, sf)
+    Pipeline.runToCompletion(
+      Pipeline.firehose(events, out, failEvery = 7L), tmp("ckpt-fh"))
+    val result = spark.read.parquet(out)
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(result.count() == n, "every input record must be delivered or dead")
+    assert(result.select("event_id").distinct().count() == n)
+    val dead = result.filter(col("status") === "dead")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val expectedDead = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").collect().map(_.getLong(0)).filter(_ % 70 == 0).toSet
+    assert(dead == expectedDead,
+      s"DLQ must be exactly the permanent failures (got ${dead.size}, want ${expectedDead.size})")
+    // routes partition the output dirs like per-stream Firehose deliveries
+    val routes = result.select("route").distinct().collect().map(_.getString(0)).toSet
+    assert(routes == Set("analytics", "transactions", "errors"))
+  }
+}
