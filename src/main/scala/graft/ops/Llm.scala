@@ -276,6 +276,55 @@ object Llm {
              SELECT q_id, bkt, rnk, n_id, cos FROM r WHERE rnk <= 3
              ORDER BY q_id, rnk"""))
 
+  private val qSimIvf = Q(
+    "q_sim_ivf",
+    (s, dir) => {
+      // IVF-style ANN: deterministic coarse centroids (every 97th vec_id),
+      // each vector assigned to its nearest centroid (cosine, tie-break
+      // smaller centroid id), then top-3 search within the cell only.
+      // Scale path: centroid set is broadcast (k ≪ n), assignment is one
+      // map-side pass (n × k dots, no shuffle), and the within-cell join
+      // grows per-cell, not per-corpus. Complements q_sim_ann_lsh.
+      val e = vecs(s, dir)
+      val cent = e.filter(pmod(col("vec_id"), lit(97L)) === 0L)
+        .select(col("vec_id").as("c_id"), col("v").as("nv"), col("nrm").as("nn"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+      val assigned = e.select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(s"round($dotExpr / (qn * nn), 4)"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("qv"), col("qn"), col("c_id").as("cell"))
+      val a = assigned.select(col("cell"), col("vec_id").as("q_id"),
+        col("qv"), col("qn"))
+      val b = assigned.select(col("cell"), col("vec_id").as("n_id"),
+        col("qv").as("nv"), col("qn").as("nn"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      a.join(b, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", expr(s"round($dotExpr / (qn * nn), 4)"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "cell", "rnk", "n_id", "cos")
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH $vecsSql,
+             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+                      WHERE vec_id % 97 = 0),
+             asg AS (SELECT vec_id, v, nrm, c_id,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY
+                        ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
+                        AS arn
+                     FROM n CROSS JOIN cent),
+             cells AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg WHERE arn = 1),
+             p AS (SELECT a.vec_id AS q_id, a.cell, b.vec_id AS n_id,
+                          ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+                   FROM cells a JOIN cells b ON a.cell = b.cell
+                     AND a.vec_id <> b.vec_id),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
+             SELECT q_id, cell, rnk, n_id, cos FROM r WHERE rnk <= 3
+             ORDER BY q_id, rnk"""))
+
   // ----------------------------------------------------------------- text
 
   private val qTextTokens = Q(
@@ -505,7 +554,7 @@ object Llm {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupSimhash, qDedupEmbed,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextQuality,
     qTextFingerprint, qMultimodalJoin)
 }
