@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftnative.{DotProduct, GraftNative}
+
+/** Column-DSL facade over the engine's native expressions, plus SQL
+  * registration (SURVEY §2.12 extension-point ladder: native Expression
+  * with codegen, not a UDF). The expressions themselves live in
+  * `org.apache.spark.sql.graftnative` — see the note there.
+  */
+package object functions {
+
+  /** Dot product of two ARRAY<DOUBLE> columns (codegen'd). */
+  def graft_dot(a: Column, b: Column): Column = GraftNative.dot(a, b)
+
+  /** Register the SQL names on a live session (for `spark.sql` use;
+    * the Column DSL above needs no registration).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftNative.register(spark)
+}
+
+package functions {
+
+  /** Registers the engine's SQL functions; install with
+    * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+    * `spark.sql.extensions=graft.functions.GraftExtensions`. The Column
+    * facade above works without registration (the expression is injected
+    * into the plan directly).
+    */
+  class GraftExtensions extends (SparkSessionExtensions => Unit) {
+    override def apply(ext: SparkSessionExtensions): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, "graft_dot"),
+        GraftNative.dotBuilder))
+  }
+}
