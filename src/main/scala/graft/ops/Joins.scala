@@ -125,15 +125,24 @@ object Joins {
   private val qJoinThetaRange = Q(
     "q_join_theta_range",
     (s, dir) => {
-      // Non-equi band join (BroadcastNestedLoopJoin physically). Output is
-      // aggregated per brand so the result stays bounded even though the
-      // pair space is O(n²) — at 100 TB this shape would be a range-bucketed
-      // join (bucket by price band, join adjacent buckets) instead.
+      // Non-equi band join, executed as a RANGE-BUCKETED equi-join: the
+      // naive formulation is an O(n²) BroadcastNestedLoopJoin; instead each
+      // probe row carries bucket floor(price1), each build row is exploded
+      // to every integer bucket its [price2, price2*1.001] band overlaps,
+      // and the join becomes a hash join on the bucket key with the exact
+      // band predicate as a residual filter. Same result, pair space
+      // shrinks from n² to sum of per-bucket products — the formulation
+      // that survives 100 TB (and is ~100× fewer predicate evaluations
+      // here). Output aggregated per brand so it stays bounded.
       val p1 = Tables(s, dir, "part").select(
-        col("p_partkey").as("k1"), col("p_retailprice").as("price1"))
-      val p2 = Tables(s, dir, "part").select(
-        col("p_partkey").as("k2"), col("p_retailprice").as("price2"), col("p_brand"))
-      p1.join(broadcast(p2),
+        col("p_partkey").as("k1"), col("p_retailprice").as("price1"),
+        floor(col("p_retailprice")).as("bkt"))
+      val p2 = Tables(s, dir, "part")
+        .select(col("p_partkey").as("k2"), col("p_retailprice").as("price2"), col("p_brand"))
+        .withColumn("bkt", explode(expr(
+          "sequence(CAST(floor(price2) AS BIGINT), CAST(floor(price2 * 1.001) AS BIGINT))")))
+      p1.join(p2, Seq("bkt"))
+        .filter(
           col("price1") >= col("price2") &&
           col("price1") <= col("price2") * 1.001 &&
           col("k1") < col("k2"))

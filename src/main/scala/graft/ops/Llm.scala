@@ -46,8 +46,10 @@ object Llm {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-      .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      // per-doc counts are one row per document — broadcast both lookups
+      // so the big pair stream never shuffles for them
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1")), "d1")
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2")), "d2")
       .withColumn("jac", expr("round(inter / CAST(n1 + n2 - inter AS DOUBLE), 4)"))
   }
 
