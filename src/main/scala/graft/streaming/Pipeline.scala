@@ -3,7 +3,7 @@ package graft.streaming
 import graft.ops.Etl
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, TimeMode}
 import org.apache.spark.sql.Row
 
 /** Structured-Streaming re-expression of the reference's Kinesis→Firehose
@@ -107,6 +107,21 @@ object Pipeline {
             closed.result().iterator
           }
       }
+  }
+
+  /** Sessionization on the Spark 4 transformWithState API (RocksDB-backed
+    * typed state + event-time timers); see [[SessionProcessor]].
+    */
+  def sessionizeTws(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_ts", expr("timestamp_micros(tsUs)"))
+      .withWatermark("ts_ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(30L * 60 * 1000000),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Full reference pipeline as a streaming writer: route → per-partition

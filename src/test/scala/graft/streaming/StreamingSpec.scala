@@ -92,6 +92,28 @@ class StreamingSpec extends SparkSpec {
     assert(a.get.n_events == 3L && a.get.sum_value == 10.0 && a.get.endUs == t0 + us(25))
   }
 
+  test("sessionizeTws: transformWithState closes sessions on gap (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = Pipeline.sessionizeTws(mem.toDS()).writeStream
+        .format("memory").queryName("tws_sessions").outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp("ckpt-tws")).start()
+      mem.addData(ev(1, 0, value = 2.0), ev(2, 10, value = 3.0), ev(3, 25, value = 5.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, 65, value = 7.0)) // 40-min gap closes session A
+      q.processAllAvailable()
+      q.stop()
+      val done = spark.table("tws_sessions").as[Pipeline.Session].collect()
+      val a = done.find(_.startUs == t0)
+      assert(a.isDefined, s"session A not emitted: ${done.toList}")
+      assert(a.get.n_events == 3L && a.get.sum_value == 10.0 && a.get.endUs == t0 + us(25))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("firehose sink: delivered ∪ DLQ ≡ input; transient failures retried") {
     val out = tmp("firehose-out")
     val events = Pipeline.fileReplay(spark, sf)
