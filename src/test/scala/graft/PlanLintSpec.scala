@@ -1,0 +1,39 @@
+package graft
+
+/** Plan lint over the whole declared inventory: no query may compile to an
+  * unexpected O(n²) physical join. Guards the scale posture (ARCHITECTURE)
+  * against regressions — e.g. a refactor that silently turns an equi-join
+  * into a nested-loop join would fail here, not at 100 TB.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // Intentional cartesians: region×nation is 125 rows at every SF by
+  // design; tfidf/ivf cross-join a broadcast single-row (or k-row) side.
+  private val cartesianOk = Set("q_join_cross", "q_text_tfidf", "q_sim_ivf")
+
+  SparkEntry.declared.foreach { q =>
+    test(s"${q.name}: no unexpected nested-loop/cartesian join") {
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      if (!cartesianOk(q.name)) {
+        assert(!plan.contains("CartesianProduct"),
+          s"${q.name} plans a CartesianProduct:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a BroadcastNestedLoopJoin:\n$plan")
+      }
+    }
+  }
+
+  test("pruned scan reads only the projected columns") {
+    val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
+      s"column pruning regressed:\n$plan")
+  }
+
+  test("compound filter pushes predicates into the parquet scan") {
+    val plan = SparkEntry.queries("q_filter_compound")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"predicate pushdown regressed:\n$plan")
+  }
+}
