@@ -159,20 +159,28 @@ object Etl {
       // 1-hour window sliding 15 min: each event lands in 4 windows. The
       // oracle replicates each event against k=0..3 and reconstructs the
       // window start arithmetically.
+      // avg via an exact integer-scaled sum + floor truncation: a raw
+      // double avg differs between engines in the last ulp (summation
+      // order), which flips ROUND at 4dp boundaries at larger SFs.
       Tables.events(s, dir)
+        .withColumn("v_us", expr("CAST(round(value * 1000000) AS BIGINT)"))
         .groupBy(window(col("ts_ts"), "1 hour", "15 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .agg(count(lit(1)).as("n"), sum("v_us").as("sv"))
         .select(
           col("window.start").cast("long").as("win_start_s"),
-          col("event_type"), col("n"), col("avg_value"))
+          col("event_type"), col("n"),
+          // 1000000.0D: an undecorated 1000000.0 parses as DECIMAL in
+          // Spark SQL (but DOUBLE in DuckDB) and the exact-decimal
+          // division diverges from the oracle's double math by 1 ulp
+          expr("floor(sv / (1000000.0D * n) * 10000) / 10000").as("avg_value"))
         .orderBy("win_start_s", "event_type")
     },
     Some("""WITH expanded AS (
               SELECT ((epoch_us(ts) // 1000000) // 900 - k) * 900 AS win_start_s,
-                     event_type, value
+                     event_type, CAST(round(value * 1000000) AS BIGINT) AS v_us
               FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) ks(k))
             SELECT win_start_s, event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   ROUND(AVG(value), 4) AS avg_value
+                   floor(SUM(v_us) / (1000000.0 * COUNT(*)) * 10000) / 10000 AS avg_value
             FROM expanded GROUP BY win_start_s, event_type
             ORDER BY win_start_s, event_type"""))
 

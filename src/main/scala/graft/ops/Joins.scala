@@ -212,13 +212,18 @@ object Joins {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-            .as("revenue"),
+          // decimal inputs → exact, order-independent sum: a raw double
+          // sum over 600k+ rows drifts past 4dp granularity at this
+          // magnitude (SURVEY D2's decimal clause)
+          round(sum(expr(
+            "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"))
+            .cast("double"), 4).as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("r_name")
     },
     Some("""SELECT r_name,
-            ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue,
             CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey

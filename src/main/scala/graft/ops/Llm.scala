@@ -467,18 +467,25 @@ object Llm {
         .withColumn("n_tokens", size(col("t")).cast("long"))
         .withColumn("n_bpe",
           size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long"))
+        // all ratios floor-truncated at 4dp, not rounded: integer/integer
+        // ratios land exactly on .5 boundaries where Spark (half-up) and
+        // DuckDB disagree; floor over the bit-identical quotient is
+        // engine-stable (same fix as `quality` below)
         .withColumn("avg_tok_len",
-          expr("round((length(text) - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4)"))
+          expr("floor((length(text) - n_tokens + 1) / CAST(n_tokens AS DOUBLE) * 10000) / 10000"))
         .withColumn("stop_ratio",
-          expr(s"round(size(filter(t, x -> x IN ($stopList))) / CAST(n_tokens AS DOUBLE), 4)"))
+          expr(s"floor(size(filter(t, x -> x IN ($stopList))) / CAST(n_tokens AS DOUBLE) * 10000) / 10000"))
         .withColumn("uniq_ratio",
-          expr("round(size(array_distinct(t)) / CAST(n_tokens AS DOUBLE), 4)"))
+          expr("floor(size(array_distinct(t)) / CAST(n_tokens AS DOUBLE) * 10000) / 10000"))
         // floor-truncation, not round: the composite lands on .5 ulp
         // boundaries where Spark (HALF_UP) and DuckDB disagree; floor on
         // the bit-identical double is engine-stable.
+        // D-suffixed literals: undecorated 0.3/100.0 parse as DECIMAL in
+        // Spark SQL and produce exact-decimal partial terms that differ
+        // from DuckDB's double products by 1 ulp at 4dp boundaries
         .withColumn("quality",
-          expr("floor((0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio) + " +
-            "0.3 * least(n_tokens / 100.0, 1.0)) * 10000) / 10000"))
+          expr("floor((0.4D * uniq_ratio + 0.3D * (1.0D - stop_ratio) + " +
+            "0.3D * least(n_tokens / 100.0D, 1.0D)) * 10000) / 10000"))
         .select("doc_id", "lang", "n_tokens", "n_bpe", "avg_tok_len",
           "stop_ratio", "uniq_ratio", "quality")
         .orderBy("doc_id")
@@ -489,12 +496,12 @@ object Llm {
             SELECT doc_id, lang,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe,
-                   ROUND((length(text) - len(string_split(text, ' ')) + 1)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_tok_len,
-                   ROUND(len(list_filter(string_split(text, ' '), x -> x IN ($stopList)))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
-                   ROUND(len(list_distinct(string_split(text, ' ')))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS uniq_ratio
+                   FLOOR((length(text) - len(string_split(text, ' ')) + 1)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000) / 10000 AS avg_tok_len,
+                   FLOOR(len(list_filter(string_split(text, ' '), x -> x IN ($stopList)))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000) / 10000 AS stop_ratio,
+                   FLOOR(len(list_distinct(string_split(text, ' ')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000) / 10000 AS uniq_ratio
             FROM documents)
           SELECT doc_id, lang, n_tokens, n_bpe, avg_tok_len, stop_ratio, uniq_ratio,
                  FLOOR((0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
