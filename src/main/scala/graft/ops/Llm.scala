@@ -456,6 +456,67 @@ object Llm {
           FROM scored ORDER BY doc_id"""
     })
 
+  /** Char-trigram language-ID: per-lang profiles (top-10 trigrams by
+    * frequency, tie-break trigram asc) are computed from the corpus
+    * itself, then each doc is scored by how many of its distinct trigrams
+    * appear in each profile; argmax with alphabetical tie-break. Two
+    * aggregations + one broadcast join of the tiny profile table — the
+    * n-gram heuristic shape that scales (no per-doc-pair work). On this
+    * synthetic corpus (shared vocabulary across langs) accuracy is
+    * meaningless; the operator mechanics are what is declared.
+    */
+  private val qTextLangidNgram = Q(
+    "q_text_langid_ngram",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tri = docs.select(col("doc_id"), col("lang"), explode(expr(
+          "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))"))
+        .as("g"))
+      val wProf = Window.partitionBy("p_lang").orderBy(col("f").desc, col("g"))
+      val prof = tri.groupBy(col("lang").as("p_lang"), col("g"))
+        .agg(count(lit(1)).as("f"))
+        .withColumn("rk", row_number().over(wProf))
+        .filter(col("rk") <= 10)
+        .select("p_lang", "g")
+      val scores = tri.join(broadcast(prof), "g")
+        .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("hits"))
+      val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("p_lang"))
+      docs.select("doc_id", "lang")
+        .join(scores.withColumn("br", row_number().over(wBest)).filter(col("br") === 1)
+          .select(col("doc_id"), col("p_lang").as("pred_lang"), col("hits")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tri AS (
+              SELECT DISTINCT doc_id, lang, g
+              FROM documents,
+                   unnest(list_transform(range(1, length(text) - 1),
+                     i -> substr(text, CAST(i AS INT), 3))) u(g)),
+            prof AS (
+              SELECT p_lang, g FROM (
+                SELECT lang AS p_lang, g, COUNT(*) AS f,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY COUNT(*) DESC, g) AS rk
+                FROM tri GROUP BY lang, g) t
+              WHERE rk <= 10),
+            scores AS (
+              SELECT doc_id, p_lang, CAST(COUNT(*) AS BIGINT) AS hits
+              FROM tri JOIN prof USING (g)
+              GROUP BY doc_id, p_lang),
+            best AS (
+              SELECT doc_id, p_lang, hits,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY hits DESC, p_lang) AS br
+              FROM scores)
+            SELECT d.doc_id, d.lang,
+                   COALESCE(b.p_lang, 'und') AS pred_lang,
+                   COALESCE(b.hits, 0) AS hits
+            FROM documents d LEFT JOIN (SELECT * FROM best WHERE br = 1) b
+              ON d.doc_id = b.doc_id
+            ORDER BY d.doc_id"""))
+
   private val stop = Seq("the", "a", "key", "data", "value")
 
   private val qTextQuality = Q(
@@ -567,6 +628,6 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupSimhash, qDedupEmbed,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf,
-    qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextQuality,
+    qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextFingerprint, qMultimodalJoin)
 }
