@@ -157,7 +157,18 @@ object Llm {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      jaccardPairs(s, dir).join(cand, Seq("d1", "d2"))
+      // candidate-driven verification: intersections are computed only for
+      // LSH candidate pairs (not for every shingle-sharing pair) — the
+      // property that makes LSH the scale path rather than a filter bolted
+      // onto the exhaustive join
+      val a = sh.select(col("doc_id").as("d1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      cand.join(a, "d1").join(b, Seq("d2", "sh"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(broadcast(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1")), "d1")
+        .join(broadcast(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2")), "d2")
+        .withColumn("jac", expr("round(inter / CAST(n1 + n2 - inter AS DOUBLE), 4)"))
         .filter(col("jac") >= 0.1)
         .select("d1", "d2", "jac").orderBy("d1", "d2")
     })
