@@ -46,10 +46,12 @@ object Llm {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-      // per-doc counts are one row per document — broadcast both lookups
-      // so the big pair stream never shuffles for them
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1")), "d1")
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2")), "d2")
+      // NOT broadcast: a broadcast of cnt would rebuild the shingle
+      // explode+distinct subtree on the serial broadcast path (twice);
+      // as shuffle joins both cnt sides reuse the distinct's exchange,
+      // and the post-aggregation pair stream is small anyway
+      .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
       .withColumn("jac", expr("round(inter / CAST(n1 + n2 - inter AS DOUBLE), 4)"))
   }
 
@@ -166,8 +168,8 @@ object Llm {
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       cand.join(a, "d1").join(b, Seq("d2", "sh"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        .join(broadcast(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1")), "d1")
-        .join(broadcast(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2")), "d2")
+        .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
         .withColumn("jac", expr("round(inter / CAST(n1 + n2 - inter AS DOUBLE), 4)"))
         .filter(col("jac") >= 0.1)
         .select("d1", "d2", "jac").orderBy("d1", "d2")
