@@ -40,32 +40,42 @@ object Relational {
   private val qAggQ1 = Q(
     "q_agg_q1",
     (s, dir) => {
-      // Flagship TPC-H Q1 variant (SURVEY §2.4). D2: every aggregated
-      // double rounded to 4dp identically in the oracle.
+      // Flagship TPC-H Q1 variant (SURVEY §2.4). All money/quantity sums
+      // run over exact decimals (per-row double products cast to decimal,
+      // bit-identical in both engines) so the result is independent of
+      // Spark's nondeterministic partial-merge order — a raw double sum at
+      // this magnitude drifts to the edge of 4dp granularity. Averages are
+      // exact-sum / count with floor truncation (rounding at the engines'
+      // divergent .5 behavior is structural for int/2dp-valued columns).
       Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)")
+            .as("sum_qty"),
+          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4)")
+            .as("sum_base_price"),
+          expr("round(CAST(sum(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)")
             .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          expr("round(CAST(sum(CAST(l_extendedprice * (1.0D - l_discount) * (1.0D + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 4)")
+            .as("sum_charge"),
+          expr("floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 10000) / 10000")
+            .as("avg_qty"),
+          expr("floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 10000) / 10000")
+            .as("avg_price"),
+          expr("floor(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 10000) / 10000")
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-            ROUND(SUM(l_quantity), 4) AS sum_qty,
-            ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-            ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-            ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
-            ROUND(AVG(l_quantity), 4) AS avg_qty,
-            ROUND(AVG(l_extendedprice), 4) AS avg_price,
-            ROUND(AVG(l_discount), 4) AS avg_disc,
+            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+            ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+            ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
+            FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS avg_qty,
+            FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS avg_price,
+            FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS avg_disc,
             CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
