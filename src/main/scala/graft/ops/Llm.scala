@@ -52,7 +52,7 @@ object Llm {
       // and the post-aggregation pair stream is small anyway
       .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
       .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jac", expr("round(inter / CAST(n1 + n2 - inter AS DOUBLE), 4)"))
+      .withColumn("jac", expr("floor(inter / CAST(n1 + n2 - inter AS DOUBLE) * 10000) / 10000"))
   }
 
   /** Embeddings widened to double with precomputed L2 norm. Cosine is
@@ -127,9 +127,9 @@ object Llm {
                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                     GROUP BY a.doc_id, b.doc_id)
              SELECT d1, d2,
-                    ROUND(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE), 4) AS jac
+                    FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 AS jac
              FROM pr JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
-             WHERE ROUND(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE), 4) >= 0.1
+             WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 >= 0.1
              ORDER BY d1, d2"""))
 
   /** MinHash + LSH banding: 16 hash functions (xxhash64 with distinct salt
@@ -170,7 +170,7 @@ object Llm {
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
         .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
         .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-        .withColumn("jac", expr("round(inter / CAST(n1 + n2 - inter AS DOUBLE), 4)"))
+        .withColumn("jac", expr("floor(inter / CAST(n1 + n2 - inter AS DOUBLE) * 10000) / 10000"))
         .filter(col("jac") >= 0.1)
         .select("d1", "d2", "jac").orderBy("d1", "d2")
     })
@@ -362,23 +362,26 @@ object Llm {
     "q_text_stats",
     (s, dir) => {
       val docs = Tables(s, dir, "documents").withColumn("t", split(col("text"), " "))
+      // integer averages/ratios floor-truncated: exact int sums divide to
+      // rationals that land on .5 boundaries where the engines' round()
+      // modes disagree
       val docAgg = docs.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
-        round(avg("n_chars"), 4).as("avg_chars"),
-        round(avg(size(col("t"))), 4).as("avg_tokens"))
+        expr("floor(sum(n_chars) / CAST(count(*) AS DOUBLE) * 10000) / 10000").as("avg_chars"),
+        expr("floor(sum(size(t)) / CAST(count(*) AS DOUBLE) * 10000) / 10000").as("avg_tokens"))
       val termAgg = docs.select(col("lang"), explode(col("t")).as("term"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_terms"), countDistinct(col("term")).as("n_types"))
-        .withColumn("ttr", expr("round(n_types / CAST(n_terms AS DOUBLE), 4)"))
+        .withColumn("ttr", expr("floor(n_types / CAST(n_terms AS DOUBLE) * 10000) / 10000"))
         .select("lang", "ttr")
       docAgg.join(termAgg, "lang").orderBy("lang")
     },
     Some("""WITH d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   ROUND(AVG(n_chars), 4) AS avg_chars,
-                   ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+                   FLOOR(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000 AS avg_chars,
+                   FLOOR(SUM(len(string_split(text, ' '))) / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000 AS avg_tokens
                  FROM documents GROUP BY lang),
             t AS (SELECT lang,
-                   ROUND(COUNT(DISTINCT term) / CAST(COUNT(*) AS DOUBLE), 4) AS ttr
+                   FLOOR(COUNT(DISTINCT term) / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000 AS ttr
                   FROM (SELECT lang, t AS term
                         FROM documents, unnest(string_split(text, ' ')) u(t))
                   GROUP BY lang)

@@ -79,14 +79,14 @@ object Windows {
         .select(
           col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
           ntile(4).over(w).cast("long").as("tile"),
-          round(percent_rank().over(w), 4).as("pct_rank"),
-          round(cume_dist().over(w), 4).as("cdist"))
+          expr("floor(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) * 10000) / 10000").as("pct_rank"),
+          expr("floor(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) * 10000) / 10000").as("cdist"))
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
             CAST(ntile(4) OVER w AS BIGINT) AS tile,
-            ROUND(percent_rank() OVER w, 4) AS pct_rank,
-            ROUND(cume_dist() OVER w, 4) AS cdist
+            FLOOR(percent_rank() OVER w * 10000) / 10000 AS pct_rank,
+            FLOOR(cume_dist() OVER w * 10000) / 10000 AS cdist
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
             ORDER BY c_custkey"""))
