@@ -114,6 +114,20 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("firehose sink is idempotent: re-processing a micro-batch does not duplicate") {
+    import org.apache.spark.sql.functions.col
+    val out = tmp("firehose-idem")
+    val batch = Pipeline.route(graft.Tables.events(spark, sf).limit(200))
+    FirehoseSink.process(batch, batchId = 7L, out, failEvery = 0L)
+    val n1 = spark.read.parquet(out).count()
+    FirehoseSink.process(batch, batchId = 7L, out, failEvery = 0L) // retry same batch
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == 200L && n2 == n1, s"retry duplicated output: $n1 -> $n2")
+    FirehoseSink.process(batch, batchId = 8L, out, failEvery = 0L) // next batch appends
+    assert(spark.read.parquet(out).count() == 2 * n1)
+    assert(spark.read.parquet(out).filter(col("batch_id") === 7L).count() == n1)
+  }
+
   test("firehose sink: delivered ∪ DLQ ≡ input; transient failures retried") {
     val out = tmp("firehose-out")
     val events = Pipeline.fileReplay(spark, sf)
