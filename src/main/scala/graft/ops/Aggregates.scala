@@ -191,8 +191,63 @@ object Aggregates {
         .orderBy("l_returnflag")
     })
 
+  private val qAggPivot = Q(
+    "q_agg_pivot",
+    (s, dir) => {
+      // pivot: order counts per priority × status. Spark pivot emits NULL
+      // for empty cells — coalesce to 0 to match the oracle's CASE sums.
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  private val qAggStringAgg = Q(
+    "q_agg_string_agg",
+    (s, dir) => {
+      // ordered string aggregation (listagg): numeric sort, then join
+      Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(expr(
+          "array_join(transform(sort_array(collect_list(l_partkey)), x -> CAST(x AS STRING)), ',')")
+          .as("parts_csv"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+            string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts_csv
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  private val qFilterScalarSubq = Q(
+    "q_filter_scalar_subq",
+    (s, dir) => {
+      // scalar subquery through the spark.sql entry point (the rest of the
+      // inventory uses the DataFrame DSL; this pins SQL-parser parity).
+      // The threshold is an exact decimal sum / count so the predicate is
+      // immune to partial-merge-order jitter at the boundary.
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer_v
+               WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                         / COUNT(*) FROM customer_v)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                      / COUNT(*) FROM customer)
+            ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
-    qAggApproxQuantile)
+    qAggApproxQuantile, qAggPivot, qAggStringAgg, qFilterScalarSubq)
 }
