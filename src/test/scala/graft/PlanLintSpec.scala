@@ -8,8 +8,9 @@ package graft
 class PlanLintSpec extends SparkSpec {
 
   // Intentional cartesians: region×nation is 125 rows at every SF by
-  // design; tfidf/ivf cross-join a broadcast single-row (or k-row) side.
-  private val cartesianOk = Set("q_join_cross", "q_text_tfidf", "q_sim_ivf")
+  // design; tfidf/ivf/langid-ngram cross-join a broadcast ≤5-row side.
+  private val cartesianOk =
+    Set("q_join_cross", "q_text_tfidf", "q_sim_ivf", "q_text_langid_ngram")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
