@@ -109,6 +109,14 @@ object Pipeline {
       }
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast — the static side is planned per micro-batch, so
+    * small dims never shuffle the stream). Production shape for enriching
+    * a Kinesis stream with reference data.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Sessionization on the Spark 4 transformWithState API (RocksDB-backed
     * typed state + event-time timers); see [[SessionProcessor]].
     */

@@ -114,6 +114,25 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-static enrichment joins a broadcast dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("purchase", 10.0), ("error", 0.0))
+      .toDF("event_type", "weight")
+    val mem = MemoryStream[Event]
+    val q = Pipeline.enrich(mem.toDF(), dim, "event_type").writeStream
+      .format("memory").queryName("enriched").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt-enrich")).start()
+    mem.addData(ev(1, 0), ev(2, 1, typ = "purchase"), ev(3, 2, typ = "signup"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched")
+      .select("event_id", "weight").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(rows(1L) == 1.0 && rows(2L) == 10.0)
+    assert(rows(3L) == null, "unmatched dimension key must stay null (left join)")
+  }
+
   test("firehose sink is idempotent: re-processing a micro-batch does not duplicate") {
     import org.apache.spark.sql.functions.col
     val out = tmp("firehose-idem")
