@@ -223,6 +223,31 @@ object Scalars {
             TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
             FROM orders ORDER BY o_orderkey"""))
 
+  private val qFnBits = Q(
+    "q_fn_bits",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          expr("l_orderkey & 255").as("b_and"),
+          expr("l_orderkey | 4096").as("b_or"),
+          expr("CAST(l_orderkey ^ l_partkey AS BIGINT)").as("b_xor"),
+          expr("shiftleft(l_orderkey, 2)").as("b_shl"),
+          expr("shiftright(l_orderkey, 3)").as("b_shr"),
+          expr("CAST(bit_count(l_orderkey) AS BIGINT)").as("b_pop"))
+        .orderBy("l_orderkey", "l_linenumber", "b_xor")
+    },
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+            l_orderkey & 255 AS b_and,
+            l_orderkey | 4096 AS b_or,
+            CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS b_xor,
+            l_orderkey << 2 AS b_shl,
+            l_orderkey >> 3 AS b_shr,
+            CAST(bit_count(l_orderkey) AS BIGINT) AS b_pop
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, b_xor"""))
+
   val all: Seq[Q] = Seq(
-    qFnString, qFnDate, qFnMath, qFnCond, qFnJson, qFnArray, qFnMap, qFnCast)
+    qFnString, qFnDate, qFnMath, qFnCond, qFnJson, qFnArray, qFnMap, qFnCast,
+    qFnBits)
 }

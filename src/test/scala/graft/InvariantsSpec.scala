@@ -68,6 +68,31 @@ class InvariantsSpec extends SparkSpec {
       s"LSH missed ${(exact -- near).size} of ${exact.size} high-sim pairs")
   }
 
+  test("approx distinct (HLL) is within 10% of exact per group") {
+    val approx = SparkEntry.queries("q_agg_approx_hll")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e <= 0.10,
+        s"HLL for $k: approx=${approx(k)} exact=$e")
+    }
+  }
+
+  test("approx quantiles bracket the exact percentiles within 5%") {
+    val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = SparkEntry.queries("q_agg_percentile_exact")(spark, sf)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, es) =>
+      es.lazyZip(approx(k)).foreach { (e, a) =>
+        assert(math.abs(a - e) / e <= 0.05, s"quantile for $k: approx=$a exact=$e")
+      }
+    }
+  }
+
   test("topk stability: q_topk is the ordered prefix of the full sort") {
     val top = SparkEntry.queries("q_topk")(spark, sf).collect()
     val full = Tables(spark, sf, "orders")
