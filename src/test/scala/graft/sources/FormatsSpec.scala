@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType, StringType}
+import java.nio.file.Files
+
+/** Source/sink format coverage beyond parquet: CSV and JSON-lines
+  * round-trips with explicit schemas (schema-on-read, no inference in the
+  * read path — inference would be a full extra pass at 100 TB).
+  */
+class FormatsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderstatus", StringType)))
+
+  private def orders =
+    Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+  test("csv round-trip with header and explicit read schema") {
+    val dir = Files.createTempDirectory("fmt-csv").toString + "/orders"
+    orders.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(back.schema == schema)
+    assert(back.count() == orders.count())
+    val sBack = back.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val sOrig = orders.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(sBack - sOrig) <= 1e-4, s"csv round-trip changed sum: $sOrig -> $sBack")
+  }
+
+  test("json-lines round-trip with explicit read schema") {
+    val dir = Files.createTempDirectory("fmt-json").toString + "/orders"
+    orders.write.json(dir)
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.count() == orders.count())
+    assert(back.except(orders).isEmpty && orders.except(back).isEmpty)
+  }
+}
