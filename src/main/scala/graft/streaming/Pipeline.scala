@@ -109,6 +109,25 @@ object Pipeline {
       }
   }
 
+  /** Watermarked stream-stream interval join: each purchase attributed to
+    * clicks of the same user within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * state store retains only the attribution window per side — the
+    * stream-stream join shape that stays bounded on an unbounded stream.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "30 minutes")
+    purchases.join(clicks, expr(
+      "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (broadcast — the static side is planned per micro-batch, so
     * small dims never shuffle the stream). Production shape for enriching

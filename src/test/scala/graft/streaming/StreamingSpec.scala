@@ -114,6 +114,55 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val df = mem.toDF().withColumn("ts_ts", expr("timestamp_micros(tsUs)"))
+    val q = Pipeline.attribution(df).writeStream
+      .format("memory").queryName("attrib").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt-attrib")).start()
+    mem.addData(
+      ev(1, 0, user = 1),                                // click, in window
+      ev(2, 30, user = 1, typ = "purchase", value = 9.0),
+      ev(3, 10, user = 2),                               // click, other user
+      ev(4, 200, user = 3),                              // click, 100+ min before purchase
+      ev(5, 290, user = 3, typ = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("attrib")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 1L)),
+      s"only the in-window same-user click must attribute, got $pairs")
+  }
+
+  test("sessionizeTws: idle session closed by event-time timer, not a new event") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = Pipeline.sessionizeTws(mem.toDS()).writeStream
+        .format("memory").queryName("tws_timer").outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp("ckpt-tws-timer")).start()
+      mem.addData(ev(1, 0, user = 1, value = 4.0))
+      q.processAllAvailable()
+      // no further user-1 events; another user's activity advances the
+      // watermark far past user 1's gap → the timer closes the session
+      mem.addData(ev(2, 300, user = 2))
+      q.processAllAvailable()
+      mem.addData(ev(3, 400, user = 2))
+      q.processAllAvailable()
+      q.stop()
+      val u1 = spark.table("tws_timer").as[Pipeline.Session]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length == 1, s"timer must close user 1's idle session: ${u1.toList}")
+      assert(u1.head.n_events == 1L && u1.head.sum_value == 4.0)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrichment joins a broadcast dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
