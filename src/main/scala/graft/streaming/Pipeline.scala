@@ -49,6 +49,29 @@ object Pipeline {
   /** §0.1 step 4 — identical routing rule to the batch query `q_etl_route`. */
   def route(df: DataFrame): DataFrame = df.withColumn("route", Etl.routeCol)
 
+  /** The Lambda/Kinesis event envelope schema (SURVEY §0.1 step 1): a
+    * `Records` array whose `kinesis.data` field is base64 payload.
+    */
+  val envelopeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "Records ARRAY<STRUCT<eventID: STRING, " +
+        "kinesis: STRUCT<partitionKey: STRING, sequenceNumber: STRING, data: STRING>>>")
+
+  /** §0.1 steps 1–3 — ingest a column of Lambda Kinesis envelope JSON:
+    * parse the envelope, explode its Records, base64-decode each record's
+    * `kinesis.data` into the payload string. Columnar end to end
+    * (from_json → explode → unbase64), no UDFs.
+    */
+  def ingestEnvelopes(envelopes: DataFrame, jsonCol: String): DataFrame =
+    envelopes
+      .withColumn("_env", from_json(col(jsonCol), envelopeSchema))
+      .select(explode(col("_env.Records")).as("r"))
+      .select(
+        col("r.eventID").as("record_id"),
+        col("r.kinesis.partitionKey").as("partition_key"),
+        col("r.kinesis.sequenceNumber").as("sequence_number"),
+        unbase64(col("r.kinesis.data")).cast("string").as("payload"))
+
   /** Watermarked 1-hour tumbling counts per route; late rows beyond 10
     * minutes are dropped by the watermark.
     */
