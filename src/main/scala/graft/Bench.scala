@@ -15,6 +15,10 @@ object Bench {
     // benchmarking, not a pre-run of the timed queries.
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
+    // warm the grouping-sets/expand codegen path too (first rollup query
+    // otherwise pays ~1s of codegen)
+    spark.range(10000L).selectExpr("id % 7 AS a", "id % 3 AS b")
+      .rollup("a", "b").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

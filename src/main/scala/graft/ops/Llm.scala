@@ -501,7 +501,7 @@ object Llm {
       // the 2.5M exploded trigram rows was 2× slower for the same result
       val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("p_lang"))
       docs.select(col("doc_id"), col("lang"), expr(triExpr).as("tris"))
-        .crossJoin(broadcast(prof))
+        .crossJoin(prof)
         .withColumn("hits", expr("CAST(size(array_intersect(tris, pg)) AS BIGINT)"))
         .withColumn("br", row_number().over(wBest))
         .filter(col("br") === 1)
