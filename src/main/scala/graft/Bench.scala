@@ -19,15 +19,28 @@ object Bench {
     // otherwise pays ~1s of codegen)
     spark.range(10000L).selectExpr("id % 7 AS a", "id % 3 AS b")
       .rollup("a", "b").count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times keep the whole line < ~2 KB: the driver captures only
+    // a bounded stdout tail, and round 1's full-precision line got clipped
+    // mid-line there ("parsed": null in BENCH_r01.json).
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sfNum$failedJson}""")
     spark.stop()
   }
 }

@@ -136,7 +136,9 @@ object Llm {
     * suffixes), 4 bands × 4 rows; docs sharing any band bucket become
     * candidates, then exact Jaccard verifies. Deterministic (no random
     * seeds) but xxhash64 is Spark-specific → no DuckDB oracle (D5);
-    * LlmSpec asserts candidates ⊇ all true pairs at jac ≥ 0.3.
+    * InvariantsSpec asserts candidates ⊇ all true pairs at jac ≥ 0.9
+    * (SURVEY §2.11 — a ≥0.3 guarantee would be probabilistically false
+    * for 4×4 banding).
     */
   private val qDedupNear = Q(
     "q_dedup_near",
@@ -484,8 +486,14 @@ object Llm {
   private val qTextLangidNgram = Q(
     "q_text_langid_ngram",
     (s, dir) => {
+      // Short-text guard: for length(text) < 3, sequence(1, length-2)
+      // would DESCEND (step -1) and emit junk sub-trigrams, while the
+      // oracle's range(1, length-1) returns empty — so gate on length >= 3
+      // and return an empty trigram set, matching DuckDB exactly.
       val triExpr =
-        "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))"
+        """CASE WHEN length(text) >= 3
+           THEN array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))
+           ELSE CAST(array() AS ARRAY<STRING>) END"""
       val docs = Tables(s, dir, "documents")
       val tri = docs.select(col("doc_id"), col("lang"),
         explode(expr(triExpr)).as("g"))

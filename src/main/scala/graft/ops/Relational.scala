@@ -85,13 +85,28 @@ object Relational {
   private val qAggCollect = Q(
     "q_agg_collect",
     (s, dir) => {
-      // Nested-list output canary (SURVEY §2.4 / §7.3.5).
+      // collect_list aggregation. The list itself is emitted serialized
+      // ('|'-joined) plus summary scalars: the driver's compare sorts result
+      // columns in pandas, where a list-typed cell is unhashable and aborts
+      // the whole check (SURVEY §7.3.5 fallback — proven necessary in
+      // CORRECTNESS_r01).
       Tables(s, dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list("l_partkey")).as("parts"))
+        .select(
+          col("l_orderkey"),
+          size(col("parts")).cast("long").as("n_parts"),
+          element_at(col("parts"), 1).cast("long").as("p_min"),
+          element_at(col("parts"), -1).cast("long").as("p_max"),
+          expr("array_join(transform(parts, x -> CAST(x AS STRING)), '|')")
+            .as("parts_str"))
         .orderBy("l_orderkey")
     },
-    Some("""SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+    Some("""SELECT l_orderkey,
+            CAST(COUNT(*) AS BIGINT) AS n_parts,
+            CAST(MIN(l_partkey) AS BIGINT) AS p_min,
+            CAST(MAX(l_partkey) AS BIGINT) AS p_max,
+            array_to_string(list_sort(list(l_partkey)), '|') AS parts_str
             FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
   // ---------------------------------------------------------------- §2.5

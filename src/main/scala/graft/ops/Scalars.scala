@@ -159,24 +159,34 @@ object Scalars {
       // Array ops + higher-order functions over the float32 embeddings.
       // Elements widened to DOUBLE before emission: float32→float64 is an
       // exact widening, identical in both engines.
+      // Array/HOF results are emitted as flat scalar columns (slice/sort
+      // element extracts), never list-typed cells: the driver compare sorts
+      // columns in pandas, where an ndarray cell is unhashable and aborts
+      // the whole check (CORRECTNESS_r01). float32→float64 widening is
+      // exact and identical in both engines.
       Tables(s, dir, "embeddings")
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("n_elems"),
           element_at(col("embedding"), 1).cast("double").as("first_elem"),
-          expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))").as("head3"),
+          expr("CAST(element_at(embedding, 2) AS DOUBLE)").as("h2"),
+          expr("CAST(element_at(embedding, 3) AS DOUBLE)").as("h3"),
           size(expr("filter(embedding, x -> x > 0)")).cast("long").as("n_pos"),
-          expr("transform(slice(sort_array(embedding), 1, 3), x -> CAST(x AS DOUBLE))")
-            .as("min3"),
+          expr("CAST(element_at(sort_array(embedding), 1) AS DOUBLE)").as("min1"),
+          expr("CAST(element_at(sort_array(embedding), 2) AS DOUBLE)").as("min2"),
+          size(array_distinct(col("embedding"))).cast("long").as("n_dist"),
           expr("array_contains(embedding, CAST(0.0 AS FLOAT))").as("has_zero"))
         .orderBy("vec_id")
     },
     Some("""SELECT vec_id,
             CAST(len(embedding) AS BIGINT) AS n_elems,
             CAST(embedding[1] AS DOUBLE) AS first_elem,
-            list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+            CAST(embedding[2] AS DOUBLE) AS h2,
+            CAST(embedding[3] AS DOUBLE) AS h3,
             CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-            list_transform(list_sort(embedding)[1:3], x -> CAST(x AS DOUBLE)) AS min3,
+            CAST(list_sort(embedding)[1] AS DOUBLE) AS min1,
+            CAST(list_sort(embedding)[2] AS DOUBLE) AS min2,
+            CAST(len(list_distinct(embedding)) AS BIGINT) AS n_dist,
             list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
             FROM embeddings ORDER BY vec_id"""))
 

@@ -46,17 +46,13 @@ object FirehoseSink {
     // by batch_id and dynamically overwritten, so re-processing a failed
     // micro-batch replaces exactly its own partition instead of appending
     // duplicates — effectively-once sink semantics on top of Structured
-    // Streaming's at-least-once foreachBatch contract.
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      tagged.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "status", "route")
-        .parquet(outDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // Streaming's at-least-once foreachBatch contract. The overwrite mode is
+    // a per-write option (not a session conf mutation) so concurrent writes
+    // on the same SparkSession never observe dynamic mode.
+    tagged.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "status", "route")
+      .parquet(outDir)
   }
 }

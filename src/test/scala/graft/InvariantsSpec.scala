@@ -83,7 +83,9 @@ class InvariantsSpec extends SparkSpec {
 
   test("approx quantiles bracket the exact percentiles within 5%") {
     val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     val exact = SparkEntry.queries("q_agg_percentile_exact")(spark, sf)
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     exact.foreach { case (k, es) =>
