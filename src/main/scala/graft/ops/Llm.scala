@@ -145,10 +145,26 @@ object Llm {
     (s, dir) => {
       val nHashes = 16
       val bandRows = 4
-      val sh = shingles(s, dir)
-      val hashCols = (0 until nHashes).map(i =>
-        min(xxhash64(concat(col("sh"), lit(s"#$i")))).as(s"h$i"))
-      val sigs = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      // ONE pass over the exploded shingles: each shingle is hashed once
+      // (xxhash64 → 64-bit), then a single per-doc aggregation produces the
+      // 16 minhashes AND the doc's shingle-hash set in the same shuffle.
+      // Round 1's formulation re-executed the shingle explode+distinct
+      // subtree four times (signatures, both verify sides, counts) — 30s in
+      // the driver's bench run vs ~1s for this shape.
+      val shRaw = Tables(s, dir, "documents")
+        .withColumn("t", split(col("text"), " "))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"))
+          .as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("hs"))
+      // min over the multiset == min over the distinct set, so no
+      // pre-distinct shuffle; collect_set dedupes for the verify stage.
+      val aggCols = (0 until nHashes).map(i =>
+        min(xxhash64(col("hs"), lit(i))).as(s"h$i")) :+
+        collect_set(col("hs")).as("shs")
+      val sigs = shRaw.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("n_sh", size(col("shs")).cast("long"))
       val bandCols = (0 until nHashes / bandRows).map { b =>
         val rows = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
         struct(lit(b).as("band"), xxhash64(rows: _*).as("sig")).as(s"b$b")
@@ -161,17 +177,19 @@ object Llm {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      // candidate-driven verification: intersections are computed only for
-      // LSH candidate pairs (not for every shingle-sharing pair) — the
-      // property that makes LSH the scale path rather than a filter bolted
-      // onto the exhaustive join
-      val a = sh.select(col("doc_id").as("d1"), col("sh"))
-      val b = sh.select(col("doc_id").as("d2"), col("sh"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      cand.join(a, "d1").join(b, Seq("d2", "sh"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-        .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      // candidate-driven verification: exact Jaccard via hash-set
+      // intersection of the two docs' shingle sets — per-pair
+      // O(|s1|+|s2|), computed only for LSH candidates, via two narrow
+      // joins against the per-doc signature table (no second pass over
+      // exploded shingles). This is what makes LSH the 100 TB scale path
+      // rather than a filter bolted onto the exhaustive join.
+      val side = sigs.select(col("doc_id"), col("shs"), col("n_sh"))
+      cand
+        .join(side.select(col("doc_id").as("d1"),
+          col("shs").as("s1"), col("n_sh").as("n1")), "d1")
+        .join(side.select(col("doc_id").as("d2"),
+          col("shs").as("s2"), col("n_sh").as("n2")), "d2")
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
         .withColumn("jac", expr("floor(inter / CAST(n1 + n2 - inter AS DOUBLE) * 10000) / 10000"))
         .filter(col("jac") >= 0.1)
         .select("d1", "d2", "jac").orderBy("d1", "d2")
@@ -506,10 +524,18 @@ object Llm {
         .groupBy("p_lang").agg(sort_array(collect_list(col("g"))).as("pg"))
       // scoring: per-doc HOF intersect against the broadcast profile arrays
       // (5 rows) — no explode-side shuffle; the earlier join+groupBy over
-      // the 2.5M exploded trigram rows was 2× slower for the same result
+      // the 2.5M exploded trigram rows was 2× slower for the same result.
+      // The docs side is repartitioned by doc_id BEFORE the join: (a) the
+      // single-file parquet scan otherwise yields 1-4 partitions, so the
+      // expensive per-doc trigram arrays would be built nearly serially,
+      // and (b) hash(doc_id) partitioning is exactly what the argmax
+      // window needs, so no further exchange follows. prof is broadcast:
+      // an un-hinted cartesian ran the left side once per right-side
+      // partition (the driver-run 17s outlier in round 1).
       val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("p_lang"))
       docs.select(col("doc_id"), col("lang"), expr(triExpr).as("tris"))
-        .crossJoin(prof)
+        .repartition(col("doc_id"))
+        .crossJoin(broadcast(prof))
         .withColumn("hits", expr("CAST(size(array_intersect(tris, pg)) AS BIGINT)"))
         .withColumn("br", row_number().over(wBest))
         .filter(col("br") === 1)
