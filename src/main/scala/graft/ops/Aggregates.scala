@@ -199,6 +199,28 @@ object Aggregates {
         .orderBy("l_returnflag")
     })
 
+  /** Mergeable-sketch re-aggregation (Apache DataSketches HLL, built into
+    * Spark 4.x): per-(returnflag, linestatus) sketches are built first —
+    * the "pre-aggregate once per partition/day" tier of a 100 TB pipeline —
+    * then `hll_union_agg` merges them per returnflag WITHOUT touching raw
+    * rows again. This is the property `approx_count_distinct` lacks (its
+    * result is a number, not a re-mergeable state), and the reason sketch
+    * columns, not counts, are what a production rollup table stores.
+    * No DuckDB oracle (D5 — sketch internals are engine-specific);
+    * InvariantsSpec bounds the estimate against the exact distinct count.
+    */
+  private val qAggSketchMerge = Q(
+    "q_agg_sketch_merge",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+        .groupBy("l_returnflag")
+        .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+          .as("nd_part_est"))
+        .orderBy("l_returnflag")
+    })
+
   private val qAggPivot = Q(
     "q_agg_pivot",
     (s, dir) => {
@@ -257,5 +279,6 @@ object Aggregates {
   val all: Seq[Q] = Seq(
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
-    qAggApproxQuantile, qAggPivot, qAggStringAgg, qFilterScalarSubq)
+    qAggApproxQuantile, qAggSketchMerge, qAggPivot, qAggStringAgg,
+    qFilterScalarSubq)
 }

@@ -81,6 +81,19 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("merged HLL sketches estimate exact distinct within 10% per group") {
+    val est = SparkEntry.queries("q_agg_sketch_merge")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(est(k) - e).toDouble / e <= 0.10,
+        s"sketch-merge for $k: est=${est(k)} exact=$e")
+    }
+  }
+
   test("approx quantiles bracket the exact percentiles within 5%") {
     val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sf)
       .collect()
