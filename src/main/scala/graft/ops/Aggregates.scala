@@ -221,6 +221,30 @@ object Aggregates {
         .orderBy("l_returnflag")
     })
 
+  /** Skew-mitigated aggregation: the salted two-phase shape (Skew
+    * .saltedCountSum) spreads a hot grouping key over 8 partial groups,
+    * then merges the algebraic partials — what keeps a heavy-hitter
+    * user_id from pinning one reducer at 100 TB. Salting is plan-level
+    * only, so the result is identical to a plain GROUP BY and the query
+    * carries a full DuckDB oracle. Values are integer-µ-scaled before
+    * summing (proven cross-engine-stable; raw double sums are order-
+    * dependent, and the salted merge order differs from DuckDB's by
+    * construction).
+    */
+  private val qAggSalted = Q(
+    "q_agg_salted",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v_us", expr("CAST(round(value * 1000000) AS BIGINT)"))
+      Skew.saltedCountSum(ev, "user_id", "v_us", "event_id", 8)
+        .select(col("user_id"), col("n").cast("long").as("n"),
+          col("sum_value").as("sum_v_us"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v_us
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   private val qAggPivot = Q(
     "q_agg_pivot",
     (s, dir) => {
@@ -279,6 +303,6 @@ object Aggregates {
   val all: Seq[Q] = Seq(
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
-    qAggApproxQuantile, qAggSketchMerge, qAggPivot, qAggStringAgg,
-    qFilterScalarSubq)
+    qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggPivot,
+    qAggStringAgg, qFilterScalarSubq)
 }
