@@ -36,6 +36,27 @@ object Relational {
             FROM lineitem
             ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount"""))
 
+  /** Deterministic hash sampling: a stable 1/16 sample of orders selected
+    * by the first hex digit of md5(o_orderkey). Unlike TABLESAMPLE/rand()
+    * this is reproducible across runs, engines, and cluster sizes — the
+    * property a 100 TB pipeline needs for frozen eval/holdout splits
+    * (membership is a pure function of the key, so late-arriving data
+    * lands in the same split). Pure row-wise predicate → full parquet
+    * scan parallelism, no shuffle before the output sort.
+    */
+  private val qScanSample = Q(
+    "q_scan_sample",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1) === "0")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+            ORDER BY o_orderkey"""))
+
   // ---------------------------------------------------------------- §2.4
   private val qAggQ1 = Q(
     "q_agg_q1",
@@ -130,5 +151,6 @@ object Relational {
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
             ORDER BY user_id, ts_us, event_id"""))
 
-  val all: Seq[Q] = Seq(qScanProject, qAggQ1, qAggCollect, qWinLagLead)
+  val all: Seq[Q] =
+    Seq(qScanProject, qScanSample, qAggQ1, qAggCollect, qWinLagLead)
 }
