@@ -245,6 +245,30 @@ object Aggregates {
             CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v_us
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Single-pass histogram profiling: fixed-width value binning of
+    * o_totalprice via width_bucket — map-side combinable (one partial
+    * count per bucket per partition), so profiling 100 TB costs one scan
+    * and a ~12-row shuffle. min/max per bucket are exact element picks
+    * (no re-association), safe to emit unrounded. DuckDB has no
+    * width_bucket; for uniform buckets the floor-division formula is
+    * identical (including the overflow bucket nb+1 for x ≥ hi).
+    */
+  private val qAggHistogram = Q(
+    "q_agg_histogram",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(expr("CAST(width_bucket(o_totalprice, 0D, 600000D, 12) AS BIGINT)")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM orders GROUP BY 1 ORDER BY bucket"""))
+
   private val qAggPivot = Q(
     "q_agg_pivot",
     (s, dir) => {
@@ -303,6 +327,6 @@ object Aggregates {
   val all: Seq[Q] = Seq(
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
-    qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggPivot,
-    qAggStringAgg, qFilterScalarSubq)
+    qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
+    qAggPivot, qAggStringAgg, qFilterScalarSubq)
 }

@@ -115,6 +115,33 @@ object Windows {
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Keep-latest-per-key compaction: one row per user_id — the most recent
+    * event (ts desc, event_id desc tie-break). The CDC-snapshot / "current
+    * state" primitive of a training-data pipeline: one shuffle on the key,
+    * per-group state is a single running winner, no global sort. At 100 TB
+    * this is the formulation that replaces "ORDER BY ts DESC then dedup"
+    * (which would need a global sort).
+    */
+  private val qWinDedupLatest = Q(
+    "q_win_dedup_latest",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
-    qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast)
+    qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
+    qWinDedupLatest)
 }
