@@ -232,8 +232,32 @@ object Joins {
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name"""))
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): rows whose derived
+    * key is NULL (event_type 'error' via nullif) still match the dim's NULL
+    * row — a plain equi-join silently drops them, the classic
+    * nullable-foreign-key bug. `<=>` stays a hash-joinable equality (Spark
+    * plans EqualNullSafe as a HashJoin key, not a nested loop), so the
+    * shape scales like any equi-join.
+    */
+  private val qJoinNullSafe = Q(
+    "q_join_null_safe",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("k", expr("nullif(event_type, 'error')"))
+      val dim = ev.select(col("k").as("dk")).distinct()
+      ev.join(dim, col("k") <=> col("dk"), "inner")
+        .groupBy(col("k").as("key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("key").asc_nulls_first)
+    },
+    Some("""WITH ev AS (SELECT nullif(event_type, 'error') AS k FROM events),
+            dim AS (SELECT DISTINCT k AS dk FROM ev)
+            SELECT ev.k AS key, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.dk
+            GROUP BY ev.k ORDER BY key NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qJoinInnerBroadcast, qJoinInnerShuffle, qJoinLeftOuter, qJoinFullOuter,
     qJoinLeftSemi, qJoinLeftAnti, qJoinCross, qJoinThetaRange, qJoinAsof,
-    qJoinStar)
+    qJoinStar, qJoinNullSafe)
 }

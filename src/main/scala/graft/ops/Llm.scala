@@ -682,9 +682,42 @@ object Llm {
             FROM documents JOIN embeddings ON doc_id = vec_id
             GROUP BY lang ORDER BY lang"""))
 
+  /** Text canonicalization + canonical-doc election, the step that runs
+    * BEFORE exact dedup in a real corpus pipeline (lowercase, strip
+    * non-alphanumerics, collapse whitespace — so trivially-different
+    * copies hash identically). Row-wise string ops fused into the scan +
+    * one window over the normalized hash; is_canonical marks the min
+    * doc_id per normalized form (the survivor a dedup pass would keep).
+    * DuckDB twin needs the 'g' regex flag (Spark replaces all matches by
+    * default, DuckDB only the first).
+    */
+  private val qTextNormalize = Q(
+    "q_text_normalize",
+    (s, dir) => {
+      val wH = Window.partitionBy("h")
+      Tables(s, dir, "documents")
+        .withColumn("norm",
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .withColumn("h", md5(col("norm").cast("binary")))
+        .select(col("doc_id"), col("h"),
+          length(col("text")).cast("long").as("n_before"),
+          length(col("norm")).cast("long").as("n_after"),
+          (col("doc_id") === min("doc_id").over(wH)).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, h,
+            CAST(length(text) AS BIGINT) AS n_before,
+            CAST(length(norm) AS BIGINT) AS n_after,
+            doc_id = MIN(doc_id) OVER (PARTITION BY h) AS is_canonical
+            FROM (SELECT *, md5(norm) AS h FROM (
+              SELECT *, trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM documents))
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupSimhash, qDedupEmbed,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
-    qTextFingerprint, qMultimodalJoin)
+    qTextFingerprint, qTextNormalize, qMultimodalJoin)
 }
