@@ -19,9 +19,12 @@ object Llm {
 
   // -------------------------------------------------------------- helpers
 
-  /** Distinct 3-word shingles per doc: (doc_id, sh). The shingle join is
-    * the scalable near-dup primitive: pairs only materialize for docs
-    * sharing a shingle.
+  /** Distinct 3-word shingles per doc, pre-hashed to 64 bits: (doc_id,
+    * sh: long). The shingle join is the scalable near-dup primitive (pairs
+    * only materialize for docs sharing a shingle); hashing BEFORE the
+    * distinct means every downstream shuffle — the distinct itself, the
+    * self-join, the counts — moves 8 fixed bytes per shingle instead of a
+    * ~25-byte string, and join comparisons are long equality.
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -29,7 +32,8 @@ object Llm {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"))
-        .as("sh"))
+        .as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
       .distinct()
 
   private val shinglesSql =
@@ -38,7 +42,11 @@ object Llm {
               unnest(list_transform(range(1, len(t) - 1),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s))"""
 
-  /** Exact shingle-Jaccard for (d1 < d2) pairs sharing ≥1 shingle. */
+  /** Exact shingle-Jaccard for (d1 < d2) pairs sharing ≥1 shingle.
+    * Counts run over distinct (doc, shingle-hash) — identical to string
+    * counts unless xxhash64 collides within the corpus (P ≈ n²/2⁶⁵;
+    * negligible, and the DuckDB oracle would catch it).
+    */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
