@@ -28,6 +28,15 @@ object Llm {
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // The documents table is one skinny parquet file at every local SF,
+      // so the scan is a single partition; without this repartition ALL
+      // shingle/trigram CPU work (the dominant cost) runs on one core.
+      // The partition count is EXPLICIT: a column-only repartition is an
+      // AQE coalesce target, and 0.6 MB of input coalesces right back to
+      // one partition — AQE sizes by bytes, but exploding shingles is
+      // CPU-bound per byte. Same rule at 100 TB: size CPU-amplifying
+      // stages by cores, not by input bytes.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -160,6 +169,9 @@ object Llm {
       // subtree four times (signatures, both verify sides, counts) — 30s in
       // the driver's bench run vs ~1s for this shape.
       val shRaw = Tables(s, dir, "documents")
+        // explicit count: column-only repartition would be AQE-coalesced
+        // back to one partition (bytes are tiny, CPU is not)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("t", split(col("text"), " "))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), explode(expr(
@@ -214,6 +226,9 @@ object Llm {
       // (4 bits/char); per-bit ±1 vote over the token multiset, sign →
       // signature bit. Engine-portable (md5 + integer bit ops only).
       val tok = Tables(s, dir, "documents")
+        // explicit count — see shingles(): AQE would coalesce a
+        // column-only repartition of 0.6 MB back to one partition
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .withColumn("h", md5(col("tok").cast("binary")))
       tok.select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
@@ -520,7 +535,14 @@ object Llm {
         """CASE WHEN length(text) >= 3
            THEN array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))
            ELSE CAST(array() AS ARRAY<STRING>) END"""
+      // repartition ONCE before both consumers: the single-file scan is one
+      // partition, and trigram generation (substr × length(text) per doc +
+      // array_distinct) is the query's dominant CPU cost — serial without
+      // this. The count is explicit so AQE does not coalesce the tiny
+      // byte volume back to one partition; hash(doc_id) is what the
+      // scoring window needs downstream.
       val docs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val tri = docs.select(col("doc_id"), col("lang"),
         explode(expr(triExpr)).as("g"))
       val wProf = Window.partitionBy("p_lang").orderBy(col("f").desc, col("g"))
@@ -542,7 +564,6 @@ object Llm {
       // partition (the driver-run 17s outlier in round 1).
       val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("p_lang"))
       docs.select(col("doc_id"), col("lang"), expr(triExpr).as("tris"))
-        .repartition(col("doc_id"))
         .crossJoin(broadcast(prof))
         .withColumn("hits", expr("CAST(size(array_intersect(tris, pg)) AS BIGINT)"))
         .withColumn("br", row_number().over(wBest))
