@@ -392,6 +392,8 @@ object Llm {
     "q_text_tokens",
     (s, dir) => {
       Tables(s, dir, "documents")
+        // single-file scan — fan out before the explode (see shingles())
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
@@ -438,6 +440,9 @@ object Llm {
       // idf = ln(N_docs / docs containing the term). Two aggregations +
       // one broadcastable join — no per-doc pair space.
       val ex = Tables(s, dir, "documents")
+        // single-file scan — fan out before the explode (see shingles());
+        // both consumers (tf and df) share the exchange
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
       val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val df = ex.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
