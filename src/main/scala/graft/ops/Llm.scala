@@ -219,38 +219,83 @@ object Llm {
     // weight of bit j for token hash h (md5 hex): ±1 from the j-th bit.
     "(shiftright(CAST(instr('0123456789abcdef', substr(h, CAST(j DIV 4 AS INT) + 1, 1)) - 1 AS BIGINT), CAST(3 - j % 4 AS INT)) & 1) * 2 - 1"
 
+  /** (doc_id, 32-bit simhash signature) — shared by the signature query
+    * and the banded pair search.
+    */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      // explicit count — see shingles(): AQE would coalesce a
+      // column-only repartition of 0.6 MB back to one partition
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    tok.select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+      .withColumn("w", expr(simhashSpark))
+      .groupBy("doc_id", "j")
+      .agg(sum("w").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE 0 END"))
+        .as("simhash"))
+  }
+
+  private val simhashSigsSql =
+    """tok AS (SELECT doc_id, t AS tok
+              FROM documents, unnest(string_split(text, ' ')) u(t)),
+       b AS (SELECT doc_id, j,
+              SUM((((instr('0123456789abcdef', substr(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   >> CAST(3 - j % 4 AS INT)) & 1) * 2 - 1) AS s
+             FROM tok CROSS JOIN range(0, 32) r(j) GROUP BY doc_id, j),
+       sig AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN s > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+                  AS simhash
+               FROM b GROUP BY doc_id)"""
+
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
       // 32-bit SimHash from the first 8 md5 hex chars of each token
       // (4 bits/char); per-bit ±1 vote over the token multiset, sign →
       // signature bit. Engine-portable (md5 + integer bit ops only).
-      val tok = Tables(s, dir, "documents")
-        // explicit count — see shingles(): AQE would coalesce a
-        // column-only repartition of 0.6 MB back to one partition
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", md5(col("tok").cast("binary")))
-      tok.select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
-        .withColumn("w", expr(simhashSpark))
-        .groupBy("doc_id", "j")
-        .agg(sum("w").as("s"))
-        .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE 0 END"))
-          .as("simhash"))
-        .orderBy("doc_id")
+      simhashSigs(s, dir).orderBy("doc_id")
     },
-    Some("""WITH tok AS (SELECT doc_id, t AS tok
-                         FROM documents, unnest(string_split(text, ' ')) u(t)),
-            b AS (SELECT doc_id, j,
-                   SUM((((instr('0123456789abcdef', substr(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
-                        >> CAST(3 - j % 4 AS INT)) & 1) * 2 - 1) AS s
-                  FROM tok CROSS JOIN range(0, 32) r(j) GROUP BY doc_id, j)
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN s > 0
-                        THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
-                     AS simhash
-            FROM b GROUP BY doc_id ORDER BY doc_id"""))
+    Some(s"""WITH $simhashSigsSql
+            SELECT doc_id, simhash FROM sig ORDER BY doc_id"""))
+
+  /** Banded SimHash near-dup search: signatures are split into 4 bands of
+    * 8 bits; docs sharing ANY band become candidates, then the full 32-bit
+    * Hamming distance filters at ≤ 3. Coverage is exact by pigeonhole —
+    * distance ≤ 3 flips bits in at most 3 bands, so at least one band
+    * matches — and candidate volume is tunable by band width, independent
+    * of corpus size: the same LSH-banding idea as MinHash, on bits.
+    */
+  private val qDedupSimhashPairs = Q(
+    "q_dedup_simhash_pairs",
+    (s, dir) => {
+      val bands = simhashSigs(s, dir)
+        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("band", expr("(simhash >> CAST(k * 8 AS INT)) & 255"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        .distinct()
+      cand.withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select("d1", "d2", "hamming").orderBy("d1", "d2")
+    },
+    Some(s"""WITH $simhashSigsSql,
+            bands AS (SELECT doc_id, simhash, k,
+                       (simhash >> CAST(k * 8 AS INT)) & 255 AS band
+                      FROM sig CROSS JOIN range(0, 4) r(k)),
+            cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+                       a.simhash AS s1, b2.simhash AS s2
+                     FROM bands a JOIN bands b2
+                       ON a.k = b2.k AND a.band = b2.band AND a.doc_id < b2.doc_id)
+            SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+            ORDER BY d1, d2"""))
 
   private val qDedupEmbed = Q(
     "q_dedup_embed",
@@ -750,7 +795,8 @@ object Llm {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupNear, qDedupSimhash, qDedupEmbed,
+    qDedupExact, qDedupJaccard, qDedupNear, qDedupSimhash,
+    qDedupSimhashPairs, qDedupEmbed,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextFingerprint, qTextNormalize, qMultimodalJoin)
