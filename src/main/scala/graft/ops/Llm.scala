@@ -794,9 +794,48 @@ object Llm {
               FROM documents))
             ORDER BY doc_id"""))
 
+  /** Capstone corpus-curation pipeline — the §2.11 operators composed the
+    * way a training-data job runs them: canonicalize text → elect one
+    * canonical doc per normalized form → token-level quality gates
+    * (length ≥ 5 tokens, type/token ratio ≥ 1/2). One scan, one window
+    * shuffle on the normalized hash; all gate arithmetic is integer-only
+    * (`n_uniq * 2 >= n_tokens`), so no float determinism rules apply.
+    */
+  private val qPipelineFilter = Q(
+    "q_pipeline_filter",
+    (s, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      val wH = Window.partitionBy("h")
+      Tables(s, dir, "documents")
+        .withColumn("norm", norm)
+        .withColumn("h", md5(col("norm").cast("binary")))
+        .withColumn("t", split(col("norm"), " "))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("t"))).cast("long"))
+        .withColumn("is_canonical", col("doc_id") === min("doc_id").over(wH))
+        .withColumn("kept",
+          col("is_canonical") && col("n_tokens") >= 5L &&
+            col("n_uniq") * 2L >= col("n_tokens"))
+        .select("doc_id", "h", "n_tokens", "n_uniq", "kept")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, h, n_tokens, n_uniq,
+            (is_canonical AND n_tokens >= 5 AND n_uniq * 2 >= n_tokens) AS kept
+            FROM (SELECT doc_id, h, n_tokens, n_uniq,
+                    doc_id = MIN(doc_id) OVER (PARTITION BY h) AS is_canonical
+                  FROM (SELECT doc_id, md5(norm) AS h,
+                          CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+                          CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT) AS n_uniq
+                        FROM (SELECT doc_id,
+                                trim(regexp_replace(regexp_replace(lower(text),
+                                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                              FROM documents)))
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupSimhash,
-    qDedupSimhashPairs, qDedupEmbed,
+    qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextFingerprint, qTextNormalize, qMultimodalJoin)
