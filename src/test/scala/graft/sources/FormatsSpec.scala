@@ -39,4 +39,17 @@ class FormatsSpec extends SparkSpec {
     assert(back.count() == orders.count())
     assert(back.except(orders).isEmpty && orders.except(back).isEmpty)
   }
+
+  test("orc round-trip is exact and prunes columns at the scan") {
+    val dir = Files.createTempDirectory("fmt-orc").toString + "/orders"
+    orders.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == orders.schema)
+    assert(back.except(orders).isEmpty && orders.except(back).isEmpty)
+    // ORC scans prune like parquet: a 2-column projection reads 2 columns
+    val plan = back.select("o_orderkey", "o_totalprice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"orc scan did not prune:\n$plan")
+  }
 }
