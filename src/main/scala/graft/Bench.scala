@@ -19,37 +19,41 @@ object Bench {
     // otherwise pays ~1s of codegen)
     spark.range(10000L).selectExpr("id % 7 AS a", "id % 3 AS b")
       .rollup("a", "b").count().collect()
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Steady-state measurement: each query runs twice and reports the
-    // faster run. The first execution of a query pays one-off costs that
+    // faster SUCCESSFUL run. The first execution pays one-off costs that
     // are not the query's (JIT/codegen of its operator combination, page
     // cache, transient co-tenant load on this shared box); min-of-2 is
-    // the standard way to read through that noise.
+    // the standard way to read through that noise. A query with zero
+    // successful runs reports -1 (a sentinel, never a latency) and lands
+    // in "failed"; a transient single-run failure does not.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          if (!failed.contains(name)) failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      val t = math.min(once(), once())
-      name -> t
+      val ok = Seq(once(), once()).flatten
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    // 3-decimal times keep the whole line < ~2 KB: the driver captures only
-    // a bounded stdout tail, and round 1's full-precision line got clipped
-    // mid-line there ("parsed": null in BENCH_r01.json).
-    def f3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val failed = results.collect { case (n, t) if t < 0 => n }
+    // Short times (2dp) keep the whole line well under the driver's
+    // bounded stdout-tail capture — round 1's full-precision line got
+    // clipped mid-line there ("parsed": null in BENCH_r01.json). Locale
+    // is pinned: a comma-decimal default locale would emit invalid JSON.
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sfNum$failedJson}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum$failedJson}""")
     spark.stop()
   }
 }

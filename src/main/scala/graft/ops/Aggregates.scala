@@ -251,7 +251,9 @@ object Aggregates {
     * and a ~12-row shuffle. min/max per bucket are exact element picks
     * (no re-association), safe to emit unrounded. DuckDB has no
     * width_bucket; for uniform buckets the floor-division formula is
-    * identical (including the overflow bucket nb+1 for x ≥ hi).
+    * identical on [lo, hi), and the oracle clamps to the overflow bucket
+    * nb+1 with LEAST because width_bucket saturates at nb+1 for every
+    * x ≥ hi while raw floor-division would keep counting.
     */
   private val qAggHistogram = Q(
     "q_agg_histogram",
@@ -264,7 +266,7 @@ object Aggregates {
           max("o_totalprice").as("hi"))
         .orderBy("bucket")
     },
-    Some("""SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket,
+    Some("""SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0) + 1, 13) AS BIGINT) AS bucket,
             CAST(COUNT(*) AS BIGINT) AS n,
             MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
             FROM orders GROUP BY 1 ORDER BY bucket"""))

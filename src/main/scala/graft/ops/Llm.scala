@@ -19,14 +19,15 @@ object Llm {
 
   // -------------------------------------------------------------- helpers
 
-  /** Distinct 3-word shingles per doc, pre-hashed to 64 bits: (doc_id,
-    * sh: long). The shingle join is the scalable near-dup primitive (pairs
-    * only materialize for docs sharing a shingle); hashing BEFORE the
-    * distinct means every downstream shuffle — the distinct itself, the
-    * self-join, the counts — moves 8 fixed bytes per shingle instead of a
-    * ~25-byte string, and join comparisons are long equality.
+  /** Raw (multiset) 3-word shingles per doc, pre-hashed to 64 bits:
+    * (doc_id, sh: long). Shared by the exhaustive Jaccard and MinHash-LSH
+    * paths so their tokenization can never drift apart (InvariantsSpec
+    * compares the two queries' pair sets). Hashing BEFORE any aggregation
+    * means every downstream shuffle — distinct, self-join, counts — moves
+    * 8 fixed bytes per shingle instead of a ~25-byte string, and join
+    * comparisons are long equality.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private def shinglesRaw(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       // The documents table is one skinny parquet file at every local SF,
       // so the scan is a single partition; without this repartition ALL
@@ -43,7 +44,9 @@ object Llm {
         "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"))
         .as("sh_str"))
       .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
-      .distinct()
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesRaw(s, dir).distinct()
 
   private val shinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -168,16 +171,7 @@ object Llm {
       // Round 1's formulation re-executed the shingle explode+distinct
       // subtree four times (signatures, both verify sides, counts) — 30s in
       // the driver's bench run vs ~1s for this shape.
-      val shRaw = Tables(s, dir, "documents")
-        // explicit count: column-only repartition would be AQE-coalesced
-        // back to one partition (bytes are tiny, CPU is not)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .withColumn("t", split(col("text"), " "))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"))
-          .as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("hs"))
+      val shRaw = shinglesRaw(s, dir).withColumnRenamed("sh", "hs")
       // min over the multiset == min over the distinct set, so no
       // pre-distinct shuffle; collect_set dedupes for the verify stage.
       val aggCols = (0 until nHashes).map(i =>
@@ -770,13 +764,24 @@ object Llm {
     * DuckDB twin needs the 'g' regex flag (Spark replaces all matches by
     * default, DuckDB only the first).
     */
+  /** The canonicalization rule, defined ONCE and shared by
+    * q_text_normalize and q_pipeline_filter (Spark and oracle sides):
+    * lowercase → strip non-alphanumerics → collapse whitespace → trim.
+    * If the two queries used private copies, a rule change in one would
+    * silently elect different canonical docs in the other.
+    */
+  private def normCol: org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
+
   private val qTextNormalize = Q(
     "q_text_normalize",
     (s, dir) => {
       val wH = Window.partitionBy("h")
       Tables(s, dir, "documents")
-        .withColumn("norm",
-          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .withColumn("norm", normCol)
         .withColumn("h", md5(col("norm").cast("binary")))
         .select(col("doc_id"), col("h"),
           length(col("text")).cast("long").as("n_before"),
@@ -784,13 +789,12 @@ object Llm {
           (col("doc_id") === min("doc_id").over(wH)).as("is_canonical"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id, h,
+    Some(s"""SELECT doc_id, h,
             CAST(length(text) AS BIGINT) AS n_before,
             CAST(length(norm) AS BIGINT) AS n_after,
             doc_id = MIN(doc_id) OVER (PARTITION BY h) AS is_canonical
             FROM (SELECT *, md5(norm) AS h FROM (
-              SELECT *, trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              SELECT *, $normSql AS norm
               FROM documents))
             ORDER BY doc_id"""))
 
@@ -804,11 +808,9 @@ object Llm {
   private val qPipelineFilter = Q(
     "q_pipeline_filter",
     (s, dir) => {
-      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", " "), " +", " "))
       val wH = Window.partitionBy("h")
       Tables(s, dir, "documents")
-        .withColumn("norm", norm)
+        .withColumn("norm", normCol)
         .withColumn("h", md5(col("norm").cast("binary")))
         .withColumn("t", split(col("norm"), " "))
         .withColumn("n_tokens", size(col("t")).cast("long"))
@@ -820,16 +822,14 @@ object Llm {
         .select("doc_id", "h", "n_tokens", "n_uniq", "kept")
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id, h, n_tokens, n_uniq,
+    Some(s"""SELECT doc_id, h, n_tokens, n_uniq,
             (is_canonical AND n_tokens >= 5 AND n_uniq * 2 >= n_tokens) AS kept
             FROM (SELECT doc_id, h, n_tokens, n_uniq,
                     doc_id = MIN(doc_id) OVER (PARTITION BY h) AS is_canonical
                   FROM (SELECT doc_id, md5(norm) AS h,
                           CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
                           CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT) AS n_uniq
-                        FROM (SELECT doc_id,
-                                trim(regexp_replace(regexp_replace(lower(text),
-                                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                        FROM (SELECT doc_id, $normSql AS norm
                               FROM documents)))
             ORDER BY doc_id"""))
 

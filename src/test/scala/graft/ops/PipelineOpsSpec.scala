@@ -15,11 +15,19 @@ class PipelineOpsSpec extends SparkSpec {
     val b = SparkEntry.queries("q_scan_sample")(spark, sf)
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(a == b, "sample must be identical across runs")
-    val byPredicate = Tables(spark, sf, "orders")
-      .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1) === "0")
-      .count()
-    assert(a.size.toLong == byPredicate)
-    assert(a.nonEmpty, "1/16 of orders must be non-empty at any SF")
+    // Independent oracle: recompute membership with java.security md5,
+    // not the query's own Spark expression (which would be tautological).
+    def inSample(key: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) == 0
+    }
+    val expected = Tables(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0)).filter(inSample).toSet
+    assert(a == expected, "sample must equal independently-computed membership")
+    val total = Tables(spark, sf, "orders").count().toDouble
+    assert(math.abs(a.size / total - 1.0 / 16) < 0.02,
+      s"sample fraction ${a.size / total} far from 1/16")
   }
 
   test("histogram buckets partition the table and bound their contents") {
