@@ -219,7 +219,43 @@ object Etl {
             FROM i GROUP BY user_id, sid
             ORDER BY user_id, session_start_s"""))
 
+  /** Reference-parity capstone (§0.1 steps 1–3 end to end): events are
+    * packed into multi-record Lambda/Kinesis envelopes — the exact AWS
+    * event shape, 100 records per envelope, payloads base64-wrapped —
+    * then the library's `Pipeline.ingestEnvelopes` parses/explodes/
+    * decodes them back. The oracle is simply the original events table:
+    * the whole point of the hop is losslessness, so the round-trip must
+    * reproduce it exactly.
+    */
+  private val qEtlEnvelope = Q(
+    "q_etl_envelope",
+    (s, dir) => {
+      val recs = Tables.events(s, dir).select(
+        expr("event_id DIV 100").as("env_id"),
+        struct(
+          concat(lit("shardId-0:"), col("event_id")).as("eventID"),
+          struct(
+            col("user_id").cast("string").as("partitionKey"),
+            col("event_id").cast("string").as("sequenceNumber"),
+            base64(to_json(struct(
+              col("event_type").as("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k")))
+              .cast("binary")).as("data")).as("kinesis")).as("r"))
+      val envelopes = recs.groupBy("env_id")
+        .agg(to_json(struct(collect_list(col("r")).as("Records"))).as("envelope"))
+      graft.streaming.Pipeline.ingestEnvelopes(envelopes, "envelope")
+        .select(
+          col("sequence_number").cast("long").as("event_id"),
+          col("partition_key").cast("long").as("user_id"),
+          get_json_object(col("payload"), "$.event_type").as("event_type"),
+          get_json_object(col("payload"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+            CAST(props->>'$.k' AS BIGINT) AS k
+            FROM events ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
-    qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq,
+    qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qStreamTumbling, qStreamSliding, qStreamSession)
 }
