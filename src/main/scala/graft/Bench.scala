@@ -29,8 +29,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
+        // NonFatal only: an OOM/LinkageError means the JVM is no longer a
+        // trustworthy measuring device — abort rather than distort every
+        // subsequent query's min-of-2 timing (ADVICE r2).
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
         }
@@ -39,10 +42,8 @@ object Bench {
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
-    // Short times (2dp) keep the whole line well under the driver's
-    // bounded stdout-tail capture — round 1's full-precision line got
-    // clipped mid-line there ("parsed": null in BENCH_r01.json). Locale
-    // is pinned: a comma-decimal default locale would emit invalid JSON.
+    // Locale is pinned: a comma-decimal default locale would emit invalid
+    // JSON.
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
@@ -53,7 +54,15 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + n + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum$failedJson}""")
+    // The driver captures a bounded stdout TAIL: r1's full-precision line
+    // and r2's 2dp line (~2.5 KB at 87 queries) were both front-clipped
+    // mid-line → "parsed": null. So the per-query map goes to a file, and
+    // stdout carries only a compact (~150 B) summary, printed LAST so it
+    // sits inside whatever tail window the driver keeps.
+    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum$failedJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"queries_file":"bench_queries.json"$failedJson}""")
   }
 }
