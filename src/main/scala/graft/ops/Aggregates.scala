@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 — aggregations beyond the flagship Q1 (in Relational).
@@ -326,9 +327,43 @@ object Aggregates {
                                       / COUNT(*) FROM customer)
             ORDER BY c_custkey"""))
 
+  /** Deterministic mode (most frequent value) per group, with an explicit
+    * smallest-value tie-break. Built-in `mode()` exists in both engines but
+    * leaves tie order engine-defined (SURVEY §2.0 D5), so the mode is
+    * computed as a composed two-phase aggregation instead:
+    * count per (group, value) — a map-side-combinable hash agg — then a
+    * per-group argmax window over the (far smaller) distinct-value table.
+    * At 100 TB this is the right plan anyway: the heavy reduction happens
+    * in the first partial agg; the window only ever sees
+    * |distinct values per group| rows.
+    */
+  private val qAggMode = Q(
+    "q_agg_mode",
+    (s, dir) => {
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").as("mode_qty"), col("n").as("n_mode"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""WITH c AS (SELECT l_returnflag, l_linestatus, l_quantity,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM lineitem GROUP BY 1, 2, 3),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY l_returnflag, l_linestatus
+                    ORDER BY n DESC, l_quantity ASC) AS rn FROM c)
+            SELECT l_returnflag, l_linestatus, l_quantity AS mode_qty,
+                   n AS n_mode
+            FROM r WHERE rn = 1 ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Seq[Q] = Seq(
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
-    qAggPivot, qAggStringAgg, qFilterScalarSubq)
+    qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq)
 }

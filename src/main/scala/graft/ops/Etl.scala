@@ -255,7 +255,51 @@ object Etl {
             CAST(props->>'$.k' AS BIGINT) AS k
             FROM events ORDER BY event_id"""))
 
+  /** Small-file compaction planner — the lakehouse maintenance op a 100 TB
+    * sink needs continuously: given records in deterministic arrival order,
+    * assign each to an output file so files close at a byte budget
+    * (greedy running-sum binning: file_id = floor(cumulative_bytes /
+    * target); a record straddling the boundary stays in the earlier file,
+    * so files can exceed the target by at most one record — the standard
+    * contract). Differs from `q_etl_batch_assign` (fixed record COUNT per
+    * batch) in binning by cumulative WEIGHT. One shuffle (the per-route
+    * window); the running sum is integer arithmetic → exactly
+    * reproducible.
+    */
+  private val qEtlCompact = Q(
+    "q_etl_compact",
+    (s, dir) => {
+      val target = 4096L // bytes per output file
+      val w = Window.partitionBy("route").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("route", routeCol)
+        .withColumn("nbytes", length(col("props")).cast("long"))
+        .withColumn("cum", sum(col("nbytes")).over(w))
+        .withColumn("file_id", expr(s"CAST((cum - 1) DIV $target AS BIGINT)"))
+        .groupBy("route", "file_id")
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(col("nbytes")).cast("long").as("file_bytes"))
+        .orderBy("route", "file_id")
+    },
+    Some(s"""WITH routed AS (
+               SELECT $routeSql AS route, epoch_us(ts) AS ts_us, event_id,
+                      CAST(length(props) AS BIGINT) AS nbytes
+               FROM events),
+             binned AS (
+               SELECT route, nbytes,
+                      (SUM(nbytes) OVER (PARTITION BY route ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                        // 4096 AS file_id
+               FROM routed)
+             SELECT route, CAST(file_id AS BIGINT) AS file_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_records,
+                    CAST(SUM(nbytes) AS BIGINT) AS file_bytes
+             FROM binned GROUP BY route, file_id
+             ORDER BY route, file_id"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
-    qStreamTumbling, qStreamSliding, qStreamSession)
+    qEtlCompact, qStreamTumbling, qStreamSliding, qStreamSession)
 }

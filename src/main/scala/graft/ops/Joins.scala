@@ -160,6 +160,46 @@ object Joins {
               AND p1.p_partkey < p2.p_partkey
             GROUP BY p2.p_brand ORDER BY p2.p_brand"""))
 
+  /** Salted shuffle join — the standard mitigation when a shuffle join's key
+    * distribution is skewed (one hot part key would otherwise send a whole
+    * key's rows to one task): the fact side gets a deterministic salt in
+    * [0, S), the dimension side is replicated S× via explode(sequence), and
+    * the join key becomes (key, salt), splitting every hot key across S
+    * tasks. The salt is derived from the row's unique id (not rand()) so the
+    * result is reproducible. Broadcast is explicitly NOT used and the join
+    * is pinned to shuffle — salting a broadcast join would be pointless
+    * (broadcast already avoids partitioning the fact side by key); this
+    * query exists precisely for the 100 TB case where the dimension has
+    * outgrown the broadcast budget AND a key is hot. AQE's skew-join split
+    * handles this adaptively for sort-merge; the salt formulation is the
+    * engine-level pattern that also works where AQE can't see the skew
+    * (e.g. pre-aggregated state). Result is identical to the plain join
+    * (oracle = unsalted SQL).
+    */
+  private val qJoinSkewSalted = Q(
+    "q_join_skew_salted",
+    (s, dir) => {
+      val S = 8
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S.toLong)))
+      val p = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+        .withColumn("salt", explode(expr(s"sequence(0L, ${S - 1}L)")))
+      li.hint("shuffle_hash")
+        .join(p, li("l_partkey") === p("p_partkey") && li("salt") === p("salt"), "inner")
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          expr("round(CAST(sum(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)")
+            .as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+            ROUND(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand ORDER BY p.p_brand"""))
+
   private val qJoinAsof = Q(
     "q_join_asof",
     (s, dir) => {
@@ -259,5 +299,5 @@ object Joins {
   val all: Seq[Q] = Seq(
     qJoinInnerBroadcast, qJoinInnerShuffle, qJoinLeftOuter, qJoinFullOuter,
     qJoinLeftSemi, qJoinLeftAnti, qJoinCross, qJoinThetaRange, qJoinAsof,
-    qJoinStar, qJoinNullSafe)
+    qJoinStar, qJoinNullSafe, qJoinSkewSalted)
 }

@@ -848,10 +848,50 @@ object Llm {
                               FROM documents)))
             ORDER BY doc_id"""))
 
+  /** Embedding scalar quantization fidelity — the compression step a 100 TB
+    * vector corpus takes before ANN serving (float32 → int8 cuts the index
+    * 4×). Quantizer: q_i = floor(x_i · 127) / 127 (floor, not round —
+    * HALF_UP vs HALF_EVEN at exact .5 diverges between engines, SURVEY
+    * §2.0). Reports per-label reconstruction fidelity as the cosine between
+    * the original and dequantized vector, floored to 4dp per vector and
+    * averaged via exact integer sums (avg-of-doubles would be at the mercy
+    * of Spark's partial-merge order). Map-only per-row work + one tiny
+    * hash agg: embarrassingly parallel at any scale.
+    */
+  private val qVecQuantize = Q(
+    "q_vec_quantize",
+    (s, dir) => {
+      import graft.functions.graft_dot
+      vecs(s, dir)
+        .withColumn("dq", expr("transform(v, x -> floor(x * 127D) / 127D)"))
+        .withColumn("cs", graft_dot(col("v"), col("dq")) /
+          (col("nrm") * sqrt(graft_dot(col("dq"), col("dq")))))
+        .withColumn("cos_e4", expr("CAST(floor(cs * 10000D) AS BIGINT)"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(sum(cos_e4) DIV count(1) AS BIGINT)").as("avg_cos_e4"),
+          min(col("cos_e4")).as("min_cos_e4"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $vecsSql,
+             q AS (SELECT label, nrm, v,
+                          list_transform(v, x -> floor(x * 127) / 127) AS dq
+                   FROM n),
+             c AS (SELECT label,
+                          CAST(floor(list_dot_product(v, dq)
+                                     / (nrm * sqrt(list_dot_product(dq, dq)))
+                                     * 10000) AS BIGINT) AS cos_e4
+                   FROM q)
+             SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(cos_e4) // COUNT(*) AS BIGINT) AS avg_cos_e4,
+                    CAST(MIN(cos_e4) AS BIGINT) AS min_cos_e4
+             FROM c GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupSimhash,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecQuantize,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextFingerprint, qTextNormalize, qMultimodalJoin)
 }

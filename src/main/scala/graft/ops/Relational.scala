@@ -57,6 +57,37 @@ object Relational {
             WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
             ORDER BY o_orderkey"""))
 
+  /** Stratified deterministic sampling — per-class rates, the training-data
+    * rebalancing primitive (downsample the dominant classes, keep the rare
+    * ones whole). Membership = (first hex digit of md5(event_id)) <
+    * per-stratum threshold/16, a pure function of the key: reproducible
+    * across runs, engines and cluster sizes, and late-arriving rows of a
+    * key land in the same split. Row-wise predicate only → full scan
+    * parallelism, zero shuffles before the output sort; at 100 TB this is
+    * a map-only job.
+    */
+  private val qScanStratified = Q(
+    "q_scan_stratified",
+    (s, dir) => {
+      // click/view (dominant): 1/16; purchase/signup: 8/16; error: keep all.
+      Tables.events(s, dir)
+        .withColumn("hx", expr(
+          "instr('0123456789abcdef', substr(md5(CAST(event_id AS STRING)), 1, 1)) - 1"))
+        .withColumn("thresh", expr(
+          "CASE WHEN event_type IN ('click','view') THEN 1 " +
+            "WHEN event_type IN ('purchase','signup') THEN 8 ELSE 16 END"))
+        .filter(col("hx") < col("thresh"))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type, value FROM events
+            WHERE instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1
+                  < CASE WHEN event_type IN ('click','view') THEN 1
+                         WHEN event_type IN ('purchase','signup') THEN 8
+                         ELSE 16 END
+            ORDER BY event_id"""))
+
   // ---------------------------------------------------------------- §2.4
   private val qAggQ1 = Q(
     "q_agg_q1",
@@ -152,5 +183,6 @@ object Relational {
             ORDER BY user_id, ts_us, event_id"""))
 
   val all: Seq[Q] =
-    Seq(qScanProject, qScanSample, qAggQ1, qAggCollect, qWinLagLead)
+    Seq(qScanProject, qScanSample, qScanStratified, qAggQ1, qAggCollect,
+      qWinLagLead)
 }

@@ -31,6 +31,17 @@ class PlanLintSpec extends SparkSpec {
       s"column pruning regressed:\n$plan")
   }
 
+  test("salted skew join plans a shuffle join, not a broadcast") {
+    // The salt only splits hot keys if the join actually partitions by
+    // (key, salt); a broadcast join would make the whole query pointless.
+    val plan = SparkEntry.queries("q_join_skew_salted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must stay a shuffle join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salted join must not broadcast:\n$plan")
+  }
+
   test("compound filter pushes predicates into the parquet scan") {
     val plan = SparkEntry.queries("q_filter_compound")(spark, sf)
       .queryExecution.executedPlan.toString
