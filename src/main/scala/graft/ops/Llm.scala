@@ -848,6 +848,74 @@ object Llm {
                               FROM documents)))
             ORDER BY doc_id"""))
 
+  /** Transitive near-duplicate clustering — connected components over the
+    * near-dup pair graph, electing one canonical representative (the min
+    * doc_id) per dup GROUP, not per pair: A~B and B~C must collapse to one
+    * kept doc even when A~C was never scored. Pairwise dedup alone
+    * over-keeps at 100 TB; this closure step is what production dedup
+    * pipelines run after LSH.
+    *
+    * Algorithm: iterative min-label propagation (the Pregel/GraphX pattern
+    * re-expressed on DataFrames) — each round every node takes the min of
+    * its own label and its neighbors', until a fixpoint. Rounds = graph
+    * diameter (dup clusters are near-cliques, so 2–3 in practice); each
+    * round is one shuffle-join + hash agg, `localCheckpoint` truncates
+    * the growing lineage exactly as GraphX materializes between supersteps.
+    * The driver-side loop only compares row COUNTS (a scalar per round) —
+    * label data never leaves the executors.
+    */
+  private val qDedupCluster = Q(
+    "q_dedup_cluster",
+    (s, dir) => {
+      val pairs = jaccardPairs(s, dir).filter(col("jac") >= 0.4)
+        .select(col("d1"), col("d2"))
+      // undirected edge list, kept hot across supersteps
+      val edges = pairs
+        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .toDF("src", "dst").localCheckpoint(true)
+      var lbl = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val nbrMin = edges.join(lbl, edges("dst") === lbl("id"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+        val next = lbl.join(nbrMin, lbl("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(lbl.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lbl") < col("o.lbl")).count()
+        lbl = next
+        rounds += 1
+      }
+      val sz = lbl.groupBy(col("lbl").as("rep")).agg(count(lit(1)).as("n_members"))
+      lbl.select(col("id").as("doc_id"), col("lbl").as("rep"))
+        .join(sz, "rep")
+        .select(col("doc_id"), col("rep"), col("n_members"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+             cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                     FROM sh GROUP BY doc_id),
+             pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id),
+             ed AS (SELECT d1, d2 FROM pr
+                    JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+                    WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 >= 0.4),
+             ud AS (SELECT d1 AS a, d2 AS b FROM ed
+                    UNION SELECT d2, d1 FROM ed),
+             reach(a, b) AS (SELECT a, b FROM ud
+                             UNION
+                             SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+             lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
+                     FROM reach GROUP BY a)
+             SELECT l.doc_id, l.rep, CAST(s.n_members AS BIGINT) AS n_members
+             FROM lbl l JOIN (SELECT rep, COUNT(*) AS n_members
+                              FROM lbl GROUP BY rep) s USING (rep)
+             ORDER BY l.doc_id"""))
+
   /** Embedding scalar quantization fidelity — the compression step a 100 TB
     * vector corpus takes before ANN serving (float32 → int8 cuts the index
     * 4×). Quantizer: q_i = floor(x_i · 127) / 127 (floor, not round —
@@ -889,7 +957,7 @@ object Llm {
              FROM c GROUP BY label ORDER BY label"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupNear, qDedupSimhash,
+    qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupSimhash,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecQuantize,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,

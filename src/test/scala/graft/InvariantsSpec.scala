@@ -68,6 +68,23 @@ class InvariantsSpec extends SparkSpec {
       s"LSH missed ${(exact -- near).size} of ${exact.size} high-sim pairs")
   }
 
+  test("dedup clusters are consistent: every near-dup pair shares a representative") {
+    // connected-components correctness from the consumer's view: if the
+    // exhaustive Jaccard join scores (a,b) >= 0.4, cluster(a) == cluster(b),
+    // and each representative is the min doc_id of its members.
+    val rep = SparkEntry.queries("q_dedup_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+      .filter(col("jac") >= 0.4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across clusters")
+    }
+    rep.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.keys.min == r, s"cluster $r rep is not the min member")
+    }
+  }
+
   test("approx distinct (HLL) is within 10% of exact per group") {
     val approx = SparkEntry.queries("q_agg_approx_hll")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
