@@ -848,6 +848,48 @@ object Llm {
                               FROM documents)))
             ORDER BY doc_id"""))
 
+  /** Within-document repetition scoring — the Gopher-style quality rule
+    * (Rae et al. 2021, "Scaling Language Models", table A1): documents
+    * whose adjacent-bigram stream is dominated by repeats are boilerplate
+    * / spam and get filtered before training. Computed entirely with array
+    * HOFs per row (no explode, no shuffle before the output sort): the
+    * bigram list never leaves the row, so at 100 TB this is a map-only
+    * pass. `flagged` uses the Gopher-ish 0.2 duplicate-fraction threshold.
+    */
+  private val qTextRepNgram = Q(
+    "q_text_rep_ngram",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("bg", expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .withColumn("n_bg", size(col("bg")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("bg"))).cast("long"))
+        // floor, not round: integer/integer ratios land on .5 at 4dp where
+        // the engines' rounding modes diverge (SURVEY §2.0 D2)
+        .withColumn("dup_frac", expr(
+          "CASE WHEN n_bg = 0 THEN 0.0D " +
+            "ELSE floor((n_bg - n_uniq) / CAST(n_bg AS DOUBLE) * 10000) / 10000 END"))
+        .withColumn("flagged", (col("dup_frac") > 0.2).cast("long"))
+        .select("doc_id", "n_bg", "n_uniq", "dup_frac", "flagged")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            b AS (SELECT doc_id,
+                         list_transform(generate_series(1, len(tk) - 1),
+                                        i -> tk[i] || ' ' || tk[i + 1]) AS bg
+                  FROM t)
+            SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bg,
+                   CAST(len(list_distinct(bg)) AS BIGINT) AS n_uniq,
+                   CASE WHEN len(bg) = 0 THEN 0.0
+                        ELSE FLOOR((len(bg) - len(list_distinct(bg)))
+                               / CAST(len(bg) AS DOUBLE) * 10000) / 10000 END AS dup_frac,
+                   CAST(CASE WHEN (CASE WHEN len(bg) = 0 THEN 0.0
+                        ELSE FLOOR((len(bg) - len(list_distinct(bg)))
+                               / CAST(len(bg) AS DOUBLE) * 10000) / 10000 END) > 0.2
+                        THEN 1 ELSE 0 END AS BIGINT) AS flagged
+            FROM b ORDER BY doc_id"""))
+
   /** Transitive near-duplicate clustering — connected components over the
     * near-dup pair graph, electing one canonical representative (the min
     * doc_id) per dup GROUP, not per pair: A~B and B~C must collapse to one
@@ -961,5 +1003,5 @@ object Llm {
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecQuantize,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
-    qTextFingerprint, qTextNormalize, qMultimodalJoin)
+    qTextRepNgram, qTextFingerprint, qTextNormalize, qMultimodalJoin)
 }
