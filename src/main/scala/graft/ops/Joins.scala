@@ -186,8 +186,10 @@ object Joins {
       val p = Tables(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))
         .withColumn("salt", explode(expr(s"sequence(0L, ${S - 1}L)")))
-      li.hint("shuffle_hash")
-        .join(p, li("l_partkey") === p("p_partkey") && li("salt") === p("salt"), "inner")
+      // hint sits on the dim side: shuffle-hash with the 8×-replicated dim
+      // as the BUILD side (still tiny), the fact side streamed
+      li.join(p.hint("shuffle_hash"),
+          li("l_partkey") === p("p_partkey") && li("salt") === p("salt"), "inner")
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("n_items"),
