@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Hive-style partitioned parquet layout — the OTHER half of the 100 TB
+  * table-layout story next to [[Bucketed]]: directory partitioning on a
+  * low-cardinality predicate column (route, event date) lets the planner
+  * prune entire directories at compile time, so a query over one route /
+  * one day reads that slice and nothing else. Bucketing co-locates joins;
+  * partitioning prunes scans — production tables at scale use both
+  * (`partitionBy(date).bucketBy(n, key)`).
+  *
+  * Write-side discipline encoded here:
+  *  - partition columns must be low-cardinality (routes, dates — never
+  *    user_id: millions of tiny directories kill the file system and the
+  *    driver's listing);
+  *  - `maxRecordsPerFile` bounds file size so a hot partition splits into
+  *    several well-sized files instead of one huge one;
+  *  - dynamic partition overwrite (set in the writer, not session-wide)
+  *    replaces only the partitions present in the incoming batch — the
+  *    idempotent-backfill contract an incremental 100 TB pipeline needs.
+  */
+object Partitioned {
+
+  /** Write `df` partitioned by `cols` (dynamic overwrite: only incoming
+    * partitions are replaced on re-run).
+    */
+  def write(df: DataFrame, path: String, maxRecordsPerFile: Long, cols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
+  /** True iff `df`'s scan prunes partitions down to `expected` of
+    * `total` — i.e. the partition filter is applied at planning time, not
+    * per-row. The proof used by the spec and available for ad-hoc audits.
+    */
+  def prunesTo(df: DataFrame, expected: Int, total: Int): Boolean = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans.nonEmpty && scans.forall { s =>
+      s.metadata.get("PartitionFilters").exists(_.nonEmpty) &&
+        s.selectedPartitions.partitionCount == expected &&
+        expected < total
+    }
+  }
+}
