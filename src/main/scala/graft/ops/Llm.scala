@@ -922,13 +922,17 @@ object Llm {
       while (changed > 0 && rounds < 50) {
         val nbrMin = edges.join(lbl, edges("dst") === lbl("id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-        val next = lbl.join(nbrMin, lbl("id") === nbrMin("src"), "left")
+        // the change flag rides along in the materialized superstep, so
+        // convergence costs one count over checkpointed blocks instead of
+        // a second join against the previous labels
+        val next = lbl.withColumnRenamed("lbl", "old")
+          .join(nbrMin, col("id") === nbrMin("src"), "left")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+            least(col("old"), coalesce(col("nbr_lbl"), col("old"))).as("lbl"),
+            (coalesce(col("nbr_lbl"), col("old")) < col("old")).as("chg"))
           .localCheckpoint(true)
-        changed = next.as("n").join(lbl.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lbl") < col("o.lbl")).count()
-        lbl = next
+        changed = next.filter(col("chg")).count()
+        lbl = next.select("id", "lbl")
         rounds += 1
       }
       val sz = lbl.groupBy(col("lbl").as("rep")).agg(count(lit(1)).as("n_members"))
