@@ -125,7 +125,46 @@ object SortsSets {
             SELECT CAST(s_nationkey AS BIGINT) FROM supplier
             ORDER BY nationkey"""))
 
+  /** Bag-semantics set ops (ALL variants): multiplicity-aware — a nation
+    * key appearing 3× among customers and 1× among suppliers survives
+    * EXCEPT ALL twice and INTERSECT ALL once. Physically a count-tagged
+    * aggregation (no row-pair matching); same single-shuffle cost class as
+    * the DISTINCT variants.
+    */
+  private val qSetExceptAll = Q(
+    "q_set_except_all",
+    (s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nationkey"))
+        .exceptAll(Tables(s, dir, "supplier")
+          .select(col("s_nationkey").cast("long").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+              EXCEPT ALL
+              SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t
+            GROUP BY nationkey ORDER BY nationkey"""))
+
+  private val qSetIntersectAll = Q(
+    "q_set_intersect_all",
+    (s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nationkey"))
+        .intersectAll(Tables(s, dir, "supplier")
+          .select(col("s_nationkey").cast("long").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+              INTERSECT ALL
+              SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t
+            GROUP BY nationkey ORDER BY nationkey"""))
+
   val all: Seq[Q] = Seq(
     qTopk, qSortMultikey, qTopkPerGroup,
-    qSetUnionAll, qSetUnionDistinct, qSetIntersect, qSetExcept)
+    qSetUnionAll, qSetUnionDistinct, qSetIntersect, qSetExcept,
+    qSetExceptAll, qSetIntersectAll)
 }
