@@ -260,7 +260,33 @@ object Scalars {
             FROM lineitem
             ORDER BY l_orderkey, l_linenumber, b_xor"""))
 
+  /** Generator / table-function role (SURVEY §2.12): positional explode —
+    * each document's first 5 tokens with their 1-based positions. The
+    * ordinal comes from the generator itself (`posexplode`), not a window,
+    * so the expansion is map-side with no shuffle before the output sort.
+    * DuckDB has no WITH ORDINALITY (probed, 1.0.0): the oracle unnests
+    * pre-built (ord, tok) structs instead.
+    */
+  private val qFnPosexplode = Q(
+    "q_fn_posexplode",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .filter(col("pos") < 5)
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("tok"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            x AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(tk)),
+                                i -> struct_pack(ord := i, tok := tk[i]))) AS u
+                  FROM t)
+            SELECT doc_id, CAST(u.ord AS BIGINT) AS pos, u.tok AS tok
+            FROM x WHERE u.ord <= 5 ORDER BY doc_id, pos"""))
+
   val all: Seq[Q] = Seq(
+    qFnPosexplode,
     qFnString, qFnDate, qFnMath, qFnCond, qFnJson, qFnArray, qFnMap, qFnCast,
     qFnBits)
 }

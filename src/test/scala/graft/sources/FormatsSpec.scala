@@ -52,4 +52,21 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
       s"orc scan did not prune:\n$plan")
   }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    // the lakehouse reality at 100 TB: a column added in generation 2 must
+    // not break readers of the combined table; old files surface NULLs.
+    val dir = Files.createTempDirectory("fmt-evolve").toString + "/orders"
+    orders.limit(10).write.parquet(dir)                      // gen 1: 4 cols
+    orders.limit(5)
+      .withColumn("o_priority_rank", lit(7L))                // gen 2: +1 col
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_priority_rank"))
+    assert(merged.count() == 15)
+    // gen-1 rows read NULL for the new column; gen-2 rows keep their value
+    assert(merged.filter(col("o_priority_rank").isNull).count() == 10)
+    assert(merged.filter(col("o_priority_rank") === 7L).count() == 5)
+  }
 }
