@@ -31,10 +31,13 @@ package functions {
     * into the plan directly).
     */
   class GraftExtensions extends (SparkSessionExtensions => Unit) {
-    override def apply(ext: SparkSessionExtensions): Unit =
+    override def apply(ext: SparkSessionExtensions): Unit = {
       ext.injectFunction((
         new FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, "graft_dot"),
         GraftNative.dotBuilder))
+      // whole-plan rewrite (SURVEY §4): bounded explode — see the rule's doc
+      ext.injectOptimizerRule(_ => graft.plans.BoundedPosExplode)
+    }
   }
 }
