@@ -848,6 +848,35 @@ object Llm {
                               FROM documents)))
             ORDER BY doc_id"""))
 
+  /** Asymmetric shingle containment C(A,B) = |A∩B| / |A| — catches a doc
+    * embedded inside a larger one, which symmetric Jaccard structurally
+    * misses (a 100-shingle doc fully contained in a 10,000-shingle doc has
+    * containment 1.0 but Jaccard ≈ 0.01). Standard companion to Jaccard in
+    * production dedup (quote/boilerplate/subset detection). Same blocked
+    * pair space as `q_dedup_jaccard` (pairs must share a shingle), so the
+    * O(n²) posture is unchanged.
+    */
+  private val qDedupContain = Q(
+    "q_dedup_contain",
+    (s, dir) => {
+      jaccardPairs(s, dir)
+        .withColumn("c1", expr("floor(inter / CAST(n1 AS DOUBLE) * 10000) / 10000"))
+        .withColumn("c2", expr("floor(inter / CAST(n2 AS DOUBLE) * 10000) / 10000"))
+        .filter(greatest(col("c1"), col("c2")) >= 0.5)
+        .select("d1", "d2", "c1", "c2").orderBy("d1", "d2")
+    },
+    Some(s"""WITH $shinglesSql,
+             cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+             pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id),
+             sc AS (SELECT d1, d2,
+                           FLOOR(inter / CAST(c1.n_sh AS DOUBLE) * 10000) / 10000 AS c1,
+                           FLOOR(inter / CAST(c2.n_sh AS DOUBLE) * 10000) / 10000 AS c2
+                    FROM pr JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id)
+             SELECT d1, d2, c1, c2 FROM sc
+             WHERE GREATEST(c1, c2) >= 0.5 ORDER BY d1, d2"""))
+
   /** Within-document repetition scoring — the Gopher-style quality rule
     * (Rae et al. 2021, "Scaling Language Models", table A1): documents
     * whose adjacent-bigram stream is dominated by repeats are boilerplate
@@ -1003,7 +1032,7 @@ object Llm {
              FROM c GROUP BY label ORDER BY label"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupSimhash,
+    qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecQuantize,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
