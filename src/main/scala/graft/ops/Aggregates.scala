@@ -361,7 +361,33 @@ object Aggregates {
                    n AS n_mode
             FROM r WHERE rn = 1 ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Filtered aggregation (`FILTER (WHERE ...)` / conditional aggregates):
+    * several differently-predicated aggregates in ONE pass over the fact
+    * table — the alternative (one scan + self-join per predicate) multiplies
+    * I/O by the number of conditions. Still a plain two-phase hash agg.
+    */
+  private val qAggFiltered = Q(
+    "q_agg_filtered",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count_if(col("l_quantity") > 25.0).as("n_big"),
+          count_if(col("l_discount") === 0.0).as("n_nodisc"),
+          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.05) AS DOUBLE), 4)")
+            .as("sum_hitax_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+            CAST(COUNT(*) AS BIGINT) AS n_all,
+            CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT) AS n_big,
+            CAST(COUNT(*) FILTER (WHERE l_discount = 0.0) AS BIGINT) AS n_nodisc,
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.05) AS DOUBLE), 4) AS sum_hitax_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
+    qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,

@@ -115,6 +115,33 @@ object Windows {
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** nth_value analytic — "the customer's second-best order alongside every
+    * row" (runner-up lookups without a self-join). Needs the full-frame
+    * spec: with the default frame nth_value is running (NULL until row n
+    * arrives), identical in both engines but rarely what's wanted.
+    */
+  private val qWinNthValue = Q(
+    "q_win_nth_value",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_best_order"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_best_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+            nth_value(o_orderkey, 2) OVER w AS second_best_order,
+            nth_value(o_totalprice, 2) OVER w AS second_best_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey"""))
+
   /** Keep-latest-per-key compaction: one row per user_id — the most recent
     * event (ts desc, event_id desc tie-break). The CDC-snapshot / "current
     * state" primitive of a training-data pipeline: one shuffle on the key,
@@ -143,5 +170,5 @@ object Windows {
 
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
-    qWinDedupLatest)
+    qWinNthValue, qWinDedupLatest)
 }
