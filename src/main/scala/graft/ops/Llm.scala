@@ -890,8 +890,12 @@ object Llm {
     (s, dir) => {
       Tables(s, dir, "documents")
         .withColumn("tk", split(col("text"), " "))
+        // zip_with over two shifted slices, NOT transform(sequence(1, n-1)):
+        // for a 1-token doc sequence(1, 0) DESCENDS ([1, 0], step -1) and
+        // element_at(tk, 0) throws at runtime, while slice(tk, 1, 0) is
+        // just empty — matching the oracle's empty generate_series(1, 0)
         .withColumn("bg", expr(
-          "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), (a, b) -> concat(a, ' ', b))"))
         .withColumn("n_bg", size(col("bg")).cast("long"))
         .withColumn("n_uniq", size(array_distinct(col("bg"))).cast("long"))
         // floor, not round: integer/integer ratios land on .5 at 4dp where
@@ -944,11 +948,19 @@ object Llm {
       val edges = pairs
         .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
         .toDF("src", "dst").localCheckpoint(true)
+      // Dataset.unpersist() frees cache-manager entries, not checkpoint
+      // blocks — to release a dead superstep we must unpersist the
+      // checkpointed RDD itself (the LogicalRDD leaf of the plan).
+      def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+        df.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
       var lbl = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")).localCheckpoint(true)
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      val maxRounds = 50
+      while (changed > 0 && rounds < maxRounds) {
         val nbrMin = edges.join(lbl, edges("dst") === lbl("id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
         // the change flag rides along in the materialized superstep, so
@@ -959,11 +971,23 @@ object Llm {
           .select(col("id"),
             least(col("old"), coalesce(col("nbr_lbl"), col("old"))).as("lbl"),
             (coalesce(col("nbr_lbl"), col("old")) < col("old")).as("chg"))
-          .localCheckpoint(true)
+          .localCheckpoint(true) // eager: materialized here, before unpersist
         changed = next.filter(col("chg")).count()
+        // the previous round's checkpoint blocks are dead once `next` is
+        // materialized (localCheckpoint is eager) — release them instead of
+        // accumulating one superstep's worth of storage per round for the
+        // session lifetime. Safe: dead rounds are never recomputed.
+        ckptRdd(lbl).foreach(_.unpersist(blocking = false))
         lbl = next.select("id", "lbl")
         rounds += 1
       }
+      // a component with diameter > maxRounds (chain-shaped dup graph)
+      // would exit with wrong labels — diverging silently from the exact
+      // recursive-CTE oracle. Fail loudly instead of returning garbage.
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"q_dedup_cluster: min-label propagation not converged after $maxRounds rounds ($changed labels still changing)")
+      ckptRdd(edges).foreach(_.unpersist(blocking = false))
       val sz = lbl.groupBy(col("lbl").as("rep")).agg(count(lit(1)).as("n_members"))
       lbl.select(col("id").as("doc_id"), col("lbl").as("rep"))
         .join(sz, "rep")
@@ -1009,7 +1033,12 @@ object Llm {
         .withColumn("dq", expr("transform(v, x -> floor(x * 127D) / 127D)"))
         .withColumn("cs", graft_dot(col("v"), col("dq")) /
           (col("nrm") * sqrt(graft_dot(col("dq"), col("dq")))))
-        .withColumn("cos_e4", expr("CAST(floor(cs * 10000D) AS BIGINT)"))
+        // zero-norm guard: a vector with every component in [0, 1/127)
+        // quantizes to the zero vector and cs becomes x/0 (NaN in Spark,
+        // an error in DuckDB). Sentinel cosine 0 in BOTH engines.
+        .withColumn("cos_e4", expr(
+          "CASE WHEN isnan(cs) OR cs IS NULL THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(floor(cs * 10000D) AS BIGINT) END"))
         .groupBy("label")
         .agg(
           count(lit(1)).as("n"),
@@ -1022,9 +1051,10 @@ object Llm {
                           list_transform(v, x -> floor(x * 127) / 127) AS dq
                    FROM n),
              c AS (SELECT label,
-                          CAST(floor(list_dot_product(v, dq)
+                          CASE WHEN list_dot_product(dq, dq) = 0 THEN CAST(0 AS BIGINT)
+                               ELSE CAST(floor(list_dot_product(v, dq)
                                      / (nrm * sqrt(list_dot_product(dq, dq)))
-                                     * 10000) AS BIGINT) AS cos_e4
+                                     * 10000) AS BIGINT) END AS cos_e4
                    FROM q)
              SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
                     CAST(SUM(cos_e4) // COUNT(*) AS BIGINT) AS avg_cos_e4,

@@ -34,20 +34,29 @@ final class BottomK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   def finish(buf: Array[Long]): Array[Long] = buf
 
   // Sorted-array insert with dedup and cap; O(log k) search + O(k) shift.
-  // At k ~ 128 the shift is a few cache lines — cheaper than heap node
-  // allocation, and the buffer doubles as the final sorted output.
+  // Once the buffer reaches capacity k (the steady state for any group
+  // with > k distinct values) the insert shifts IN PLACE — zero
+  // allocation per accepted row, vs a fresh O(k) copy each time (ADVICE
+  // r3: 1 KB of garbage per accepted row at k = 128). Spark's typed
+  // Aggregator owns its buffer object between reduce calls, so in-place
+  // mutation is the intended usage. Growth below k still allocates
+  // (bounded: at most k times per partial aggregate).
   private def insert(buf: Array[Long], v: Long): Array[Long] = {
     val i = java.util.Arrays.binarySearch(buf, v)
     if (i >= 0) buf // already present: distinct semantics
     else {
       val ins = -i - 1
       if (ins >= k) buf // larger than the current k-th smallest
-      else {
-        val n = math.min(buf.length + 1, k)
-        val out = new Array[Long](n)
+      else if (buf.length == k) {
+        // at capacity: drop the current max, shift the tail right in place
+        System.arraycopy(buf, ins, buf, ins + 1, k - ins - 1)
+        buf(ins) = v
+        buf
+      } else {
+        val out = new Array[Long](buf.length + 1)
         System.arraycopy(buf, 0, out, 0, ins)
         out(ins) = v
-        System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
         out
       }
     }
