@@ -35,8 +35,8 @@ object Llm {
     * 8 fixed bytes per shingle instead of a ~25-byte string, and join
     * comparisons are long equality.
     */
-  private def shinglesRaw(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  private[graft] def shinglesRawFrom(docs: DataFrame): DataFrame =
+    docs
       // The documents table is one skinny parquet file at every local SF,
       // so the scan is a single partition; without this repartition ALL
       // shingle/trigram CPU work (the dominant cost) runs on one core.
@@ -45,13 +45,16 @@ object Llm {
       // one partition — AQE sizes by bytes, but exploding shingles is
       // CPU-bound per byte. Same rule at 100 TB: size CPU-amplifying
       // stages by cores, not by input bytes.
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2)))"))
         .as("sh_str"))
       .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+
+  private def shinglesRaw(s: SparkSession, dir: String): DataFrame =
+    shinglesRawFrom(Tables(s, dir, "documents"))
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesRaw(s, dir).distinct()
@@ -62,13 +65,41 @@ object Llm {
               unnest(list_transform(range(1, len(t) - 1),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s))"""
 
-  /** Exact shingle-Jaccard for (d1 < d2) pairs sharing ≥1 shingle.
+  /** Document-frequency cap for the shingle-blocked pair joins: a shingle
+    * appearing in more than τ documents is boilerplate (license headers,
+    * navigation chrome — the NORM in a 100 TB web corpus) and is dropped
+    * from the pair universe BEFORE the self-join. Without the cap, one
+    * shingle shared by m docs emits m² join rows — the self-join is
+    * quadratic in the hottest key, no matter how rare that key is. With
+    * it, pair volume is bounded by τ·|distinct capped shingles| (each
+    * surviving shingle emits ≤ τ² pairs and ≤ τ per left row).
+    *
+    * Effect on scores: Jaccard/containment are computed over each doc's
+    * df≤τ shingle set — exact on that reduced universe. Since dropped
+    * shingles are by definition shared by >τ docs, they carry ~zero
+    * signal about whether two SPECIFIC docs are near-dups; production
+    * dedup pipelines (e.g. Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better") routinely drop or downweight
+    * high-df shingles for exactly this reason. On the test fixtures
+    * max df = 25, so the cap provably changes nothing at local SFs.
+    */
+  private[graft] val ShingleDfCap = 64
+
+  /** Exact shingle-Jaccard for (d1 < d2) pairs sharing ≥1 df≤τ shingle.
     * Counts run over distinct (doc, shingle-hash) — identical to string
     * counts unless xxhash64 collides within the corpus (P ≈ n²/2⁶⁵;
     * negligible, and the DuckDB oracle would catch it).
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(shingles(s, dir))
+
+  private[graft] def jaccardPairsFrom(sh0: DataFrame): DataFrame = {
+    // df per shingle via a window over the same exchange the self-join
+    // needs anyway (partitioned by sh) — no extra aggregation pass
+    val sh = sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= ShingleDfCap)
+      .drop("df")
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -82,6 +113,21 @@ object Llm {
       .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
       .withColumn("jac", expr("floor(inter / CAST(n1 + n2 - inter AS DOUBLE) * 10000) / 10000"))
   }
+
+  /** Oracle twin of [[jaccardPairsFrom]]: df-capped shingle universe →
+    * per-doc counts → shared-shingle pair intersections. Shared verbatim
+    * by the jaccard / containment / cluster oracles so the cap can never
+    * drift between them.
+    */
+  private val pairsSql: String =
+    s"""$shinglesSql,
+       shc AS (SELECT doc_id, s FROM (
+                 SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+               WHERE df <= $ShingleDfCap),
+       cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shc GROUP BY doc_id),
+       pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+              FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)"""
 
   /** Embeddings widened to double with precomputed L2 norm. Cosine is
     * dot/(na*nb) with strictly sequential folds so both engines sum in the
@@ -149,11 +195,7 @@ object Llm {
     (s, dir) =>
       jaccardPairs(s, dir).filter(col("jac") >= 0.1)
         .select("d1", "d2", "jac").orderBy("d1", "d2"),
-    Some(s"""WITH $shinglesSql,
-             cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-             pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                    GROUP BY a.doc_id, b.doc_id)
+    Some(s"""WITH $pairsSql
              SELECT d1, d2,
                     FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 AS jac
              FROM pr JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
@@ -865,11 +907,7 @@ object Llm {
         .filter(greatest(col("c1"), col("c2")) >= 0.5)
         .select("d1", "d2", "c1", "c2").orderBy("d1", "d2")
     },
-    Some(s"""WITH $shinglesSql,
-             cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-             pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                    GROUP BY a.doc_id, b.doc_id),
+    Some(s"""WITH $pairsSql,
              sc AS (SELECT d1, d2,
                            FLOOR(inter / CAST(c1.n_sh AS DOUBLE) * 10000) / 10000 AS c1,
                            FLOOR(inter / CAST(c2.n_sh AS DOUBLE) * 10000) / 10000 AS c2
@@ -994,12 +1032,7 @@ object Llm {
         .select(col("doc_id"), col("rep"), col("n_members"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE $shinglesSql,
-             cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
-                     FROM sh GROUP BY doc_id),
-             pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                    GROUP BY a.doc_id, b.doc_id),
+    Some(s"""WITH RECURSIVE $pairsSql,
              ed AS (SELECT d1, d2 FROM pr
                     JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
                     WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 >= 0.4),

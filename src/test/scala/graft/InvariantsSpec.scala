@@ -68,6 +68,30 @@ class InvariantsSpec extends SparkSpec {
       s"LSH missed ${(exact -- near).size} of ${exact.size} high-sim pairs")
   }
 
+  test("hot-shingle df cap keeps boilerplate from going quadratic") {
+    import spark.implicits._
+    // 100 docs sharing ONE boilerplate trigram, otherwise disjoint:
+    // without the df cap that single shingle emits 100·99/2 join pairs
+    // (the m² hot-key blowup); with it (df = 100 > 64) the shingle is
+    // dropped before the self-join and no pair survives.
+    val docs = (0 until 100)
+      .map(i => (i.toLong, s"common boiler plate u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val capped = graft.ops.Llm.jaccardPairsFrom(
+      graft.ops.Llm.shinglesRawFrom(docs).distinct())
+    assert(capped.isEmpty,
+      "a df>cap boilerplate shingle must not produce candidate pairs")
+    // positive control: a RARE shared trigram (df = 2 <= cap) still pairs
+    val rare = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma epsilon"),
+      (2L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val pairs = graft.ops.Llm.jaccardPairsFrom(
+        graft.ops.Llm.shinglesRawFrom(rare).distinct())
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"expected exactly the (0,1) pair, got $pairs")
+  }
+
   test("dedup clusters are consistent: every near-dup pair shares a representative") {
     // connected-components correctness from the consumer's view: if the
     // exhaustive Jaccard join scores (a,b) >= 0.4, cluster(a) == cluster(b),
