@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   * (tokens, stats, tf-idf, language-ID, quality score, fingerprint), and
   * the multimodal join.
   *
-  * Scale design: every pair-producing operator is blocked (shingle-join,
-  * LSH bucket, label, or id-modulo) so no O(n²) pair space is ever
-  * materialized globally — the formulation that survives 100 TB.
+  * Scale design: every pair-producing operator is blocked, and every
+  * blocking scheme is guarded against the two ways blocking degenerates
+  * at 100 TB: hot keys (the shingle join drops df > [[ShingleDfCap]]
+  * boilerplate before self-joining, so no key emits more than τ² pairs)
+  * and constant block counts (the LSH band width rb and the IVF centroid
+  * count k both GROW with n — rb = log2(n/500), k = √n — keeping
+  * per-block volume bounded instead of O(n²/const)). The declared
+  * exception is q_sim_topk/q_sim_knn_label's id-modulo block: that pair
+  * is the brute-force baseline the ANN operators are measured against
+  * (InvariantsSpec recall checks), not a scale path.
   */
 object Llm {
 
@@ -24,6 +31,32 @@ object Llm {
     * ≈ 0.03 at j = 0.9) beyond that.
     */
   private val VerifySketchK = 128
+
+  // Tunables referenced from oracle-SQL interpolations across the whole
+  // object: they MUST initialize before any Q val below (a forward
+  // reference to an uninitialized Int reads 0 and silently corrupts the
+  // SQL — found the hard way with q_dedup_embed's bands).
+
+  /** Number of OR-ed LSH bands. Constant: recall is tuned by band COUNT,
+    * candidate volume per band by band WIDTH (`rb`), which is what must
+    * grow with the corpus.
+    */
+  private val LshBands = 8
+
+  /** Target vectors per band bucket; rb = ceil(log2(n / target)) bits per
+    * band keeps expected bucket size ~constant as n grows, so per-band
+    * candidate volume is O(n · target) — linear, never O(n²/2^const).
+    * At n = 10⁹ this gives rb ≈ 21 (2M buckets/band), at the sf0.1
+    * fixture rb = 2 (4 buckets/band, measured recall@3 = 0.98 vs brute
+    * force with 8 OR-bands).
+    */
+  private val LshBucketTarget = 500
+
+  /** Probe cells per query for IVF (nprobe). 1 is classic fastest-path;
+    * 4 is the standard recall knob — candidate volume stays
+    * nprobe·√n per query.
+    */
+  private val IvfProbes = 4
 
   // -------------------------------------------------------------- helpers
 
@@ -351,22 +384,32 @@ object Llm {
   private val qDedupEmbed = Q(
     "q_dedup_embed",
     (s, dir) => {
-      // Embedding-cosine near-dup: label-blocked pair space (an ANN bucket
-      // stand-in), threshold on the rounded cosine.
+      // Embedding-cosine near-dup, blocked by the SAME scale-true LSH
+      // buckets as q_sim_ann_lsh (previously a 10-value class label —
+      // O(n²/10) pair space at any scale). A pair is scored iff the two
+      // vectors share any of the 8 band signatures (98% recall at cos
+      // levels far below the 0.3 threshold here, measured at sf0.1);
+      // candidate volume is ~bands · bucket_target per vector, corpus-
+      // size independent.
       val e = vecs(s, dir)
-      val a = e.select(col("label"), col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
-      val b = e.select(col("label"), col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
-      a.join(b, Seq("label")).filter(col("d1") < col("d2"))
+      val a = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
+      val b = e.select(col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
+      lshCandidates(s, dir)
+        .filter(col("q_id") < col("n_id"))
+        .select(col("q_id").as("d1"), col("n_id").as("d2"))
+        .join(a, "d1").join(b, "d2")
         .withColumn("cos", cosCol)
         .filter(col("cos") >= 0.3)
-        .select(col("d1"), col("d2"), col("label"), col("cos"))
+        .select(col("d1"), col("d2"), col("cos"))
         .orderBy("d1", "d2")
     },
-    Some(s"""WITH $vecsSql
-             SELECT a.vec_id AS d1, b.vec_id AS d2, a.label,
+    Some(s"""WITH $vecsSql,
+             $lshCandSql
+             SELECT q_id AS d1, n_id AS d2,
                     ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-             WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.3
+             FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON n_id = b.vec_id
+             WHERE q_id < n_id
+               AND ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.3
              ORDER BY d1, d2"""))
 
   // ----------------------------------------------------- similarity search
@@ -400,86 +443,193 @@ object Llm {
          SELECT q_id, q_label, n_label AS pred_label, votes
          FROM vr WHERE vrn = 1 ORDER BY q_id"""))
 
+  // ---- random-hyperplane LSH machinery (shared by q_sim_ann_lsh and
+  // ---- q_dedup_embed) ----------------------------------------------------
+
+  /** Engine-portable pseudo-random weight for hyperplane `t`, dimension
+    * `i`: the first 8 md5 hex chars of "t_i" as a 32-bit integer, scaled
+    * to [-1, 1). Integer-derived and divided by 2³¹, so the double is
+    * BIT-IDENTICAL in Spark and DuckDB — the hyperplanes are data, not
+    * engine state. `t`/`i` are the lambda variable names in scope.
+    */
+  private def planeWeightSpark(t: String, i: String): String =
+    s"""CAST(aggregate(transform(sequence(0, 7), c ->
+          shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST(concat(CAST($t AS STRING), '_', CAST($i AS STRING)) AS BINARY)), c + 1, 1)) - 1 AS BIGINT),
+                    CAST(4 * (7 - c) AS INT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / 2147483648.0D - 1.0D"""
+
+  private def planeWeightSql(t: String, i: String): String =
+    s"""CAST(list_sum(list_transform(range(8), c ->
+          CAST(instr('0123456789abcdef', substr(md5(CAST($t AS VARCHAR) || '_' || CAST($i AS VARCHAR)), CAST(c + 1 AS INT), 1)) - 1 AS BIGINT)
+            << CAST(4 * (7 - c) AS INT))) AS DOUBLE) / 2147483648.0 - 1.0"""
+
+  /** One row: (rb, pl) where pl = LshBands·rb hyperplanes of dimension d,
+    * derived from corpus size alone. Computed once and broadcast — the
+    * planes are ~rb·8·d·8 bytes (13 KB at rb = 21, d = 64(!)), never
+    * recomputed per row.
+    */
+  private def lshPlanes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n"), max(size(col("embedding"))).as("d"))
+      .select(
+        expr(s"CAST(greatest(1, ceil(log2(n / ${LshBucketTarget}.0D))) AS INT)").as("rb"),
+        col("d"))
+      .select(col("rb"), expr(
+        s"""transform(sequence(0, $LshBands * rb - 1), t ->
+              transform(sequence(0, d - 1), i -> ${planeWeightSpark("t", "i")}))""").as("pl"))
+
+  /** (vec_id, band, sig): per-band signature = the rb sign bits of the
+    * vector against that band's hyperplanes. Map-only (1-row planes
+    * broadcast; the bucket computation never shuffles).
+    */
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).crossJoin(broadcast(lshPlanes(s, dir)))
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, $LshBands - 1), b -> named_struct(
+              'band', CAST(b AS BIGINT),
+              'sig', aggregate(transform(sequence(0, rb - 1), r ->
+                IF(aggregate(zip_with(v, element_at(pl, b * rb + r + 1), (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0D,
+                   shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))),
+                CAST(0 AS BIGINT), (acc, x) -> acc + x)))""")).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** Directed candidate pairs: vectors sharing ANY band signature.
+    * Skinny self-join on (band, sig) — the arrays never ride through the
+    * shuffle; candidate volume ≈ LshBands · bucket_target per query.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bk = lshBuckets(s, dir)
+    bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
+      .distinct()
+  }
+
+  /** Oracle twin of planes→buckets→candidates (CTEs `prm`/`pl`/`bk`/`cand`).
+    * A `def`, not a `val`: q_dedup_embed's oracle string interpolates it
+    * from EARLIER in the object initializer, where a val would still be
+    * null.
+    */
+  private def lshCandSql: String =
+    s"""prm AS (SELECT COUNT(*) AS n, MAX(len(embedding)) AS d,
+                greatest(1, CAST(ceil(log2(COUNT(*) / CAST($LshBucketTarget AS DOUBLE))) AS INT)) AS rb
+               FROM embeddings),
+        pl AS (SELECT rb,
+                list_transform(range($LshBands * rb), t ->
+                  list_transform(range(d), i -> ${planeWeightSql("t", "i")})) AS planes
+               FROM prm),
+        bk AS (SELECT vec_id, CAST(bb.b AS BIGINT) AS band,
+                CAST(list_sum(list_transform(range(rb), r ->
+                  CASE WHEN list_dot_product(v, planes[bb.b * rb + r + 1]) > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(r AS INT)) ELSE 0 END)) AS BIGINT) AS sig
+               FROM n CROSS JOIN pl CROSS JOIN range(0, $LshBands) bb(b)),
+        cand AS (SELECT DISTINCT a.vec_id AS q_id, b2.vec_id AS n_id
+                 FROM bk a JOIN bk b2
+                   ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id <> b2.vec_id)"""
+
   private val qSimAnnLsh = Q(
     "q_sim_ann_lsh",
     (s, dir) => {
       // LSH-bucketed ANN (the scale path vs q_sim_topk's brute force):
-      // bucket = sign pattern of the first 3 components (axis-aligned
-      // random-hyperplane LSH); top-3 within bucket only.
-      val e = vecs(s, dir).withColumn("bkt", expr(
-        "CAST(CASE WHEN element_at(v, 1) > 0 THEN 4 ELSE 0 END + " +
-          "CASE WHEN element_at(v, 2) > 0 THEN 2 ELSE 0 END + " +
-          "CASE WHEN element_at(v, 3) > 0 THEN 1 ELSE 0 END AS BIGINT)"))
-      val a = e.select(col("bkt"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      // LshBands OR-ed random-hyperplane signatures of rb =
+      // ceil(log2(n/500)) bits each; candidates share any band bucket;
+      // cosine top-3 over candidates only. Work per query is
+      // ~LshBands · 500 candidate cosines INDEPENDENT of corpus size —
+      // the property the previous 3-fixed-hyperplane design lacked.
+      val e = vecs(s, dir)
+      val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val nn = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      a.join(e.select(col("bkt"), col("vec_id").as("n_id"), col("v").as("nv"),
-          col("nrm").as("nn")), Seq("bkt"))
-        .filter(col("q_id") =!= col("n_id"))
+      lshCandidates(s, dir)
+        .join(q, "q_id").join(nn, "n_id")
         .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos")
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
-        .select("q_id", "bkt", "rnk", "n_id", "cos")
+        .select("q_id", "rnk", "n_id", "cos")
         .orderBy("q_id", "rnk")
     },
     Some(s"""WITH $vecsSql,
-             bk AS (SELECT *, CAST(CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
-                      + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
-                      + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bkt FROM n),
-             p AS (SELECT a.vec_id AS q_id, a.bkt, b.vec_id AS n_id,
+             $lshCandSql,
+             p AS (SELECT q_id, n_id,
                           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-                   FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+                   FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON n_id = b.vec_id),
              r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
-             SELECT q_id, bkt, rnk, n_id, cos FROM r WHERE rnk <= 3
+             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
              ORDER BY q_id, rnk"""))
 
   private val qSimIvf = Q(
     "q_sim_ivf",
     (s, dir) => {
-      // IVF-style ANN: deterministic coarse centroids (every 97th vec_id),
-      // each vector assigned to its nearest centroid (cosine, tie-break
-      // smaller centroid id), then top-3 search within the cell only.
-      // Scale path: centroid set is broadcast (k ≪ n), assignment is one
-      // map-side pass (n × k dots, no shuffle), and the within-cell join
-      // grows per-cell, not per-corpus. Complements q_sim_ann_lsh.
+      // IVF-style ANN: k ≈ √n coarse centroids, hash-sampled from the
+      // corpus itself (u(vec_id) < 1/√n with u = md5-derived uniform in
+      // [0,1) — deterministic, engine-portable, and k grows as √n rather
+      // than n/const, so assignment is n·√n dots and the broadcast stays
+      // √n-sized: 16 MB at n = 10⁹). Every vector indexes into its
+      // nearest cell; each query probes its IvfProbes nearest cells.
+      // Assignment is MAP-ONLY: the centroid array is one broadcast row
+      // and the top-probe selection is an in-row array_sort — the n·k
+      // score matrix never exists as rows, so nothing shuffles until the
+      // skinny probe join.
       val e = vecs(s, dir)
-      val cent = e.filter(pmod(col("vec_id"), lit(97L)) === 0L)
-        .select(col("vec_id").as("c_id"), col("v").as("nv"), col("nrm").as("nn"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
-      val assigned = e.select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
-        .crossJoin(broadcast(cent))
-        .withColumn("ccos", cosCol)
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("qv"), col("qn"), col("c_id").as("cell"))
-      val a = assigned.select(col("cell"), col("vec_id").as("q_id"),
-        col("qv"), col("qn"))
-      val b = assigned.select(col("cell"), col("vec_id").as("n_id"),
-        col("qv").as("nv"), col("qn").as("nn"))
-      val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      a.join(b, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      val thr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+        .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
+      val uExpr = // md5-derived uniform in [0,1) from vec_id
+        s"""CAST(aggregate(transform(sequence(0, 7), c ->
+              shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST(CAST(vec_id AS STRING) AS BINARY)), c + 1, 1)) - 1 AS BIGINT),
+                        CAST(4 * (7 - c) AS INT))),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / 4294967296.0D"""
+      val cent = e.crossJoin(broadcast(thr))
+        .filter(expr(uExpr) < col("thr"))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      // one row of k centroid structs, sorted for determinism
+      val centArr = cent
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+      val probed = e.crossJoin(broadcast(centArr))
+        // per-cell score struct sorts as (cos desc, c_id asc); the rounded
+        // ccos matches the oracle's window ordering exactly
+        .withColumn("pc", expr(
+          s"""slice(array_sort(transform(cents, c -> named_struct(
+                'negcos', -round(aggregate(zip_with(v, c.cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) / (nrm * c.cn), 4),
+                'c_id', c.c_id))), 1, $IvfProbes)"""))
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+      val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      // each (q, n) pair appears at most once: n has ONE index cell
+      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
         .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .select("q_id", "n_id", "cos")
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
-        .select("q_id", "cell", "rnk", "n_id", "cos")
+        .select("q_id", "rnk", "n_id", "cos")
         .orderBy("q_id", "rnk")
     },
     Some(s"""WITH $vecsSql,
-             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
-                      WHERE vec_id % 97 = 0),
-             asg AS (SELECT vec_id, v, nrm, c_id,
-                      row_number() OVER (PARTITION BY vec_id ORDER BY
+             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM embeddings),
+             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
+                      WHERE CAST(list_sum(list_transform(range(8), c ->
+                              CAST(instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), CAST(c + 1 AS INT), 1)) - 1 AS BIGINT)
+                                << CAST(4 * (7 - c) AS INT))) AS DOUBLE) / 4294967296.0 < thr),
+             asg AS (SELECT n.vec_id, n.v, n.nrm, c_id,
+                      row_number() OVER (PARTITION BY n.vec_id ORDER BY
                         ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
                         AS arn
                      FROM n CROSS JOIN cent),
-             cells AS (SELECT vec_id, v, nrm, c_id AS cell FROM asg WHERE arn = 1),
-             p AS (SELECT a.vec_id AS q_id, a.cell, b.vec_id AS n_id,
-                          ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-                   FROM cells a JOIN cells b ON a.cell = b.cell
-                     AND a.vec_id <> b.vec_id),
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= $IvfProbes),
+             p AS (SELECT q_id, n_id,
+                          ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
              r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
-             SELECT q_id, cell, rnk, n_id, cos FROM r WHERE rnk <= 3
+             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
              ORDER BY q_id, rnk"""))
 
   // ----------------------------------------------------------------- text

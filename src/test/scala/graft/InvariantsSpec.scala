@@ -149,6 +149,44 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ANN recall at sf0.1: LSH >= 0.8 of true top-3; IVF beats the random-probe baseline") {
+    // The standard proof that an ANN index is fast AND not garbage:
+    // recall@k against the exact (full cross-join) top-3. Run at sf0.1
+    // (n = 2000), where the LSH band width rb = 2 actually engages — at
+    // the test default sf0.001 rb = 1 and recall is trivially high.
+    // Ground truth over a deterministic 25% query sample keeps the
+    // brute-force side at 500×2000 cosines.
+    val dir = "/root/testdata/sf0.1"
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, p) -> acc + p))"))
+    val qs = e.filter(pmod(col("vec_id"), lit(4L)) === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val ns = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val truth = qs.crossJoin(ns).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", expr(
+        "round(aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, p) -> acc + p) / (qn * nn), 4)"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(name: String): Double = {
+      val got = SparkEntry.queries(name)(spark, dir)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val lshRecall = hits("q_sim_ann_lsh")
+    assert(lshRecall >= 0.8, f"LSH recall@3 = $lshRecall%.3f < 0.8")
+    // IVF with nprobe = 4 scans ~8% of this near-random corpus; chance
+    // recall at that candidate volume would be ~0.08. The fixture's
+    // vectors are high-dimensional near-uniform (top-1 neighbor cosine
+    // median 0.37), the hostile case for coarse quantization — assert
+    // the index beats its random baseline >2x rather than a number no
+    // IVF could honestly reach on this data.
+    val ivfRecall = hits("q_sim_ivf")
+    assert(ivfRecall >= 0.2, f"IVF recall@3 = $ivfRecall%.3f < 0.2 (random baseline ~0.08)")
+  }
+
   test("topk stability: q_topk is the ordered prefix of the full sort") {
     val top = SparkEntry.queries("q_topk")(spark, sf).collect()
     val full = Tables(spark, sf, "orders")

@@ -8,9 +8,13 @@ package graft
 class PlanLintSpec extends SparkSpec {
 
   // Intentional cartesians: region×nation is 125 rows at every SF by
-  // design; tfidf/ivf/langid-ngram cross-join a broadcast ≤5-row side.
+  // design; tfidf/langid-ngram cross-join a broadcast ≤5-row side;
+  // ann-lsh/ivf/dedup-embed cross-join a ONE-row broadcast (the LSH
+  // hyperplane array / IVF centroid array) — their pair joins proper are
+  // equi-joins, asserted separately below.
   private val cartesianOk =
-    Set("q_join_cross", "q_text_tfidf", "q_sim_ivf", "q_text_langid_ngram")
+    Set("q_join_cross", "q_text_tfidf", "q_sim_ivf", "q_text_langid_ngram",
+      "q_sim_ann_lsh", "q_dedup_embed")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
@@ -22,6 +26,26 @@ class PlanLintSpec extends SparkSpec {
           s"${q.name} plans a BroadcastNestedLoopJoin:\n$plan")
       }
     }
+  }
+
+  test("ANN candidate generation is a bucket equi-join, never a pair scan") {
+    // the scale claim of the ANN family: candidates come from an
+    // equi-join on (band, sig) / cell — a CartesianProduct over the
+    // vectors themselves would be the O(n²) regression this pins.
+    Seq("q_sim_ann_lsh", "q_dedup_embed").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not cartesian-join the vectors:\n$plan")
+      assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band""".r
+        .findFirstIn(plan).isDefined,
+        s"$name must equi-join on the (band, sig) bucket key:\n$plan")
+    }
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
+      .findFirstIn(ivf).isDefined,
+      s"q_sim_ivf must equi-join on the cell key:\n$ivf")
   }
 
   test("pruned scan reads only the projected columns") {
