@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,24 +16,96 @@ import org.apache.spark.sql.functions._
   */
 object Etl {
 
-  /** The reference's routing rule: event field → Firehose delivery stream.
-    * click/view → analytics; purchase/signup → transactions; error →
-    * errors; anything else → default.
+  /** The reference's routing rule as CONFIG, not code: an event-type →
+    * delivery-stream table plus a fallback stream. The reference holds
+    * this mapping in configuration; a user re-routes by supplying a
+    * different table to [[withRoute]] — no recompilation. This instance
+    * (click/view → analytics; purchase/signup → transactions; error →
+    * errors; else → default) is the oracled default.
     */
-  def routeCol: Column =
-    when(col("event_type").isin("click", "view"), "analytics")
-      .when(col("event_type").isin("purchase", "signup"), "transactions")
-      .when(col("event_type") === "error", "errors")
-      .otherwise("default")
+  val DefaultRoutes: Seq[(String, String)] = Seq(
+    "click" -> "analytics", "view" -> "analytics",
+    "purchase" -> "transactions", "signup" -> "transactions",
+    "error" -> "errors")
 
+  val DefaultStream = "default"
+
+  /** Apply a routing table: broadcast left-join on event_type with
+    * fallback for unmapped (or null) types. The table is a handful of
+    * rows at any scale — the join is a map-side hash lookup, exactly
+    * what the old hard-coded CASE compiled to, but data-driven. Works
+    * identically under Structured Streaming (stream-static broadcast
+    * join, planned per micro-batch).
+    */
+  def withRoute(df: DataFrame,
+      rules: Seq[(String, String)] = DefaultRoutes,
+      fallback: String = DefaultStream): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val tbl = rules.toDF("event_type", "_route_to")
+    df.join(broadcast(tbl), Seq("event_type"), "left")
+      .withColumn("route", coalesce(col("_route_to"), lit(fallback)))
+      .drop("_route_to")
+  }
+
+  /** Oracle twin of the DEFAULT routing instance. */
   val routeSql: String =
     """CASE WHEN event_type IN ('click','view') THEN 'analytics'
             WHEN event_type IN ('purchase','signup') THEN 'transactions'
             WHEN event_type = 'error' THEN 'errors'
             ELSE 'default' END"""
 
-  /** Firehose PutRecordBatch limit: ≤500 records per call. */
-  val BatchSize = 500
+  /** Firehose PutRecordBatch limits — single source of truth in
+    * [[graft.streaming.Batcher]]: ≤500 records AND ≤4 MiB per call,
+    * ≤1000 KiB per record.
+    */
+  val BatchSize: Int = graft.streaming.Batcher.MaxRecordsPerBatch
+  val MaxRecordBytes: Long = graft.streaming.Batcher.MaxRecordBytes
+
+  /** Byte budget for the closed-form sub-batch split: records are cut at
+    * fixed (MaxBatchBytes − MaxRecordBytes) cumulative-byte boundaries,
+    * so a batch = boundary window + the record straddling its start ≤
+    * MaxBatchBytes exactly (every record ≤ MaxRecordBytes by the
+    * oversize filter). Fixed boundaries are what makes batch membership
+    * a pure function of the running sum — window-expressible in BOTH
+    * engines — where the greedy packer ([[graft.streaming.Batcher]]) is
+    * an inherently sequential fold. The tradeoff is documented: the
+    * closed form may emit slightly more batches than greedy (it never
+    * violates the caps).
+    */
+  val SubBatchBytes: Long =
+    graft.streaming.Batcher.MaxBatchBytes - graft.streaming.Batcher.MaxRecordBytes
+
+  /** Hour-of-event-time shard for two-phase global ordering. Hour buckets
+    * of ts_us align with the (ts_us, event_id) sort order (ts_us is the
+    * leading key), so within-shard rank + count-of-earlier-shards equals
+    * the global per-route rank EXACTLY — byte-identical output to one
+    * window per route, computed ~720-ways parallel on the 30-day fixture
+    * (and unboundedly parallel as the stream grows) instead of one task
+    * per route. At 100 TB a per-route window is 4 tasks each sorting 25%
+    * of the corpus; this is the difference between the operator running
+    * and not.
+    */
+  private val ShardUs = 3600L * 1000000L
+
+  /** Phase 1+2 of two-phase numbering over (route, ts_us, event_id)-order:
+    * input must carry route/ts_us/event_id/nbytes; output adds `shardk`
+    * plus broadcastable per-shard prefix offsets `off_n` (rows before
+    * this shard) and `off_b` (bytes before this shard). The offsets table
+    * has one row per (route, hour) — tiny forever — and its own window
+    * runs over that tiny table, not the data.
+    */
+  private def withShardOffsets(df: DataFrame): DataFrame = {
+    val sharded = df.withColumn("shardk", expr(s"ts_us DIV $ShardUs"))
+    val wOff = Window.partitionBy("route").orderBy("shardk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("route", "shardk")
+      .agg(count(lit(1)).as("_sn"), sum("nbytes").as("_sb"))
+      .withColumn("off_n", coalesce(sum("_sn").over(wOff), lit(0L)))
+      .withColumn("off_b", coalesce(sum("_sb").over(wOff), lit(0L)))
+      .select("route", "shardk", "off_n", "off_b")
+    sharded.join(broadcast(offsets), Seq("route", "shardk"))
+  }
 
   private val qEtlDecodeParse = Q(
     "q_etl_decode_parse",
@@ -54,8 +126,7 @@ object Etl {
   private val qEtlRoute = Q(
     "q_etl_route",
     (s, dir) => {
-      Tables.events(s, dir)
-        .withColumn("route", routeCol)
+      withRoute(Tables.events(s, dir))
         .groupBy("route")
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
         .orderBy("route")
@@ -64,38 +135,79 @@ object Etl {
              ROUND(SUM(value), 4) AS sum_value
              FROM events GROUP BY route ORDER BY route"""))
 
+  /** Core of q_etl_batch_assign over an injectable routed frame (columns
+    * route, ts_us, event_id, nbytes) so the spec can drive it with
+    * adversarial record sizes and tie it to [[graft.streaming.Batcher]].
+    *
+    * The FULL PutRecordBatch contract, closed-form (§0.1 step 5):
+    *  - records > 1000 KiB are rejected up front (batch_id −1, the DLQ
+    *    group — Firehose refuses them regardless of batching);
+    *  - per route in (ts_us, event_id) order, a record-count major split
+    *    every 500 records (rec_chunk), then a byte sub-split at fixed
+    *    [[SubBatchBytes]] cumulative boundaries within each chunk;
+    *  - batch_id densely numbers (rec_chunk, sub) per route.
+    * Both caps hold by construction: ≤500 records (within one rec_chunk)
+    * and ≤ SubBatchBytes + one ≤1000 KiB record = 4 MiB exactly.
+    * Numbering is two-phase sharded ([[withShardOffsets]]); the dense
+    * renumber at the end windows over the 500×-reduced batch table.
+    */
+  private[graft] def batchAssign(routed: DataFrame): DataFrame = {
+    val ok = routed.filter(col("nbytes") <= MaxRecordBytes)
+    val big = routed.filter(col("nbytes") > MaxRecordBytes)
+    val wLoc = Window.partitionBy("route", "shardk").orderBy("ts_us", "event_id")
+    val wChunk = Window.partitionBy("route", "rec_chunk").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBatch = Window.partitionBy("route").orderBy("rec_chunk", "sub")
+    val normal = withShardOffsets(ok)
+      .withColumn("rn", row_number().over(wLoc) + col("off_n"))
+      .withColumn("rec_chunk", expr(s"(rn - 1) DIV $BatchSize"))
+      .withColumn("cumb", sum("nbytes").over(wChunk))
+      .withColumn("sub", expr(s"(cumb - 1) DIV $SubBatchBytes"))
+      .groupBy("route", "rec_chunk", "sub")
+      .agg(count(lit(1)).as("n_records"), sum("nbytes").cast("long").as("sum_bytes"))
+      .withColumn("batch_id", (row_number().over(wBatch) - 1).cast("long"))
+      .select("route", "batch_id", "n_records", "sum_bytes")
+    val dead = big.groupBy("route")
+      .agg(count(lit(1)).as("n_records"), sum("nbytes").cast("long").as("sum_bytes"))
+      .withColumn("batch_id", lit(-1L))
+      .select("route", "batch_id", "n_records", "sum_bytes")
+    normal.unionByName(dead).orderBy("route", "batch_id")
+  }
+
   private val qEtlBatchAssign = Q(
     "q_etl_batch_assign",
-    (s, dir) => {
-      // PutRecordBatch grouping (§0.1 step 5): per route, deterministic
-      // arrival order (ts, event_id), batches of ≤500 records. Emits
-      // per-batch record counts + payload bytes — n_records ≤ 500 proves
-      // the invariant. Scale note: row_number per route is a single
-      // shuffle; at 100 TB the batch id would be assigned per
-      // micro-batch + shard (see graft.streaming.FirehoseSink).
-      val w = Window.partitionBy("route").orderBy("ts_us", "event_id")
-      Tables.events(s, dir)
-        .withColumn("route", routeCol)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("batch_id", expr(s"CAST((rn - 1) DIV $BatchSize AS BIGINT)"))
-        .groupBy("route", "batch_id")
-        .agg(
-          count(lit(1)).as("n_records"),
-          sum(length(col("props"))).cast("long").as("sum_bytes"))
-        .orderBy("route", "batch_id")
-    },
+    (s, dir) =>
+      batchAssign(withRoute(Tables.events(s, dir))
+        .withColumn("nbytes", length(col("props")).cast("long"))
+        .select("route", "ts_us", "event_id", "nbytes")),
     Some(s"""WITH routed AS (
-               SELECT $routeSql AS route, epoch_us(ts) AS ts_us, event_id, props
+               SELECT $routeSql AS route, epoch_us(ts) AS ts_us, event_id,
+                      CAST(length(props) AS BIGINT) AS nbytes
                FROM events),
-             numbered AS (
-               SELECT route, props,
-                      (row_number() OVER (PARTITION BY route ORDER BY ts_us, event_id) - 1)
-                        // $BatchSize AS batch_id
-               FROM routed)
-             SELECT route, CAST(batch_id AS BIGINT) AS batch_id,
-                    CAST(COUNT(*) AS BIGINT) AS n_records,
-                    CAST(SUM(length(props)) AS BIGINT) AS sum_bytes
-             FROM numbered GROUP BY route, batch_id
+             num AS (
+               SELECT route, ts_us, event_id, nbytes,
+                      row_number() OVER (PARTITION BY route ORDER BY ts_us, event_id) AS rn
+               FROM routed WHERE nbytes <= $MaxRecordBytes),
+             ch AS (SELECT *, (rn - 1) // $BatchSize AS rec_chunk FROM num),
+             cb AS (SELECT *,
+                      (SUM(nbytes) OVER (PARTITION BY route, rec_chunk
+                         ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                        // $SubBatchBytes AS sub
+                    FROM ch),
+             b AS (SELECT route, rec_chunk, sub, CAST(COUNT(*) AS BIGINT) AS n_records,
+                          CAST(SUM(nbytes) AS BIGINT) AS sum_bytes
+                   FROM cb GROUP BY route, rec_chunk, sub),
+             nb AS (SELECT route,
+                           CAST(row_number() OVER (PARTITION BY route
+                             ORDER BY rec_chunk, sub) - 1 AS BIGINT) AS batch_id,
+                           n_records, sum_bytes
+                    FROM b),
+             ov AS (SELECT route, CAST(-1 AS BIGINT) AS batch_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_records,
+                           CAST(SUM(nbytes) AS BIGINT) AS sum_bytes
+                    FROM routed WHERE nbytes > $MaxRecordBytes GROUP BY route)
+             SELECT * FROM (SELECT * FROM nb UNION ALL SELECT * FROM ov)
              ORDER BY route, batch_id"""))
 
   private val qEtlDlq = Q(
@@ -107,8 +219,7 @@ object Etl {
       val poison = col("value") < 10.0 || col("props").isNull ||
         expr("try_cast(get_json_object(props, '$.k') AS INT) IS NULL") ||
         expr("try_cast(get_json_object(props, '$.k') AS INT) % 10 = 0")
-      Tables.events(s, dir)
-        .withColumn("route", routeCol)
+      withRoute(Tables.events(s, dir))
         .withColumn("is_dead", when(poison, 1L).otherwise(0L))
         .groupBy("route")
         .agg(
@@ -270,12 +381,17 @@ object Etl {
     "q_etl_compact",
     (s, dir) => {
       val target = 4096L // bytes per output file
-      val w = Window.partitionBy("route").orderBy("ts_us", "event_id")
+      // two-phase running sum: per-(route, hour-shard) local cumsum +
+      // broadcast per-shard byte offsets — byte-identical to the single
+      // per-route window it replaces (see withShardOffsets), but the
+      // sort runs one task per shard, not per route.
+      val w = Window.partitionBy("route", "shardk").orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .withColumn("route", routeCol)
-        .withColumn("nbytes", length(col("props")).cast("long"))
-        .withColumn("cum", sum(col("nbytes")).over(w))
+      withShardOffsets(
+          withRoute(Tables.events(s, dir))
+            .withColumn("nbytes", length(col("props")).cast("long"))
+            .select("route", "ts_us", "event_id", "nbytes"))
+        .withColumn("cum", sum(col("nbytes")).over(w) + col("off_b"))
         .withColumn("file_id", expr(s"CAST((cum - 1) DIV $target AS BIGINT)"))
         .groupBy("route", "file_id")
         .agg(

@@ -46,8 +46,15 @@ object Pipeline {
       .withColumn("ts_ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
-  /** §0.1 step 4 — identical routing rule to the batch query `q_etl_route`. */
-  def route(df: DataFrame): DataFrame = df.withColumn("route", Etl.routeCol)
+  /** §0.1 step 4 — config-driven routing, identical to the batch query
+    * `q_etl_route` under the default table; pass a different `rules` /
+    * `fallback` to re-route without recompiling (the routing table is a
+    * stream-static broadcast join, planned per micro-batch).
+    */
+  def route(df: DataFrame,
+      rules: Seq[(String, String)] = Etl.DefaultRoutes,
+      fallback: String = Etl.DefaultStream): DataFrame =
+    Etl.withRoute(df, rules, fallback)
 
   /** The Lambda/Kinesis event envelope schema (SURVEY §0.1 step 1): a
     * `Records` array whose `kinesis.data` field is base64 payload.

@@ -48,6 +48,18 @@ class PlanLintSpec extends SparkSpec {
       s"q_sim_ivf must equi-join on the cell key:\n$ivf")
   }
 
+  test("etl numbering windows shuffle by (route, shard), not route alone") {
+    // the two-phase numbering claim: the big sort/window exchange must
+    // partition by the hour shard too — a route-only hashpartitioning
+    // would mean 4 tasks sorting 25% of the corpus each at any scale.
+    Seq("q_etl_batch_assign", "q_etl_compact").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("""hashpartitioning\(route[^)]*shardk""".r.findFirstIn(plan).isDefined,
+        s"$name must window per (route, shardk):\n$plan")
+    }
+  }
+
   test("pruned scan reads only the projected columns") {
     val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
       .queryExecution.executedPlan.toString

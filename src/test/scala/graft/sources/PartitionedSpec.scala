@@ -12,7 +12,7 @@ class PartitionedSpec extends SparkSpec {
 
   private def writeEvents(): Unit =
     Partitioned.write(
-      Tables.events(spark, sf).withColumn("route", Etl.routeCol)
+      Etl.withRoute(Tables.events(spark, sf))
         .select("event_id", "user_id", "event_type", "value", "route"),
       s"$dir/events_by_route", maxRecordsPerFile = 100000L, "route")
 
@@ -26,7 +26,7 @@ class PartitionedSpec extends SparkSpec {
       s"expected planning-time pruning to 1 of $routes partitions:\n" +
         one.queryExecution.executedPlan)
     // pruned read ≡ filtered full read
-    val expected = Tables.events(spark, sf).withColumn("route", Etl.routeCol)
+    val expected = Etl.withRoute(Tables.events(spark, sf))
       .filter(col("route") === "analytics").count()
     assert(one.count() == expected)
   }

@@ -48,9 +48,9 @@ class EnvelopeSpec extends SparkSpec {
         col("event_id").cast("string").as("sequenceNumber"),
         base64(col("event_type").cast("binary")).as("data")).as("kinesis")))
       .as("Records"))).as("envelope_json"))
-    val routed = Pipeline.ingestEnvelopes(envelopes, "envelope_json")
-      .withColumn("event_type", col("payload"))
-      .withColumn("route", graft.ops.Etl.routeCol)
+    val routed = graft.ops.Etl.withRoute(
+      Pipeline.ingestEnvelopes(envelopes, "envelope_json")
+        .withColumn("event_type", col("payload")))
     assert(routed.filter(col("route").isNull).isEmpty)
     assert(routed.count() == 50)
   }
