@@ -394,9 +394,7 @@ object Llm {
       val e = vecs(s, dir)
       val a = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
       val b = e.select(col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
-      lshCandidates(s, dir)
-        .filter(col("q_id") < col("n_id"))
-        .select(col("q_id").as("d1"), col("n_id").as("d2"))
+      lshCandidates(s, dir) // already undirected (d1 < d2)
         .join(a, "d1").join(b, "d2")
         .withColumn("cos", cosCol)
         .filter(col("cos") >= 0.3)
@@ -493,16 +491,20 @@ object Llm {
                 CAST(0 AS BIGINT), (acc, x) -> acc + x)))""")).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
-  /** Directed candidate pairs: vectors sharing ANY band signature.
-    * Skinny self-join on (band, sig) — the arrays never ride through the
-    * shuffle; candidate volume ≈ LshBands · bucket_target per query.
+  /** UNDIRECTED candidate pairs (d1 < d2): vectors sharing ANY band
+    * signature. Skinny self-join on (band, sig) — the arrays never ride
+    * through the shuffle — and ordered, so the join emits each pair once
+    * (half the rows of a directed formulation through the self-join, the
+    * dedup, and the downstream array-attach joins; consumers that need
+    * both directions mirror AFTER computing the symmetric cosine).
+    * Candidate volume ≈ LshBands · bucket_target per vector.
     */
   private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val bk = lshBuckets(s, dir)
     bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
       .distinct()
   }
 
@@ -538,13 +540,21 @@ object Llm {
       // ~LshBands · 500 candidate cosines INDEPENDENT of corpus size —
       // the property the previous 3-fixed-hyperplane design lacked.
       val e = vecs(s, dir)
-      val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val nn = e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      lshCandidates(s, dir)
-        .join(q, "q_id").join(nn, "n_id")
+      val q = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
+      val nn = e.select(col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
+      // score each unordered pair ONCE (cosine is symmetric), then mirror
+      // the skinny (id, id, cos) rows to directed form for the per-query
+      // window — the vector arrays attach to half the rows
+      val scored = lshCandidates(s, dir)
+        .join(q, "d1").join(nn, "d2")
         .withColumn("cos", cosCol)
-        .select("q_id", "n_id", "cos")
+        .select("d1", "d2", "cos")
+      val directed = scored
+        .select(col("d1").as("q_id"), col("d2").as("n_id"), col("cos"))
+        .unionByName(scored
+          .select(col("d2").as("q_id"), col("d1").as("n_id"), col("cos")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      directed
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select("q_id", "rnk", "n_id", "cos")
