@@ -694,7 +694,7 @@ object Llm {
     (s, dir) => {
       // Per-lang top-5 terms by tf-idf: tf = term count within the lang,
       // idf = ln(N_docs / docs containing the term). Two aggregations +
-      // one broadcastable join — no per-doc pair space.
+      // one term equi-join — no per-doc pair space.
       val ex = Tables(s, dir, "documents")
         // single-file scan — fan out before the explode (see shingles());
         // both consumers (tf and df) share the exchange
@@ -704,7 +704,12 @@ object Llm {
       val df = ex.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
       val tf = ex.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
       val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term"))
-      tf.join(broadcast(df), "term")
+      // NO broadcast hint on df: it is the full VOCABULARY (billions of
+      // terms on a web corpus — a forced broadcast OOMs at 100 TB). As an
+      // equi-join on term, AQE broadcasts it while it is actually small
+      // and shuffle-joins it when it is not; both tf and df hash by term
+      // anyway. Only the 1-row nDocs is hint-broadcast.
+      tf.join(df, "term")
         .crossJoin(broadcast(nDocs))
         .withColumn("score", expr("round(tf * ln(n_docs / CAST(df AS DOUBLE)), 4)"))
         .withColumn("rnk", row_number().over(w).cast("long"))

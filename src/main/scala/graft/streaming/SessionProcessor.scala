@@ -49,7 +49,7 @@ class SessionProcessor(gapUs: Long) extends StatefulProcessor[Long, Event, Sessi
       user: Long, timers: TimerValues, info: ExpiredTimerInfo): Iterator[Session] =
     if (session.exists()) {
       val s = session.get()
-      if (info.getExpiryTimeInMs >= s.endUs / 1000L + gapUs / 1000L) {
+      if (info.getExpiryTimeInMs() >= s.endUs / 1000L + gapUs / 1000L) {
         session.clear()
         Iterator.single(s)
       } else Iterator.empty // stale timer from a since-extended session
