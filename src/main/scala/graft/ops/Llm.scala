@@ -303,8 +303,15 @@ object Llm {
     // weight of bit j for token hash h (md5 hex): ±1 from the j-th bit.
     "(shiftright(CAST(instr('0123456789abcdef', substr(h, CAST(j DIV 4 AS INT) + 1, 1)) - 1 AS BIGINT), CAST(3 - j % 4 AS INT)) & 1) * 2 - 1"
 
-  /** (doc_id, 32-bit simhash signature) — shared by the signature query
-    * and the banded pair search.
+  /** (doc_id, 64-bit simhash signature) — shared by the signature query
+    * and the banded pair search. 64 bits (the first 16 md5 hex chars per
+    * token, 4 bits/char) rather than 32: the banded search below cuts
+    * the signature into 4 bands, and band width is what bounds bucket
+    * occupancy — 16-bit bands give 65 536 buckets/band vs the 256 a
+    * 32-bit signature allows, pushing the within-bucket pair join's
+    * break-even 256× further out. Bit 63 makes the signature negative in
+    * two's complement — harmless: band extraction masks after the shift
+    * and xor/bit_count are bit-pattern ops in both engines.
     */
   private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables(s, dir, "documents")
@@ -313,12 +320,17 @@ object Llm {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    tok.select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+    tok.select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("j"))
       .withColumn("w", expr(simhashSpark))
       .groupBy("doc_id", "j")
       .agg(sum("w").as("s"))
       .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE 0 END"))
+      // bit 63 spelled as Long.MinValue, not 1<<63: DuckDB raises an
+      // overflow error on the shift (Spark wraps); the subtraction form
+      // is exact and legal in both engines
+      .agg(sum(expr(
+        "CASE WHEN s > 0 THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1 " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) END) ELSE 0 END"))
         .as("simhash"))
   }
 
@@ -328,10 +340,12 @@ object Llm {
        b AS (SELECT doc_id, j,
               SUM((((instr('0123456789abcdef', substr(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
                    >> CAST(3 - j % 4 AS INT)) & 1) * 2 - 1) AS s
-             FROM tok CROSS JOIN range(0, 32) r(j) GROUP BY doc_id, j),
+             FROM tok CROSS JOIN range(0, 64) r(j) GROUP BY doc_id, j),
        sig AS (SELECT doc_id,
                 CAST(SUM(CASE WHEN s > 0
-                     THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+                     THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                           ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END)
+                     ELSE 0 END) AS BIGINT)
                   AS simhash
                FROM b GROUP BY doc_id)"""
 
@@ -347,18 +361,20 @@ object Llm {
             SELECT doc_id, simhash FROM sig ORDER BY doc_id"""))
 
   /** Banded SimHash near-dup search: signatures are split into 4 bands of
-    * 8 bits; docs sharing ANY band become candidates, then the full 32-bit
-    * Hamming distance filters at ≤ 3. Coverage is exact by pigeonhole —
-    * distance ≤ 3 flips bits in at most 3 bands, so at least one band
-    * matches — and candidate volume is tunable by band width, independent
-    * of corpus size: the same LSH-banding idea as MinHash, on bits.
+    * 16 bits; docs sharing ANY band become candidates, then the full
+    * 64-bit Hamming distance filters at ≤ 3. Coverage is exact by
+    * pigeonhole — distance ≤ 3 flips bits in at most 3 bands, so at
+    * least one band matches — and 16-bit bands put 65 536 buckets behind
+    * each band, so bucket occupancy stays ~n/65 536 per band (the shift
+    * result is masked to the band width, so the sign bit of the 64-bit
+    * signature never leaks into the bucket key in either engine).
     */
   private val qDedupSimhashPairs = Q(
     "q_dedup_simhash_pairs",
     (s, dir) => {
       val bands = simhashSigs(s, dir)
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
-        .withColumn("band", expr("(simhash >> CAST(k * 8 AS INT)) & 255"))
+        .withColumn("band", expr("(simhash >> CAST(k * 16 AS INT)) & 65535"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -371,7 +387,7 @@ object Llm {
     },
     Some(s"""WITH $simhashSigsSql,
             bands AS (SELECT doc_id, simhash, k,
-                       (simhash >> CAST(k * 8 AS INT)) & 255 AS band
+                       (simhash >> CAST(k * 16 AS INT)) & 65535 AS band
                       FROM sig CROSS JOIN range(0, 4) r(k)),
             cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
                        a.simhash AS s1, b2.simhash AS s2
