@@ -240,6 +240,36 @@ object Etl {
              CAST(COUNT(*) AS BIGINT) AS n_total
              FROM events GROUP BY route ORDER BY route"""))
 
+  /** Payload scrubbing before delivery — the PII-redaction transform a
+    * production Kinesis→Firehose hop applies in-flight (and a standard
+    * training-data-pipeline step): mask email-shaped tokens, then digit
+    * runs, in the raw JSON payload; emit per-event match counts and the
+    * md5 of the redacted payload (flat + small, and enough for the
+    * oracle to pin the exact redacted STRING, not just the counts).
+    * Row-wise regex only — map-only at any scale. Null payloads redact
+    * to the empty string.
+    */
+  private val qEtlRedact = Q(
+    "q_etl_redact",
+    (s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+" // no \\ escapes: portable as-is
+      val num = "[0-9]+"
+      Tables.events(s, dir)
+        .withColumn("p", coalesce(col("props"), lit("")))
+        .withColumn("n_email", size(expr(s"regexp_extract_all(p, '$email', 0)")).cast("long"))
+        .withColumn("n_num", size(expr(s"regexp_extract_all(p, '$num', 0)")).cast("long"))
+        .withColumn("red",
+          regexp_replace(regexp_replace(col("p"), email, "<EMAIL>"), num, "<NUM>"))
+        .select(col("event_id"), col("n_email"), col("n_num"),
+          md5(col("red").cast("binary")).as("red_md5"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+            CAST(len(regexp_extract_all(COALESCE(props, ''), '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(COALESCE(props, ''), '[0-9]+')) AS BIGINT) AS n_num,
+            md5(regexp_replace(regexp_replace(COALESCE(props, ''), '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS red_md5
+            FROM events ORDER BY event_id"""))
+
   // ------------------------------------------------------------- §2.10
   // Event-time windows, declared batch-mode (window()/session_window() are
   // batch-legal expressions); identical window() calls run under
@@ -417,5 +447,5 @@ object Etl {
 
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
-    qEtlCompact, qStreamTumbling, qStreamSliding, qStreamSession)
+    qEtlCompact, qEtlRedact, qStreamTumbling, qStreamSliding, qStreamSession)
 }

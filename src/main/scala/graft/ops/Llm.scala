@@ -938,6 +938,51 @@ object Llm {
           FROM q ORDER BY doc_id"""
     })
 
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * step an embedding/training pipeline runs over every document before
+    * vectorizing: 32-token chunks on a 24-token stride (8-token overlap),
+    * each chunk identified by (doc_id, chunk_id) with its md5 for
+    * downstream exact-dedup of chunks. Integer-only arithmetic, map-only
+    * explode (the token array never leaves its row until the bounded
+    * per-doc chunk fan-out of ≤ ceil(n_tokens/24) rows).
+    */
+  private val qTextChunk = Q(
+    "q_text_chunk",
+    (s, dir) => {
+      val C = 32
+      val stride = 24 // C - overlap(8)
+      Tables(s, dir, "documents")
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("n_chunks", expr(
+          s"CASE WHEN n_tokens <= $C THEN CAST(1 AS BIGINT) ELSE (n_tokens - $C + ${stride - 1}) DIV $stride + 1 END"))
+        .select(col("doc_id"), col("t"), col("n_tokens"),
+          explode(expr("sequence(0, CAST(n_chunks - 1 AS INT))")).as("cid"))
+        .withColumn("chunk_id", col("cid").cast("long"))
+        .withColumn("start_tok", expr(s"chunk_id * $stride + 1"))
+        .withColumn("n_tok_chunk", expr(s"least(CAST($C AS BIGINT), n_tokens - start_tok + 1)"))
+        .withColumn("chunk_md5", md5(
+          expr("concat_ws(' ', slice(t, CAST(start_tok AS INT), CAST(n_tok_chunk AS INT)))").cast("binary")))
+        .select("doc_id", "chunk_id", "start_tok", "n_tok_chunk", "chunk_md5")
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, t, n_tokens,
+                   CASE WHEN n_tokens <= 32 THEN 1
+                        ELSE (n_tokens - 32 + 23) // 24 + 1 END AS n_chunks
+                  FROM d),
+            x AS (SELECT doc_id, t, n_tokens, CAST(u.i AS BIGINT) AS chunk_id
+                  FROM c, unnest(range(n_chunks)) u(i)),
+            y AS (SELECT doc_id, chunk_id, chunk_id * 24 + 1 AS start_tok,
+                   least(32, n_tokens - (chunk_id * 24 + 1) + 1) AS n_tok_chunk, t
+                  FROM x)
+            SELECT doc_id, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(n_tok_chunk AS BIGINT) AS n_tok_chunk,
+                   md5(array_to_string(t[CAST(start_tok AS INT):CAST(start_tok + n_tok_chunk - 1 AS INT)], ' ')) AS chunk_md5
+            FROM y ORDER BY doc_id, chunk_id"""))
+
   private val qTextFingerprint = Q(
     "q_text_fingerprint",
     (s, dir) => {
@@ -1280,5 +1325,5 @@ object Llm {
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecQuantize,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
-    qTextRepNgram, qTextFingerprint, qTextNormalize, qMultimodalJoin)
+    qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qMultimodalJoin)
 }
