@@ -187,6 +187,45 @@ class InvariantsSpec extends SparkSpec {
     assert(ivfRecall >= 0.2, f"IVF recall@3 = $ivfRecall%.3f < 0.2 (random baseline ~0.08)")
   }
 
+  test("chunking tiles every document: full coverage, correct overlap, no gaps") {
+    val chunks = SparkEntry.queries("q_text_chunk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nTokens = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nTokens.foreach { case (doc, n) =>
+      val cs = chunks(doc).sortBy(_._2)
+      // chunk 0 starts at token 1; consecutive starts differ by the stride;
+      // the last chunk ends exactly at the last token; every chunk is
+      // non-empty and at most the chunk size
+      assert(cs.head._3 == 1L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 == 24L, s"doc $doc stride broken")
+        case _ => ()
+      }
+      val last = cs.last
+      assert(last._3 + last._4 - 1 == n, s"doc $doc: last chunk must end at token $n")
+      assert(cs.forall(c => c._4 >= 1 && c._4 <= 32))
+    }
+  }
+
+  test("redaction is idempotent and digit-free") {
+    // redact(redact(x)) == redact(x): the masks contain no digits or
+    // @-tokens, so a second pass must be a no-op — the property that
+    // makes the scrub safe to re-run on partially-processed data.
+    val red = regexp_replace(regexp_replace(
+        coalesce(col("props"), lit("")), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+    val once = Tables.events(spark, sf).withColumn("r1", red)
+    val twice = once.withColumn("r2",
+      regexp_replace(regexp_replace(col("r1"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+        "[0-9]+", "<NUM>"))
+    assert(twice.filter(col("r1") =!= col("r2")).isEmpty, "redaction must be idempotent")
+    assert(twice.filter(col("r1").rlike("[0-9]")).isEmpty, "no digits may survive redaction")
+  }
+
   test("topk stability: q_topk is the ordered prefix of the full sort") {
     val top = SparkEntry.queries("q_topk")(spark, sf).collect()
     val full = Tables(spark, sf, "orders")
