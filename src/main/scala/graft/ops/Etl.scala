@@ -40,6 +40,11 @@ object Etl {
   def withRoute(df: DataFrame,
       rules: Seq[(String, String)] = DefaultRoutes,
       fallback: String = DefaultStream): DataFrame = {
+    // a duplicate key in the rules table would JOIN-DUPLICATE every
+    // matching event (the old CASE had first-match-wins); fail fast
+    // instead of silently inflating downstream counts
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"routing table has duplicate event_type keys: ${rules.map(_._1).diff(rules.map(_._1).distinct).distinct.mkString(", ")}")
     val s = df.sparkSession
     import s.implicits._
     val tbl = rules.toDF("event_type", "_route_to")
@@ -177,12 +182,17 @@ object Etl {
   private val qEtlBatchAssign = Q(
     "q_etl_batch_assign",
     (s, dir) =>
+      // NULL payload = 0-byte record: it must still be numbered and
+      // batched (whether a null payload is POISON is q_etl_dlq's verdict,
+      // not the batcher's) — and a NULL nbytes would silently fall out of
+      // both the <=cap and >cap filters AND null the shard-head running
+      // sums, so coalesce at the source
       batchAssign(withRoute(Tables.events(s, dir))
-        .withColumn("nbytes", length(col("props")).cast("long"))
+        .withColumn("nbytes", coalesce(length(col("props")), lit(0)).cast("long"))
         .select("route", "ts_us", "event_id", "nbytes")),
     Some(s"""WITH routed AS (
                SELECT $routeSql AS route, epoch_us(ts) AS ts_us, event_id,
-                      CAST(length(props) AS BIGINT) AS nbytes
+                      CAST(COALESCE(length(props), 0) AS BIGINT) AS nbytes
                FROM events),
              num AS (
                SELECT route, ts_us, event_id, nbytes,
@@ -419,7 +429,10 @@ object Etl {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       withShardOffsets(
           withRoute(Tables.events(s, dir))
-            .withColumn("nbytes", length(col("props")).cast("long"))
+            // COALESCE: a NULL at a shard head would null the local
+            // cumsum while the oracle's global window skips it — see
+            // q_etl_batch_assign
+            .withColumn("nbytes", coalesce(length(col("props")), lit(0)).cast("long"))
             .select("route", "ts_us", "event_id", "nbytes"))
         .withColumn("cum", sum(col("nbytes")).over(w) + col("off_b"))
         .withColumn("file_id", expr(s"CAST((cum - 1) DIV $target AS BIGINT)"))
@@ -431,7 +444,7 @@ object Etl {
     },
     Some(s"""WITH routed AS (
                SELECT $routeSql AS route, epoch_us(ts) AS ts_us, event_id,
-                      CAST(length(props) AS BIGINT) AS nbytes
+                      CAST(COALESCE(length(props), 0) AS BIGINT) AS nbytes
                FROM events),
              binned AS (
                SELECT route, nbytes,

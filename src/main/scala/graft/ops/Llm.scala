@@ -127,12 +127,20 @@ object Llm {
     jaccardPairsFrom(shingles(s, dir))
 
   private[graft] def jaccardPairsFrom(sh0: DataFrame): DataFrame = {
-    // df per shingle via a window over the same exchange the self-join
-    // needs anyway (partitioned by sh) — no extra aggregation pass
-    val sh = sh0
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= ShingleDfCap)
-      .drop("df")
+    // Hot shingles are removed by a map-only broadcast ANTI-join against
+    // the (tiny) over-cap key set, NOT a window over partitionBy(sh): a
+    // window would funnel every occurrence of the hottest key through one
+    // sorting WindowExec task — re-creating the exact single-task skew
+    // the cap exists to defuse. The df aggregation combines map-side (a
+    // df>cap key reduces to one row per input partition before the
+    // shuffle), and the over-cap key set is bounded by
+    // total_occurrences/τ keys, each 8 bytes — broadcastable at any
+    // realistic corpus; the raw shingle rows never re-partition by sh
+    // until the pair join, which only ever sees df≤τ keys.
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select("sh")
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -460,22 +468,34 @@ object Llm {
   // ---- random-hyperplane LSH machinery (shared by q_sim_ann_lsh and
   // ---- q_dedup_embed) ----------------------------------------------------
 
+  /** First 8 md5 hex chars of the string expression `arg` as an unsigned
+    * 32-bit integer — the ONE engine-portable deterministic hash the LSH
+    * hyperplanes AND the IVF centroid sampling build on (a single pair of
+    * Spark/DuckDB spellings, so the bit-assembly idiom cannot drift
+    * between its consumers or between engine twins).
+    */
+  private def md5Hex32Spark(arg: String): String =
+    s"""aggregate(transform(sequence(0, 7), c ->
+          shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST($arg AS BINARY)), c + 1, 1)) - 1 AS BIGINT),
+                    CAST(4 * (7 - c) AS INT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+
+  private def md5Hex32Sql(arg: String): String =
+    s"""list_sum(list_transform(range(8), c ->
+          CAST(instr('0123456789abcdef', substr(md5($arg), CAST(c + 1 AS INT), 1)) - 1 AS BIGINT)
+            << CAST(4 * (7 - c) AS INT)))"""
+
   /** Engine-portable pseudo-random weight for hyperplane `t`, dimension
-    * `i`: the first 8 md5 hex chars of "t_i" as a 32-bit integer, scaled
-    * to [-1, 1). Integer-derived and divided by 2³¹, so the double is
-    * BIT-IDENTICAL in Spark and DuckDB — the hyperplanes are data, not
-    * engine state. `t`/`i` are the lambda variable names in scope.
+    * `i`: [[md5Hex32Spark]] of "t_i", scaled to [-1, 1). Integer-derived
+    * and divided by 2³¹, so the double is BIT-IDENTICAL in Spark and
+    * DuckDB — the hyperplanes are data, not engine state. `t`/`i` are
+    * the lambda variable names in scope.
     */
   private def planeWeightSpark(t: String, i: String): String =
-    s"""CAST(aggregate(transform(sequence(0, 7), c ->
-          shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST(concat(CAST($t AS STRING), '_', CAST($i AS STRING)) AS BINARY)), c + 1, 1)) - 1 AS BIGINT),
-                    CAST(4 * (7 - c) AS INT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / 2147483648.0D - 1.0D"""
+    s"""CAST(${md5Hex32Spark(s"concat(CAST($t AS STRING), '_', CAST($i AS STRING))")} AS DOUBLE) / 2147483648.0D - 1.0D"""
 
   private def planeWeightSql(t: String, i: String): String =
-    s"""CAST(list_sum(list_transform(range(8), c ->
-          CAST(instr('0123456789abcdef', substr(md5(CAST($t AS VARCHAR) || '_' || CAST($i AS VARCHAR)), CAST(c + 1 AS INT), 1)) - 1 AS BIGINT)
-            << CAST(4 * (7 - c) AS INT))) AS DOUBLE) / 2147483648.0 - 1.0"""
+    s"""CAST(${md5Hex32Sql(s"CAST($t AS VARCHAR) || '_' || CAST($i AS VARCHAR)")} AS DOUBLE) / 2147483648.0 - 1.0"""
 
   /** One row: (rb, pl) where pl = LshBands·rb hyperplanes of dimension d,
     * derived from corpus size alone. Computed once and broadcast — the
@@ -565,10 +585,14 @@ object Llm {
         .join(q, "d1").join(nn, "d2")
         .withColumn("cos", cosCol)
         .select("d1", "d2", "cos")
-      val directed = scored
-        .select(col("d1").as("q_id"), col("d2").as("n_id"), col("cos"))
-        .unionByName(scored
-          .select(col("d2").as("q_id"), col("d1").as("n_id"), col("cos")))
+      // mirror via a 2-way EXPLODE, not a union: Union(Project(X),
+      // Project(X)) physically executes the joins+cosine subtree twice
+      // (Spark does not CSE plan subtrees), while the explode fans each
+      // scored row out in the same single pass
+      val directed = scored.select(explode(array(
+          struct(col("d1").as("q_id"), col("d2").as("n_id"), col("cos")),
+          struct(col("d2").as("q_id"), col("d1").as("n_id"), col("cos")))).as("p"))
+        .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"), col("p.cos").as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
       directed
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -603,10 +627,7 @@ object Llm {
       val thr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
         .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
       val uExpr = // md5-derived uniform in [0,1) from vec_id
-        s"""CAST(aggregate(transform(sequence(0, 7), c ->
-              shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST(CAST(vec_id AS STRING) AS BINARY)), c + 1, 1)) - 1 AS BIGINT),
-                        CAST(4 * (7 - c) AS INT))),
-              CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / 4294967296.0D"""
+        s"""CAST(${md5Hex32Spark("CAST(vec_id AS STRING)")} AS DOUBLE) / 4294967296.0D"""
       val cent = e.crossJoin(broadcast(thr))
         .filter(expr(uExpr) < col("thr"))
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -638,9 +659,7 @@ object Llm {
     Some(s"""WITH $vecsSql,
              prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM embeddings),
              cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
-                      WHERE CAST(list_sum(list_transform(range(8), c ->
-                              CAST(instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), CAST(c + 1 AS INT), 1)) - 1 AS BIGINT)
-                                << CAST(4 * (7 - c) AS INT))) AS DOUBLE) / 4294967296.0 < thr),
+                      WHERE CAST(${md5Hex32Sql("CAST(vec_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < thr),
              asg AS (SELECT n.vec_id, n.v, n.nrm, c_id,
                       row_number() OVER (PARTITION BY n.vec_id ORDER BY
                         ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
