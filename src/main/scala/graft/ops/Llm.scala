@@ -58,6 +58,42 @@ object Llm {
     */
   private val IvfProbes = 4
 
+  /** Occupancy cap for LSH-style buckets (MinHash bands, SimHash bands,
+    * hyperplane sign buckets). A bucket with more members than this is
+    * mass-duplicated content — m identical/near-identical items collide
+    * in EVERY band, so the within-bucket join emits m² pairs per band no
+    * matter how the bucket keys are derived. Such clusters are exact-
+    * dedup's job (q_dedup_exact / q_text_normalize run FIRST in the
+    * pipeline); the pair search drops over-cap buckets rather than going
+    * quadratic on them. 256²/2 pairs is the largest single-bucket job we
+    * accept. Fixture band buckets top out far below this at both SFs, so
+    * local results are unchanged.
+    */
+  private val BandBucketCap = 256
+
+  /** The sign-LSH variant of the cap: sign buckets are sized ~500 by
+    * construction (rb grows with n), so only pathological skew — a mega-
+    * cluster of identical vectors, or all mass in one halfspace — can
+    * exceed 16× the target. Dropping such a bucket costs little recall:
+    * with 8 OR-ed bands a query keeps its 7 other bands' candidates, and
+    * identical-vector clusters are exact-dup territory anyway.
+    */
+  private val SignBucketCap = 16 * 500
+
+  /** Drop all rows of (key) groups whose occupancy exceeds `cap`: df via
+    * map-side-combined aggregation (a hot key collapses to one row per
+    * input partition BEFORE the shuffle), over-cap key set broadcast for
+    * a map-only anti-join — the rows of a hot key are never funneled
+    * through a single sort/window task at any point (the trap a
+    * count-over-window formulation falls into).
+    */
+  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
+      .select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
+  }
+
   // -------------------------------------------------------------- helpers
 
   /** Raw (multiset) 3-word shingles per doc, pre-hashed to 64 bits:
@@ -280,9 +316,12 @@ object Llm {
         val rows = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
         struct(lit(b).as("band"), xxhash64(rows: _*).as("sig")).as(s"b$b")
       }
-      val buckets = sigs.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bucket"))
-        .select(col("doc_id"), col("bucket.band"), col("bucket.sig"))
+      // over-cap band buckets = mass-duplicated docs; drop them before
+      // the self-join (see BandBucketCap) — exact dedup owns those
+      val buckets = dropHotKeys(
+        sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+          .select(col("doc_id"), col("bucket.band"), col("bucket.sig")),
+        Seq("band", "sig"), BandBucketCap)
       val cand = buckets.as("a").join(buckets.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -380,9 +419,11 @@ object Llm {
   private val qDedupSimhashPairs = Q(
     "q_dedup_simhash_pairs",
     (s, dir) => {
-      val bands = simhashSigs(s, dir)
-        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
-        .withColumn("band", expr("(simhash >> CAST(k * 16 AS INT)) & 65535"))
+      val bands = dropHotKeys(
+        simhashSigs(s, dir)
+          .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
+          .withColumn("band", expr("(simhash >> CAST(k * 16 AS INT)) & 65535")),
+        Seq("k", "band"), BandBucketCap)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -394,9 +435,13 @@ object Llm {
         .select("d1", "d2", "hamming").orderBy("d1", "d2")
     },
     Some(s"""WITH $simhashSigsSql,
-            bands AS (SELECT doc_id, simhash, k,
+            bands0 AS (SELECT doc_id, simhash, k,
                        (simhash >> CAST(k * 16 AS INT)) & 65535 AS band
                       FROM sig CROSS JOIN range(0, 4) r(k)),
+            hotb AS (SELECT k, band FROM bands0 GROUP BY k, band
+                     HAVING COUNT(*) > $BandBucketCap),
+            bands AS (SELECT * FROM bands0 b WHERE NOT EXISTS
+                       (SELECT 1 FROM hotb h WHERE h.k = b.k AND h.band = b.band)),
             cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
                        a.simhash AS s1, b2.simhash AS s2
                      FROM bands a JOIN bands b2
@@ -517,15 +562,20 @@ object Llm {
     * broadcast; the bucket computation never shuffles).
     */
   private def lshBuckets(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir).crossJoin(broadcast(lshPlanes(s, dir)))
-      .select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, $LshBands - 1), b -> named_struct(
-              'band', CAST(b AS BIGINT),
-              'sig', aggregate(transform(sequence(0, rb - 1), r ->
-                IF(aggregate(zip_with(v, element_at(pl, b * rb + r + 1), (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0D,
-                   shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))),
-                CAST(0 AS BIGINT), (acc, x) -> acc + x)))""")).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    dropHotKeys(
+      vecs(s, dir).crossJoin(broadcast(lshPlanes(s, dir)))
+        .select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, $LshBands - 1), b -> named_struct(
+                'band', CAST(b AS BIGINT),
+                'sig', aggregate(transform(sequence(0, rb - 1), r ->
+                  IF(aggregate(zip_with(v, element_at(pl, b * rb + r + 1), (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0D,
+                     shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))),
+                  CAST(0 AS BIGINT), (acc, x) -> acc + x)))""")).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig")),
+      // pathological-skew guard (see SignBucketCap): an over-cap sign
+      // bucket is a mega-cluster of (near-)identical vectors; its
+      // members keep their other 7 bands' candidates
+      Seq("band", "sig"), SignBucketCap)
 
   /** UNDIRECTED candidate pairs (d1 < d2): vectors sharing ANY band
     * signature. Skinny self-join on (band, sig) — the arrays never ride
@@ -557,11 +607,15 @@ object Llm {
                 list_transform(range($LshBands * rb), t ->
                   list_transform(range(d), i -> ${planeWeightSql("t", "i")})) AS planes
                FROM prm),
-        bk AS (SELECT vec_id, CAST(bb.b AS BIGINT) AS band,
+        bk0 AS (SELECT vec_id, CAST(bb.b AS BIGINT) AS band,
                 CAST(list_sum(list_transform(range(rb), r ->
                   CASE WHEN list_dot_product(v, planes[bb.b * rb + r + 1]) > 0
                        THEN (CAST(1 AS BIGINT) << CAST(r AS INT)) ELSE 0 END)) AS BIGINT) AS sig
                FROM n CROSS JOIN pl CROSS JOIN range(0, $LshBands) bb(b)),
+        hotbk AS (SELECT band, sig FROM bk0 GROUP BY band, sig
+                  HAVING COUNT(*) > $SignBucketCap),
+        bk AS (SELECT * FROM bk0 b WHERE NOT EXISTS
+                (SELECT 1 FROM hotbk h WHERE h.band = b.band AND h.sig = b.sig)),
         cand AS (SELECT DISTINCT a.vec_id AS q_id, b2.vec_id AS n_id
                  FROM bk a JOIN bk b2
                    ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id <> b2.vec_id)"""
