@@ -62,36 +62,57 @@ object Llm {
     * hyperplane sign buckets). A bucket with more members than this is
     * mass-duplicated content — m identical/near-identical items collide
     * in EVERY band, so the within-bucket join emits m² pairs per band no
-    * matter how the bucket keys are derived. Such clusters are exact-
-    * dedup's job (q_dedup_exact / q_text_normalize run FIRST in the
-    * pipeline); the pair search drops over-cap buckets rather than going
-    * quadratic on them. 256²/2 pairs is the largest single-bucket job we
-    * accept. Fixture band buckets top out far below this at both SFs, so
-    * local results are unchanged.
+    * matter how the bucket keys are derived; the pair search drops
+    * over-cap buckets rather than going quadratic on them (256²/2 pairs
+    * is the largest single-bucket job we accept).
+    *
+    * HONEST LIMITATION: this is a recall trade, not a free lunch. A
+    * cluster of byte-identical docs is caught upstream by
+    * q_dedup_exact / q_text_normalize, but a >cap cluster of
+    * NEAR-identical docs (same page, varying timestamp) loses its pairs
+    * here — its members collide in every band, so no band survives. The
+    * banded searches' pigeonhole coverage guarantee therefore holds
+    * among docs whose buckets stay under the cap; corpora where
+    * near-identical mass-duplication is expected should canonicalize
+    * volatile fields (the q_text_normalize step) before near-dup runs.
+    * Fixture band buckets only exceed the cap for one sf0.1 SimHash band
+    * (312→303 pairs), where both engines agree.
     */
   private val BandBucketCap = 256
 
-  /** The sign-LSH variant of the cap: sign buckets are sized ~500 by
-    * construction (rb grows with n), so only pathological skew — a mega-
-    * cluster of identical vectors, or all mass in one halfspace — can
-    * exceed 16× the target. Dropping such a bucket costs little recall:
-    * with 8 OR-ed bands a query keeps its 7 other bands' candidates, and
-    * identical-vector clusters are exact-dup territory anyway.
+  /** The sign-LSH variant of the cap, coupled to the bucket-size target:
+    * sign buckets are sized ~LshBucketTarget by construction (rb grows
+    * with n), so only pathological skew — a mega-cluster of
+    * (near-)identical vectors, or all mass in one halfspace — exceeds
+    * 16× the target. Same honest limitation as [[BandBucketCap]]: an
+    * over-cap cluster of identical vectors collides in ALL bands and
+    * loses every candidate, so its members drop out of the ANN result
+    * entirely; embedding-level mega-duplication must be collapsed by
+    * content-level dedup before vectorizing.
     */
-  private val SignBucketCap = 16 * 500
+  private val SignBucketCap = 16 * LshBucketTarget
 
-  /** Drop all rows of (key) groups whose occupancy exceeds `cap`: df via
-    * map-side-combined aggregation (a hot key collapses to one row per
-    * input partition BEFORE the shuffle), over-cap key set broadcast for
-    * a map-only anti-join — the rows of a hot key are never funneled
-    * through a single sort/window task at any point (the trap a
-    * count-over-window formulation falls into).
+  /** Drop all rows of (key) groups whose occupancy exceeds `cap`.
+    * The input is materialized ONCE (localCheckpoint, the
+    * q_dedup_cluster pattern): the occupancy scan, the anti-join probe,
+    * and every downstream consumer read the same blocks instead of
+    * re-executing the (often expensive) source subtree — the cap
+    * previously cost the LSH family ~30% in recompute. The occupancy
+    * aggregation combines map-side (a hot key collapses to one row per
+    * input partition BEFORE the shuffle) and the over-cap key set is
+    * deliberately NOT hint-broadcast: AQE broadcasts it while it is
+    * actually small (the normal case) and falls back to a shuffle
+    * anti-join instead of a forced driver OOM if a corpus produces
+    * gigabytes of over-cap keys. A count-over-window formulation is the
+    * trap to avoid — it funnels every row of the hottest key through
+    * one sorting task.
     */
   private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val hot = df.groupBy(keys.map(col): _*)
+    val mat = df.localCheckpoint(true)
+    val hot = mat.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
       .select(keys.map(col): _*)
-    df.join(broadcast(hot), keys, "left_anti")
+    mat.join(hot, keys, "left_anti")
   }
 
   // -------------------------------------------------------------- helpers
@@ -163,20 +184,15 @@ object Llm {
     jaccardPairsFrom(shingles(s, dir))
 
   private[graft] def jaccardPairsFrom(sh0: DataFrame): DataFrame = {
-    // Hot shingles are removed by a map-only broadcast ANTI-join against
-    // the (tiny) over-cap key set, NOT a window over partitionBy(sh): a
-    // window would funnel every occurrence of the hottest key through one
-    // sorting WindowExec task — re-creating the exact single-task skew
-    // the cap exists to defuse. The df aggregation combines map-side (a
-    // df>cap key reduces to one row per input partition before the
-    // shuffle), and the over-cap key set is bounded by
-    // total_occurrences/τ keys, each 8 bytes — broadcastable at any
-    // realistic corpus; the raw shingle rows never re-partition by sh
-    // until the pair join, which only ever sees df≤τ keys.
-    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap)
-      .select("sh")
-    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    // Hot shingles are removed by dropHotKeys (materialize-once +
+    // anti-join against the over-cap key set), NOT a window over
+    // partitionBy(sh): a window would funnel every occurrence of the
+    // hottest key through one sorting WindowExec task — the exact
+    // single-task skew the cap exists to defuse. The materialization
+    // also pays for itself directly: the shingle explode+distinct
+    // subtree previously re-executed for each of the three consumers
+    // below (cnt, both self-join sides).
+    val sh = dropHotKeys(sh0, Seq("sh"), ShingleDfCap)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
