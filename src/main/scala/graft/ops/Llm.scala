@@ -1035,42 +1035,90 @@ object Llm {
     * explode (the token array never leaves its row until the bounded
     * per-doc chunk fan-out of ≤ ceil(n_tokens/24) rows).
     */
+  /** Shared chunk table (doc_id, chunk_id, start_tok, n_tok_chunk,
+    * chunk_md5) for q_text_chunk and q_dedup_chunk — one tokenization/
+    * hashing rule so the dedup can never drift from the chunking.
+    */
+  private def chunked(s: SparkSession, dir: String): DataFrame = {
+    val C = 32
+    val stride = 24 // C - overlap(8)
+    Tables(s, dir, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n_tokens <= $C THEN CAST(1 AS BIGINT) ELSE (n_tokens - $C + ${stride - 1}) DIV $stride + 1 END"))
+      .select(col("doc_id"), col("t"), col("n_tokens"),
+        explode(expr("sequence(0, CAST(n_chunks - 1 AS INT))")).as("cid"))
+      .withColumn("chunk_id", col("cid").cast("long"))
+      .withColumn("start_tok", expr(s"chunk_id * $stride + 1"))
+      .withColumn("n_tok_chunk", expr(s"least(CAST($C AS BIGINT), n_tokens - start_tok + 1)"))
+      .withColumn("chunk_md5", md5(
+        expr("concat_ws(' ', slice(t, CAST(start_tok AS INT), CAST(n_tok_chunk AS INT)))").cast("binary")))
+      .select("doc_id", "chunk_id", "start_tok", "n_tok_chunk", "chunk_md5")
+  }
+
+  /** Oracle twin of [[chunked]]: CTE chain ending in
+    * ch(doc_id, chunk_id, start_tok, n_tok_chunk, chunk_md5). */
+  private def chunkedSql: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+       c AS (SELECT doc_id, t, n_tokens,
+              CASE WHEN n_tokens <= 32 THEN 1
+                   ELSE (n_tokens - 32 + 23) // 24 + 1 END AS n_chunks
+             FROM d),
+       x AS (SELECT doc_id, t, n_tokens, CAST(u.i AS BIGINT) AS chunk_id
+             FROM c, unnest(range(n_chunks)) u(i)),
+       y AS (SELECT doc_id, chunk_id, chunk_id * 24 + 1 AS start_tok,
+              least(32, n_tokens - (chunk_id * 24 + 1) + 1) AS n_tok_chunk, t
+             FROM x),
+       ch AS (SELECT doc_id, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(n_tok_chunk AS BIGINT) AS n_tok_chunk,
+               md5(array_to_string(t[CAST(start_tok AS INT):CAST(start_tok + n_tok_chunk - 1 AS INT)], ' ')) AS chunk_md5
+              FROM y)"""
+
   private val qTextChunk = Q(
     "q_text_chunk",
+    (s, dir) => chunked(s, dir).orderBy("doc_id", "chunk_id"),
+    Some(s"""WITH $chunkedSql
+            SELECT doc_id, chunk_id, start_tok, n_tok_chunk, chunk_md5
+            FROM ch ORDER BY doc_id, chunk_id"""))
+
+  /** Chunk-granularity exact dedup — the modern training-data dedup unit
+    * (a boilerplate paragraph repeated across thousands of pages is
+    * removed per CHUNK even when no two whole documents match): for each
+    * chunk hash appearing more than once, the number of copies and the
+    * surviving (min doc, then min chunk within that doc) occurrence.
+    * Deliberately window-free: two hash aggregations + one join, all
+    * map-side combinable — a mass-duplicated boilerplate chunk collapses
+    * to one row per input partition before any shuffle, so the hottest
+    * hash never funnels its occurrences through a single task (same
+    * hot-key discipline as the df/occupancy caps).
+    */
+  private val qDedupChunk = Q(
+    "q_dedup_chunk",
     (s, dir) => {
-      val C = 32
-      val stride = 24 // C - overlap(8)
-      Tables(s, dir, "documents")
-        .withColumn("t", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("t")).cast("long"))
-        .withColumn("n_chunks", expr(
-          s"CASE WHEN n_tokens <= $C THEN CAST(1 AS BIGINT) ELSE (n_tokens - $C + ${stride - 1}) DIV $stride + 1 END"))
-        .select(col("doc_id"), col("t"), col("n_tokens"),
-          explode(expr("sequence(0, CAST(n_chunks - 1 AS INT))")).as("cid"))
-        .withColumn("chunk_id", col("cid").cast("long"))
-        .withColumn("start_tok", expr(s"chunk_id * $stride + 1"))
-        .withColumn("n_tok_chunk", expr(s"least(CAST($C AS BIGINT), n_tokens - start_tok + 1)"))
-        .withColumn("chunk_md5", md5(
-          expr("concat_ws(' ', slice(t, CAST(start_tok AS INT), CAST(n_tok_chunk AS INT)))").cast("binary")))
-        .select("doc_id", "chunk_id", "start_tok", "n_tok_chunk", "chunk_md5")
-        .orderBy("doc_id", "chunk_id")
+      val ch = chunked(s, dir)
+      val groups = ch.groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc"))
+        .filter(col("n_copies") > 1L)
+      val perDoc = ch.groupBy("chunk_md5", "doc_id")
+        .agg(min("chunk_id").as("keep_chunk"))
+      groups.join(perDoc,
+          groups("chunk_md5") === perDoc("chunk_md5") &&
+            groups("keep_doc") === perDoc("doc_id"))
+        .select(groups("chunk_md5"), col("n_copies"), col("keep_doc"), col("keep_chunk"))
+        .orderBy("chunk_md5")
     },
-    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
-                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-                       FROM documents),
-            c AS (SELECT doc_id, t, n_tokens,
-                   CASE WHEN n_tokens <= 32 THEN 1
-                        ELSE (n_tokens - 32 + 23) // 24 + 1 END AS n_chunks
-                  FROM d),
-            x AS (SELECT doc_id, t, n_tokens, CAST(u.i AS BIGINT) AS chunk_id
-                  FROM c, unnest(range(n_chunks)) u(i)),
-            y AS (SELECT doc_id, chunk_id, chunk_id * 24 + 1 AS start_tok,
-                   least(32, n_tokens - (chunk_id * 24 + 1) + 1) AS n_tok_chunk, t
-                  FROM x)
-            SELECT doc_id, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
-                   CAST(n_tok_chunk AS BIGINT) AS n_tok_chunk,
-                   md5(array_to_string(t[CAST(start_tok AS INT):CAST(start_tok + n_tok_chunk - 1 AS INT)], ' ')) AS chunk_md5
-            FROM y ORDER BY doc_id, chunk_id"""))
+    Some(s"""WITH $chunkedSql,
+            g AS (SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   MIN(doc_id) AS keep_doc
+                  FROM ch GROUP BY chunk_md5 HAVING COUNT(*) > 1),
+            k AS (SELECT chunk_md5, doc_id, MIN(chunk_id) AS keep_chunk
+                  FROM ch GROUP BY chunk_md5, doc_id)
+            SELECT g.chunk_md5, n_copies, keep_doc, keep_chunk
+            FROM g JOIN k ON g.chunk_md5 = k.chunk_md5 AND k.doc_id = g.keep_doc
+            ORDER BY g.chunk_md5"""))
 
   private val qTextFingerprint = Q(
     "q_text_fingerprint",
@@ -1414,5 +1462,6 @@ object Llm {
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecQuantize,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
-    qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qMultimodalJoin)
+    qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk,
+    qMultimodalJoin)
 }
