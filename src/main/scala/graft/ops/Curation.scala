@@ -1,0 +1,300 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.14 — training-set ASSEMBLY operators: the steps that run
+  * AFTER cleaning/dedup (§2.11) and turn a curated document pool into an
+  * actual training mixture — benchmark decontamination, language-mixture
+  * rebalancing, deterministic train/val/test splitting, GPT-style sequence
+  * packing, and incremental (against-an-existing-corpus) dedup.
+  *
+  * Everything selection-shaped here derives from ONE engine-portable
+  * pseudo-random primitive: [[Llm.md5Hex32Spark]] of a salted doc_id,
+  * scaled to a uniform in [0, 2³²). Each operator salts differently
+  * ("dec_" / "mix_" / "split_" / "pack_" / "inc_"), so the benchmark
+  * membership, the mixture sample, the split assignment and the pack
+  * order are mutually independent — reusing one hash would correlate
+  * the benchmark set with the validation split, the classic
+  * leakage-by-shared-seed bug. Selection-by-hash (not by rand()) is
+  * what makes every operator re-runnable and its oracle expressible:
+  * membership is a pure function of the row key.
+  */
+object Curation {
+
+  /** Engine-portable uniform in [0, 2³²) from a salted doc_id. */
+  private def u32Spark(salt: String): String =
+    Llm.md5Hex32Spark(s"concat('${salt}_', CAST(doc_id AS STRING))")
+
+  private def u32Sql(salt: String): String =
+    Llm.md5Hex32Sql(s"'${salt}_' || CAST(doc_id AS VARCHAR)")
+
+  // ------------------------------------------------------ decontamination
+
+  /** 1-in-DecontBenchMod docs play the held-out benchmark. */
+  private val DecontBenchMod = 20
+
+  /** Flag threshold: ≥ this many shingles shared with the benchmark. */
+  private val DecontMinHits = 2
+
+  /** Benchmark decontamination (the Lee/Brown-style n-gram overlap check
+    * every serious pretraining corpus runs): a pseudo-random 1-in-20 of
+    * documents stands in for the held-out benchmark suite; every OTHER
+    * (training) document is scored by how many of its distinct 3-token
+    * shingles also occur anywhere in the benchmark, and documents with
+    * ≥ [[DecontMinHits]] overlapping shingles are reported for removal.
+    *
+    * Scale shape: the shingle universe is df-capped first
+    * ([[Llm.ShingleDfCap]] — a boilerplate shingle in m docs would emit
+    * m·|bench| join rows), the benchmark shingle SET is distinct-ed
+    * before the join (its size is the benchmark's vocabulary, not its
+    * corpus share), and the train×bench join is a shingle-keyed equi-join
+    * whose output is aggregated map-side per doc. No step is quadratic
+    * in corpus size or in any single key's frequency.
+    */
+  private[graft] def decontaminateFrom(docs: DataFrame): DataFrame = {
+    val sh = Llm.dropHotKeys(
+      Llm.shinglesRawFrom(docs).distinct(), Seq("sh"), Llm.ShingleDfCap)
+      .withColumn("is_bench", expr(s"pmod(${u32Spark("dec")}, $DecontBenchMod) = 0"))
+    val benchSet = sh.filter(col("is_bench")).select("sh").distinct()
+    val train = sh.filter(!col("is_bench")).select("doc_id", "sh")
+    val cnt = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    train.join(benchSet, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= DecontMinHits)
+      .join(cnt, "doc_id")
+      .withColumn("hit_frac", expr("floor(n_hit / CAST(n_sh AS DOUBLE) * 10000) / 10000"))
+      .select("doc_id", "n_sh", "n_hit", "hit_frac")
+      .orderBy("doc_id")
+  }
+
+  private val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => decontaminateFrom(Tables(s, dir, "documents")),
+    Some(s"""WITH ${Llm.shinglesSql},
+            shc AS (SELECT doc_id, s FROM (
+                      SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+                    WHERE df <= ${Llm.ShingleDfCap}),
+            f AS (SELECT doc_id, s,
+                   (${u32Sql("dec")}) % $DecontBenchMod = 0 AS is_bench
+                  FROM shc),
+            b AS (SELECT DISTINCT s FROM f WHERE is_bench),
+            t AS (SELECT doc_id, s FROM f WHERE NOT is_bench),
+            cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                    FROM t GROUP BY doc_id),
+            hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+                    FROM t JOIN b USING (s) GROUP BY doc_id)
+            SELECT hit.doc_id, n_sh, n_hit,
+             floor(n_hit / CAST(n_sh AS DOUBLE) * 10000) / 10000 AS hit_frac
+            FROM hit JOIN cnt ON hit.doc_id = cnt.doc_id
+            WHERE n_hit >= $DecontMinHits
+            ORDER BY hit.doc_id"""))
+
+  // --------------------------------------------------- mixture resampling
+
+  /** Inverse-√ rebalancing constant: a language with c docs keeps
+    * ~[[MixK]]·√c of them, so head languages are downsampled toward the
+    * tail (the standard temperature-style mixture flattening; √ is
+    * exactly temperature α = 0.5 applied via a per-language keep
+    * probability instead of a cross-language weight vector — which would
+    * need a cross-group float SUM whose addition order, and hence
+    * low-bit rounding, differs between engines).
+    */
+  private val MixK = 4
+
+  /** Language-mixture rebalancing: per-language keep probability
+    * p = min(1, K/√c), membership decided per doc by the salted-hash
+    * uniform. Output is the per-language audit row: corpus count, kept
+    * count, realized rate, and a kept-id checksum pinning the exact
+    * membership (not just its size).
+    *
+    * Scale shape: the language census is a tiny agg broadcast back onto
+    * the corpus; keep/drop is then map-only. One wide shuffle total (the
+    * final per-lang agg, map-side combinable).
+    */
+  private[graft] def mixtureFrom(docs: DataFrame): DataFrame = {
+    val lc = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    docs.select("doc_id", "lang").join(broadcast(lc), "lang")
+      .withColumn("u", expr(s"CAST(${u32Spark("mix")} AS DOUBLE) / 4294967296.0D"))
+      .withColumn("p_keep", expr(
+        s"least(CAST(1.0 AS DOUBLE), CAST($MixK AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE)))"))
+      .withColumn("keep", col("u") < col("p_keep"))
+      .groupBy("lang")
+      .agg(
+        min("n_docs").as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .withColumn("keep_rate", expr("floor(n_kept / CAST(n_docs AS DOUBLE) * 10000) / 10000"))
+      .orderBy("lang")
+  }
+
+  private val qSampleMixture = Q(
+    "q_sample_mixture",
+    (s, dir) => mixtureFrom(Tables(s, dir, "documents")),
+    Some(s"""WITH lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                        FROM documents GROUP BY lang),
+            d AS (SELECT doc_id, d0.lang, n_docs,
+                   CAST(${u32Sql("mix")} AS DOUBLE) / 4294967296.0 AS u,
+                   least(CAST(1.0 AS DOUBLE),
+                         CAST($MixK AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE))) AS p_keep
+                  FROM documents d0 JOIN lc ON d0.lang = lc.lang)
+            SELECT lang, MIN(n_docs) AS n_docs,
+             CAST(SUM(CASE WHEN u < p_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN u < p_keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+             floor(SUM(CASE WHEN u < p_keep THEN 1 ELSE 0 END)
+                   / CAST(MIN(n_docs) AS DOUBLE) * 10000) / 10000 AS keep_rate
+            FROM d GROUP BY lang ORDER BY lang"""))
+
+  // -------------------------------------------------------- train/val/test
+
+  /** Deterministic stratified train/val/test split (80/10/10 by salted
+    * doc_id hash — independent of the mixture and benchmark hashes by
+    * salt). Reported per (lang, split) with a doc-id checksum so the
+    * oracle pins the exact assignment, not just the counts. Map-only +
+    * one tiny agg; the assignment function runs identically on any
+    * number of executors.
+    */
+  private[graft] def splitFrom(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("u", expr(s"CAST(${u32Spark("split")} AS DOUBLE) / 4294967296.0D"))
+      .withColumn("split", expr(
+        "CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train' " +
+          "WHEN u < CAST(0.9 AS DOUBLE) THEN 'val' ELSE 'test' END"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+
+  private val qSplitTrain = Q(
+    "q_split_train",
+    (s, dir) => splitFrom(Tables(s, dir, "documents")),
+    Some(s"""WITH d AS (SELECT doc_id, lang,
+                   CAST(${u32Sql("split")} AS DOUBLE) / 4294967296.0 AS u
+                  FROM documents),
+            a AS (SELECT doc_id, lang,
+                   CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+                        WHEN u < CAST(0.9 AS DOUBLE) THEN 'val'
+                        ELSE 'test' END AS split
+                  FROM d)
+            SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM a GROUP BY lang, split ORDER BY lang, split"""))
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Training-sequence length in tokens (the packing window). */
+  private[graft] val SeqLen = 128L
+
+  /** Hash-space width of one pack-order shard: 2³² / 2²⁷ = 32 shards. */
+  private val PackShardDiv = 134217728L // 1 << 27
+
+  /** GPT-style sequence packing: pseudo-shuffle documents (salted-hash
+    * order — exactly how a training pipeline randomizes document order
+    * without a seed server), concatenate their 32-token chunks, and cut
+    * the token stream every [[SeqLen]] tokens. Output is the per-sequence
+    * audit row: chunks begun, tokens contributed, distinct docs packed,
+    * and how many chunks straddle a cut (get split across sequences).
+    *
+    * Scale shape: the global running token offset uses the same
+    * two-phase numbering as the ETL batcher — the pack-order hash's top
+    * bits are the shard (shard order IS hash order, so within-shard rank
+    * + a broadcast per-shard prefix offset equals the global rank
+    * exactly), giving one window task per 2²⁷ hash slice instead of one
+    * global sort. The offsets table has one row per shard — 32 today,
+    * and at 100 TB you widen the shard count, not the algorithm.
+    */
+  private[graft] def packFrom(ch: DataFrame): DataFrame = {
+    val o = ch.select("doc_id", "chunk_id", "n_tok_chunk")
+      .withColumn("u", expr(u32Spark("pack")))
+      .withColumn("shard", expr(s"u DIV $PackShardDiv"))
+    val wLoc = Window.partitionBy("shard").orderBy("u", "doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets frame = one row per shard; the unpartitioned window runs
+    // over those ~32 rows, not the data
+    val wOff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = o.groupBy("shard").agg(sum("n_tok_chunk").as("_st"))
+      .withColumn("off", coalesce(sum("_st").over(wOff), lit(0L)))
+      .select("shard", "off")
+    o.join(broadcast(offsets), "shard")
+      .withColumn("offset", col("off") + coalesce(sum("n_tok_chunk").over(wLoc), lit(0L)))
+      .withColumn("seq_id", expr(s"offset DIV $SeqLen"))
+      .withColumn("strad", expr(
+        s"CASE WHEN offset + n_tok_chunk > (offset DIV $SeqLen + 1) * $SeqLen THEN 1 ELSE 0 END"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tok_chunk").as("n_tokens"),
+        countDistinct("doc_id").as("n_docs"),
+        sum("strad").as("n_split"))
+      .orderBy("seq_id")
+  }
+
+  private val qPackSequences = Q(
+    "q_pack_sequences",
+    (s, dir) => packFrom(Llm.chunked(s, dir)),
+    Some(s"""WITH ${Llm.chunkedSql},
+            o AS (SELECT doc_id, chunk_id, n_tok_chunk,
+                   ${u32Sql("pack")} AS u
+                  FROM ch),
+            p AS (SELECT doc_id, chunk_id, n_tok_chunk,
+                   COALESCE(SUM(n_tok_chunk) OVER (
+                     ORDER BY u, doc_id, chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                  FROM o),
+            q AS (SELECT doc_id, n_tok_chunk, off // $SeqLen AS seq_id,
+                   CASE WHEN off + n_tok_chunk > (off // $SeqLen + 1) * $SeqLen
+                        THEN 1 ELSE 0 END AS strad
+                  FROM p)
+            SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(n_tok_chunk) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(strad) AS BIGINT) AS n_split
+            FROM q GROUP BY seq_id ORDER BY seq_id"""))
+
+  // --------------------------------------------------- incremental dedup
+
+  /** Incremental corpus dedup — the ingestion-time variant of
+    * q_dedup_exact: a pseudo-random half of the corpus plays the
+    * already-ingested base snapshot; the other half is the incoming
+    * batch. A batch doc survives iff its canonical form ([[Llm.normCol]],
+    * the same rule the batch-dedup family uses) is absent from the base,
+    * and one representative (min doc_id) is elected per surviving form —
+    * so re-running ingestion, or ingesting the same batch twice, adds
+    * nothing (the idempotence property incremental pipelines live on).
+    *
+    * Scale shape: base forms are distinct-ed (one row per form, however
+    * many copies the base holds), then a hash-partitioned LEFT ANTI join
+    * on the 128-bit form key — both sides shuffle on the key once, no
+    * broadcast assumption about the base's size — followed by one
+    * map-side-combinable agg for the representative election.
+    */
+  private[graft] def incrementalFrom(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("h", md5(Llm.normCol.cast("binary")))
+      .withColumn("is_base", expr(s"pmod(${u32Spark("inc")}, 2) = 0"))
+    val baseForms = d.filter(col("is_base")).select("h").distinct()
+    d.filter(!col("is_base"))
+      .join(baseForms, Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "h", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  private val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => incrementalFrom(Tables(s, dir, "documents")),
+    Some(s"""WITH d AS (SELECT doc_id, md5(${Llm.normSql}) AS h,
+                   (${u32Sql("inc")}) % 2 = 0 AS is_base
+                  FROM documents),
+            n AS (SELECT doc_id, h FROM d
+                  WHERE NOT is_base AND NOT EXISTS (
+                    SELECT 1 FROM d b WHERE b.is_base AND b.h = d.h))
+            SELECT MIN(doc_id) AS doc_id, h, CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM n GROUP BY h ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(
+    qDecontaminate, qSampleMixture, qSplitTrain, qPackSequences,
+    qDedupIncremental)
+}

@@ -107,7 +107,7 @@ object Llm {
     * trap to avoid — it funnels every row of the hottest key through
     * one sorting task.
     */
-  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[graft] def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val mat = df.localCheckpoint(true)
     val hot = mat.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
@@ -149,7 +149,7 @@ object Llm {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesRaw(s, dir).distinct()
 
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT DISTINCT doc_id, s FROM toks,
               unnest(list_transform(range(1, len(t) - 1),
@@ -535,13 +535,13 @@ object Llm {
     * Spark/DuckDB spellings, so the bit-assembly idiom cannot drift
     * between its consumers or between engine twins).
     */
-  private def md5Hex32Spark(arg: String): String =
+  private[graft] def md5Hex32Spark(arg: String): String =
     s"""aggregate(transform(sequence(0, 7), c ->
           shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST($arg AS BINARY)), c + 1, 1)) - 1 AS BIGINT),
                     CAST(4 * (7 - c) AS INT))),
           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
 
-  private def md5Hex32Sql(arg: String): String =
+  private[graft] def md5Hex32Sql(arg: String): String =
     s"""list_sum(list_transform(range(8), c ->
           CAST(instr('0123456789abcdef', substr(md5($arg), CAST(c + 1 AS INT), 1)) - 1 AS BIGINT)
             << CAST(4 * (7 - c) AS INT)))"""
@@ -1039,7 +1039,7 @@ object Llm {
     * chunk_md5) for q_text_chunk and q_dedup_chunk — one tokenization/
     * hashing rule so the dedup can never drift from the chunking.
     */
-  private def chunked(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunked(s: SparkSession, dir: String): DataFrame = {
     val C = 32
     val stride = 24 // C - overlap(8)
     Tables(s, dir, "documents")
@@ -1059,7 +1059,7 @@ object Llm {
 
   /** Oracle twin of [[chunked]]: CTE chain ending in
     * ch(doc_id, chunk_id, start_tok, n_tok_chunk, chunk_md5). */
-  private def chunkedSql: String =
+  private[graft] def chunkedSql: String =
     """d AS (SELECT doc_id, string_split(text, ' ') AS t,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents),
@@ -1190,10 +1190,10 @@ object Llm {
     * If the two queries used private copies, a rule change in one would
     * silently elect different canonical docs in the other.
     */
-  private def normCol: org.apache.spark.sql.Column =
+  private[graft] def normCol: org.apache.spark.sql.Column =
     trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
 
-  private val normSql =
+  private[graft] val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
 
   private val qTextNormalize = Q(
