@@ -205,9 +205,14 @@ object Curation {
     * and at 100 TB you widen the shard count, not the algorithm.
     */
   private[graft] def packFrom(ch: DataFrame): DataFrame = {
+    // Materialized ONCE (the dropHotKeys discipline): the offsets
+    // aggregation below and the main numbering join both consume this
+    // frame — without the checkpoint each would re-run the chunk
+    // explode (the CPU-dominant stage) from the parquet scan.
     val o = ch.select("doc_id", "chunk_id", "n_tok_chunk")
       .withColumn("u", expr(u32Spark("pack")))
       .withColumn("shard", expr(s"u DIV $PackShardDiv"))
+      .localCheckpoint(true)
     val wLoc = Window.partitionBy("shard").orderBy("u", "doc_id", "chunk_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     // offsets frame = one row per shard; the unpartitioned window runs

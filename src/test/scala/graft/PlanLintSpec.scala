@@ -60,6 +60,31 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  test("pack numbering windows shuffle by hash shard; offsets broadcast") {
+    // q_pack_sequences' two-phase claim: the big prefix-sum window must
+    // partition by the pack-order hash shard (never one global sort over
+    // the chunk stream), and the 32-row per-shard offsets table must
+    // ride in as a broadcast, not a shuffle join.
+    val plan = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("""hashpartitioning\(shard""".r.findFirstIn(plan).isDefined,
+      s"pack window must partition by shard:\n$plan")
+    assert("""BroadcastHashJoin \[shard""".r.findFirstIn(plan).isDefined,
+      s"pack offsets must broadcast-join:\n$plan")
+  }
+
+  test("mixture census broadcasts; incremental dedup anti-joins on the form key") {
+    val mix = SparkEntry.queries("q_sample_mixture")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin \[lang""".r.findFirstIn(mix).isDefined,
+      s"language census must broadcast back onto the corpus:\n$mix")
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("""(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[h#\d+[^,]*\], \[h#\d+[^,]*\], LeftAnti""".r
+      .findFirstIn(inc).isDefined,
+      s"incremental dedup must LEFT ANTI join on the canonical-form hash:\n$inc")
+  }
+
   test("pruned scan reads only the projected columns") {
     val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
       .queryExecution.executedPlan.toString
