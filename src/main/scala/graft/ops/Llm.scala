@@ -584,7 +584,7 @@ object Llm {
           s"""transform(sequence(0, $LshBands - 1), b -> named_struct(
                 'band', CAST(b AS BIGINT),
                 'sig', aggregate(transform(sequence(0, rb - 1), r ->
-                  IF(aggregate(zip_with(v, element_at(pl, b * rb + r + 1), (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) > 0D,
+                  IF(graft_dot(v, element_at(pl, b * rb + r + 1)) > 0D,
                      shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))),
                   CAST(0 AS BIGINT), (acc, x) -> acc + x)))""")).as("bs"))
         .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig")),
@@ -709,7 +709,7 @@ object Llm {
         // ccos matches the oracle's window ordering exactly
         .withColumn("pc", expr(
           s"""slice(array_sort(transform(cents, c -> named_struct(
-                'negcos', -round(aggregate(zip_with(v, c.cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) / (nrm * c.cn), 4),
+                'negcos', -round(graft_dot(v, c.cv) / (nrm * c.cn), 4),
                 'c_id', c.c_id))), 1, $IvfProbes)"""))
         .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
       val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
