@@ -257,6 +257,62 @@ object Curation {
              CAST(SUM(strad) AS BIGINT) AS n_split
             FROM q GROUP BY seq_id ORDER BY seq_id"""))
 
+  // -------------------------------------------------------- per-source cap
+
+  /** Max documents kept per source (the "domain cap" constant). */
+  private val SourceCap = 15
+
+  /** Per-source document cap (the C4/RefinedWeb "no domain may dominate
+    * the corpus" rule): keep at most [[SourceCap]] docs per source,
+    * chosen by salted-hash order (deterministic — re-running ingestion
+    * keeps the SAME docs, unlike a rand() sample), reported as a
+    * per-source audit row with a kept-id checksum.
+    *
+    * Scale shape: exact top-N per key without a single-task window on
+    * the hottest key. Phase 1 ranks within (source, hash-shard) — any
+    * doc in a source's global top-N by (u, doc_id) order is necessarily
+    * in its shard's top-N, so filtering rank ≤ N per shard keeps every
+    * global survivor while bounding each window task to one shard of
+    * one source. Phase 2 re-ranks the ≤ shards·N candidates per source
+    * — a relation whose size is independent of how mega the mega-source
+    * is. A one-phase per-source window would funnel a 10 TB domain
+    * through one sorting task; this never does.
+    */
+  private[graft] def sourceCapFrom(docs: DataFrame): DataFrame = {
+    val d = docs.select("doc_id", "source")
+      .withColumn("u", expr(u32Spark("cap")))
+      .withColumn("shard", expr(s"u DIV $PackShardDiv"))
+    val w1 = Window.partitionBy("source", "shard").orderBy("u", "doc_id")
+    val w2 = Window.partitionBy("source").orderBy("u", "doc_id")
+    val kept = d
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= SourceCap)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= SourceCap)
+    val census = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    census.join(
+        kept.groupBy("source").agg(
+          count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum")),
+        Seq("source"))
+      .select("source", "n_docs", "n_kept", "kept_id_sum")
+      .orderBy("source")
+  }
+
+  private val qSourceCap = Q(
+    "q_source_cap",
+    (s, dir) => sourceCapFrom(Tables(s, dir, "documents")),
+    Some(s"""WITH d AS (SELECT doc_id, source, ${u32Sql("cap")} AS u
+                  FROM documents),
+            r AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk
+                  FROM d),
+            k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+                  FROM r WHERE rk <= $SourceCap GROUP BY source),
+            c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY source)
+            SELECT c.source, n_docs, n_kept, kept_id_sum
+            FROM c JOIN k ON c.source = k.source
+            ORDER BY c.source"""))
+
   // --------------------------------------------------- incremental dedup
 
   /** Incremental corpus dedup — the ingestion-time variant of
@@ -301,5 +357,5 @@ object Curation {
 
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qSplitTrain, qPackSequences,
-    qDedupIncremental)
+    qSourceCap, qDedupIncremental)
 }

@@ -111,6 +111,27 @@ class CurationSpec extends SparkSpec {
       "sharded prefix sums must be byte-identical to the global window")
   }
 
+  test("source cap: keeps exactly min(cap, n) per source, two-phase equals one window") {
+    // construct a skewed corpus: one mega-source, several small ones
+    val docs = ((1L to 500L).map(i => (i, "mega")) ++
+      (501L to 520L).map(i => (i, "s1")) ++ (521L to 527L).map(i => (i, "s2")))
+      .toDF("doc_id", "source")
+    val out = Curation.sourceCapFrom(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(out.map(t => t._1 -> (t._2, t._3)).toMap ==
+      Map("mega" -> (500L, 15L), "s1" -> (20L, 15L), "s2" -> (7L, 7L)),
+      s"n_kept must be min(cap, n_docs): $out")
+    // one-phase reference: single per-source window over everything
+    val u = Llm.md5Hex32Spark("concat('cap_', CAST(doc_id AS STRING))")
+    val w = Window.partitionBy("source").orderBy("u", "doc_id")
+    val ref = docs.withColumn("u", expr(u))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 15)
+      .groupBy("source").agg(sum("doc_id").as("kept_id_sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(t => t._1 -> t._4).toMap == ref,
+      "two-phase cap must elect the same docs as the one-window reference")
+  }
+
   test("incremental dedup: survivors disjoint from base, unique, and idempotent") {
     val docs = Tables(spark, sf, "documents")
     val out = Curation.incrementalFrom(docs)
