@@ -680,31 +680,44 @@ object Llm {
              SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
              ORDER BY q_id, rnk"""))
 
+  /** One row holding the k ≈ √n hash-sampled IVF centroids as a sorted
+    * struct array (u(vec_id) < 1/√n with u = md5-derived uniform in
+    * [0,1) — deterministic, engine-portable, and k grows as √n rather
+    * than n/const, so assignment is n·√n dots and the broadcast stays
+    * √n-sized: 16 MB at n = 10⁹). Shared by `q_sim_ivf` and
+    * `q_vec_kmeans_step` so the sampling rule cannot drift between the
+    * index build and its refinement.
+    */
+  private def ivfCentArr(s: SparkSession, dir: String): DataFrame = {
+    val thr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+      .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
+    val uExpr = // md5-derived uniform in [0,1) from vec_id
+      s"""CAST(${md5Hex32Spark("CAST(vec_id AS STRING)")} AS DOUBLE) / 4294967296.0D"""
+    vecs(s, dir).crossJoin(broadcast(thr))
+      .filter(expr(uExpr) < col("thr"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+  }
+
+  /** Oracle twin of [[ivfCentArr]]: CTEs prm/cent(c_id, cv, cn). Assumes
+    * the `n` CTE from [[vecsSql]] is already in scope.
+    */
+  private def ivfCentSql: String =
+    s"""prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
+                 WHERE CAST(${md5Hex32Sql("CAST(vec_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < thr)"""
+
   private val qSimIvf = Q(
     "q_sim_ivf",
     (s, dir) => {
-      // IVF-style ANN: k ≈ √n coarse centroids, hash-sampled from the
-      // corpus itself (u(vec_id) < 1/√n with u = md5-derived uniform in
-      // [0,1) — deterministic, engine-portable, and k grows as √n rather
-      // than n/const, so assignment is n·√n dots and the broadcast stays
-      // √n-sized: 16 MB at n = 10⁹). Every vector indexes into its
-      // nearest cell; each query probes its IvfProbes nearest cells.
-      // Assignment is MAP-ONLY: the centroid array is one broadcast row
-      // and the top-probe selection is an in-row array_sort — the n·k
-      // score matrix never exists as rows, so nothing shuffles until the
-      // skinny probe join.
+      // IVF-style ANN: k ≈ √n coarse centroids ([[ivfCentArr]]). Every
+      // vector indexes into its nearest cell; each query probes its
+      // IvfProbes nearest cells. Assignment is MAP-ONLY: the centroid
+      // array is one broadcast row and the top-probe selection is an
+      // in-row array_sort — the n·k score matrix never exists as rows,
+      // so nothing shuffles until the skinny probe join.
       val e = vecs(s, dir)
-      val thr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
-        .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
-      val uExpr = // md5-derived uniform in [0,1) from vec_id
-        s"""CAST(${md5Hex32Spark("CAST(vec_id AS STRING)")} AS DOUBLE) / 4294967296.0D"""
-      val cent = e.crossJoin(broadcast(thr))
-        .filter(expr(uExpr) < col("thr"))
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      // one row of k centroid structs, sorted for determinism
-      val centArr = cent
-        .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
-      val probed = e.crossJoin(broadcast(centArr))
+      val probed = e.crossJoin(broadcast(ivfCentArr(s, dir)))
         // per-cell score struct sorts as (cos desc, c_id asc); the rounded
         // ccos matches the oracle's window ordering exactly
         .withColumn("pc", expr(
@@ -727,9 +740,7 @@ object Llm {
         .orderBy("q_id", "rnk")
     },
     Some(s"""WITH $vecsSql,
-             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM embeddings),
-             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
-                      WHERE CAST(${md5Hex32Sql("CAST(vec_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < thr),
+             $ivfCentSql,
              asg AS (SELECT n.vec_id, n.v, n.nrm, c_id,
                       row_number() OVER (PARTITION BY n.vec_id ORDER BY
                         ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
@@ -746,6 +757,72 @@ object Llm {
                      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
              SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
              ORDER BY q_id, rnk"""))
+
+  /** One Lloyd refinement step of the IVF coarse index: assign every
+    * vector to its nearest sampled centroid ([[ivfCentArr]] — the same
+    * argmax-cosine rule `q_sim_ivf` indexes by), then recompute each
+    * cell's centroid as the per-dimension mean. Means run over int8
+    * QUANTIZED components (`floor(x·127)`, the `q_vec_quantize` code)
+    * so the update is integer-sum exact — a float mean's partial-merge
+    * addition order is nondeterministic across runs and engines, the
+    * same determinism rule the money sums follow. Output per cell:
+    * member count and a position-weighted fingerprint of the refined
+    * centroid (flat schema; the full centroid is an array the driver
+    * compare cannot hash).
+    *
+    * Scale shape: assignment is the map-only broadcast pattern (one
+    * centroid-array row, no n·k row blowup), materialized once for its
+    * two consumers; the mean is explode → two map-side-combinable
+    * integer aggregations keyed by (cell, dim) then cell — k·d rows
+    * into the final join, corpus-size independent. Iterating the step
+    * is the q_dedup_cluster superstep pattern (localCheckpoint between
+    * rounds).
+    */
+  private val qVecKmeansStep = Q(
+    "q_vec_kmeans_step",
+    (s, dir) => {
+      val assigned = vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+        .withColumn("cell", expr(
+          s"""element_at(array_sort(transform(cents, c -> named_struct(
+                'negcos', -round(graft_dot(v, c.cv) / (nrm * c.cn), 4),
+                'c_id', c.c_id))), 1).c_id"""))
+        .select(col("vec_id"), col("cell"),
+          expr("transform(v, x -> CAST(floor(x * 127) AS BIGINT))").as("qv"))
+        .localCheckpoint(true) // two consumers; assignment computed once
+      val members = assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      val refined = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "q")))
+        .groupBy("cell", "dim")
+        .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("aq", expr("CAST(floor(sq / CAST(cnt AS DOUBLE)) AS BIGINT)"))
+        .groupBy("cell")
+        .agg(sum(expr("(dim + 1) * aq")).as("fp"))
+      members.join(refined, "cell")
+        .select("cell", "n_members", "fp")
+        .orderBy("cell")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             asg AS (SELECT n.vec_id, n.v, c_id,
+                      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                        ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
+                        AS arn
+                     FROM n CROSS JOIN cent),
+             a AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+             q AS (SELECT cell, CAST(u.i AS INT) AS dim,
+                    CAST(floor(v[CAST(u.i + 1 AS INT)] * 127) AS BIGINT) AS qv
+                   FROM a, unnest(range(len(v))) u(i)),
+             g AS (SELECT cell, dim, SUM(qv) AS sq, COUNT(*) AS cnt
+                   FROM q GROUP BY cell, dim),
+             m AS (SELECT cell, dim,
+                    CAST(floor(sq / CAST(cnt AS DOUBLE)) AS BIGINT) AS aq FROM g),
+             memb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+                      FROM a GROUP BY cell),
+             f AS (SELECT cell, CAST(SUM((dim + 1) * aq) AS BIGINT) AS fp
+                   FROM m GROUP BY cell)
+             SELECT memb.cell, n_members, f.fp
+             FROM memb JOIN f ON memb.cell = f.cell
+             ORDER BY memb.cell"""))
 
   // ----------------------------------------------------------------- text
 
@@ -1460,7 +1537,7 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecQuantize,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecKmeansStep, qVecQuantize,
     qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk,
     qMultimodalJoin)

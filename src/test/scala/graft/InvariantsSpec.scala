@@ -149,6 +149,15 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans step: every vector lands in exactly one cell of the sampled index") {
+    val out = SparkEntry.queries("q_vec_kmeans_step")(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == n,
+      "Lloyd assignment must partition the corpus (member counts sum to n)")
+    val cells = out.map(_.getLong(0))
+    assert(cells.distinct.length == cells.length, "one output row per cell")
+  }
+
   test("ANN recall at sf0.1: LSH >= 0.8 of true top-3; IVF beats the random-probe baseline") {
     // The standard proof that an ANN index is fast AND not garbage:
     // recall@k against the exact (full cross-join) top-3. Run at sf0.1
