@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * AFTER cleaning/dedup (§2.11) and turn a curated document pool into an
   * actual training mixture — benchmark decontamination, language-mixture
   * rebalancing, deterministic train/val/test splitting, GPT-style sequence
-  * packing, and incremental (against-an-existing-corpus) dedup.
+  * packing, per-source document caps, and incremental
+  * (against-an-existing-corpus) dedup.
   *
   * Everything selection-shaped here derives from ONE engine-portable
   * pseudo-random primitive: [[Llm.md5Hex32Spark]] of a salted doc_id,
   * scaled to a uniform in [0, 2³²). Each operator salts differently
-  * ("dec_" / "mix_" / "split_" / "pack_" / "inc_"), so the benchmark
-  * membership, the mixture sample, the split assignment and the pack
-  * order are mutually independent — reusing one hash would correlate
+  * ("dec_" / "mix_" / "split_" / "pack_" / "cap_" / "inc_"), so the
+  * benchmark membership, the mixture sample, the split assignment, the
+  * pack order and the source-cap election are mutually independent —
+  * reusing one hash would correlate
   * the benchmark set with the validation split, the classic
   * leakage-by-shared-seed bug. Selection-by-hash (not by rand()) is
   * what makes every operator re-runnable and its oracle expressible:
@@ -30,6 +32,15 @@ object Curation {
 
   private def u32Sql(salt: String): String =
     Llm.md5Hex32Sql(s"'${salt}_' || CAST(doc_id AS VARCHAR)")
+
+  /** The same, scaled to [0, 1) ([[Llm.md5U01Spark]] — the single home of
+    * the 2³² divisor).
+    */
+  private def u01Spark(salt: String): String =
+    Llm.md5U01Spark(s"concat('${salt}_', CAST(doc_id AS STRING))")
+
+  private def u01Sql(salt: String): String =
+    Llm.md5U01Sql(s"'${salt}_' || CAST(doc_id AS VARCHAR)")
 
   // ------------------------------------------------------ decontamination
 
@@ -117,7 +128,7 @@ object Curation {
   private[graft] def mixtureFrom(docs: DataFrame): DataFrame = {
     val lc = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     docs.select("doc_id", "lang").join(broadcast(lc), "lang")
-      .withColumn("u", expr(s"CAST(${u32Spark("mix")} AS DOUBLE) / 4294967296.0D"))
+      .withColumn("u", expr(u01Spark("mix")))
       .withColumn("p_keep", expr(
         s"least(CAST(1.0 AS DOUBLE), CAST($MixK AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE)))"))
       .withColumn("keep", col("u") < col("p_keep"))
@@ -136,7 +147,7 @@ object Curation {
     Some(s"""WITH lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
                         FROM documents GROUP BY lang),
             d AS (SELECT doc_id, d0.lang, n_docs,
-                   CAST(${u32Sql("mix")} AS DOUBLE) / 4294967296.0 AS u,
+                   ${u01Sql("mix")} AS u,
                    least(CAST(1.0 AS DOUBLE),
                          CAST($MixK AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE))) AS p_keep
                   FROM documents d0 JOIN lc ON d0.lang = lc.lang)
@@ -158,7 +169,7 @@ object Curation {
     */
   private[graft] def splitFrom(docs: DataFrame): DataFrame =
     docs
-      .withColumn("u", expr(s"CAST(${u32Spark("split")} AS DOUBLE) / 4294967296.0D"))
+      .withColumn("u", expr(u01Spark("split")))
       .withColumn("split", expr(
         "CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train' " +
           "WHEN u < CAST(0.9 AS DOUBLE) THEN 'val' ELSE 'test' END"))
@@ -170,7 +181,7 @@ object Curation {
     "q_split_train",
     (s, dir) => splitFrom(Tables(s, dir, "documents")),
     Some(s"""WITH d AS (SELECT doc_id, lang,
-                   CAST(${u32Sql("split")} AS DOUBLE) / 4294967296.0 AS u
+                   ${u01Sql("split")} AS u
                   FROM documents),
             a AS (SELECT doc_id, lang,
                    CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
@@ -186,8 +197,14 @@ object Curation {
   /** Training-sequence length in tokens (the packing window). */
   private[graft] val SeqLen = 128L
 
-  /** Hash-space width of one pack-order shard: 2³² / 2²⁷ = 32 shards. */
-  private val PackShardDiv = 134217728L // 1 << 27
+  /** Hash-space width of one shard for two-phase numbering/ranking over
+    * salted-hash order: 2³² / 2²⁷ = 32 shards. Shared by sequence
+    * packing (prefix-sum shards) AND the source cap (phase-1 rank
+    * shards) — widening it for one widens the other's candidate bound
+    * (shards · cap) and plan shape too; split the constant if they ever
+    * need to diverge.
+    */
+  private val HashShardDiv = 134217728L // 1 << 27
 
   /** GPT-style sequence packing: pseudo-shuffle documents (salted-hash
     * order — exactly how a training pipeline randomizes document order
@@ -211,7 +228,7 @@ object Curation {
     // explode (the CPU-dominant stage) from the parquet scan.
     val o = ch.select("doc_id", "chunk_id", "n_tok_chunk")
       .withColumn("u", expr(u32Spark("pack")))
-      .withColumn("shard", expr(s"u DIV $PackShardDiv"))
+      .withColumn("shard", expr(s"u DIV $HashShardDiv"))
       .localCheckpoint(true)
     val wLoc = Window.partitionBy("shard").orderBy("u", "doc_id", "chunk_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -281,7 +298,7 @@ object Curation {
   private[graft] def sourceCapFrom(docs: DataFrame): DataFrame = {
     val d = docs.select("doc_id", "source")
       .withColumn("u", expr(u32Spark("cap")))
-      .withColumn("shard", expr(s"u DIV $PackShardDiv"))
+      .withColumn("shard", expr(s"u DIV $HashShardDiv"))
     val w1 = Window.partitionBy("source", "shard").orderBy("u", "doc_id")
     val w2 = Window.partitionBy("source").orderBy("u", "doc_id")
     val kept = d
@@ -315,11 +332,13 @@ object Curation {
 
   // --------------------------------------------------- incremental dedup
 
-  /** Incremental corpus dedup — the ingestion-time variant of
-    * q_dedup_exact: a pseudo-random half of the corpus plays the
-    * already-ingested base snapshot; the other half is the incoming
-    * batch. A batch doc survives iff its canonical form ([[Llm.normCol]],
-    * the same rule the batch-dedup family uses) is absent from the base,
+  /** Incremental corpus dedup — the ingestion-time variant of the
+    * CANONICAL-FORM dedup family (q_text_normalize / q_pipeline_filter;
+    * NOT raw-text q_dedup_exact, which hashes `text` unnormalized): a
+    * pseudo-random half of the corpus plays the already-ingested base
+    * snapshot; the other half is the incoming batch. A batch doc
+    * survives iff its canonical form ([[Llm.normCol]], the same rule
+    * those batch operators use) is absent from the base,
     * and one representative (min doc_id) is elected per surviving form —
     * so re-running ingestion, or ingesting the same batch twice, adds
     * nothing (the idempotence property incremental pipelines live on).

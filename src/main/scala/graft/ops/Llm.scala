@@ -546,6 +546,18 @@ object Llm {
           CAST(instr('0123456789abcdef', substr(md5($arg), CAST(c + 1 AS INT), 1)) - 1 AS BIGINT)
             << CAST(4 * (7 - c) AS INT)))"""
 
+  /** [[md5Hex32Spark]] scaled to a uniform double in [0, 1) — division by
+    * 2³² is exact power-of-two scaling, so the double is bit-identical in
+    * both engines. The ONE place the divisor lives: every hash-threshold
+    * selection (IVF centroid sampling, mixture keep, split assignment)
+    * goes through this pair or compares the raw 32-bit value.
+    */
+  private[graft] def md5U01Spark(arg: String): String =
+    s"""CAST(${md5Hex32Spark(arg)} AS DOUBLE) / 4294967296.0D"""
+
+  private[graft] def md5U01Sql(arg: String): String =
+    s"""CAST(${md5Hex32Sql(arg)} AS DOUBLE) / 4294967296.0"""
+
   /** Engine-portable pseudo-random weight for hyperplane `t`, dimension
     * `i`: [[md5Hex32Spark]] of "t_i", scaled to [-1, 1). Integer-derived
     * and divided by 2³¹, so the double is BIT-IDENTICAL in Spark and
@@ -691,10 +703,8 @@ object Llm {
   private def ivfCentArr(s: SparkSession, dir: String): DataFrame = {
     val thr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
       .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
-    val uExpr = // md5-derived uniform in [0,1) from vec_id
-      s"""CAST(${md5Hex32Spark("CAST(vec_id AS STRING)")} AS DOUBLE) / 4294967296.0D"""
     vecs(s, dir).crossJoin(broadcast(thr))
-      .filter(expr(uExpr) < col("thr"))
+      .filter(expr(md5U01Spark("CAST(vec_id AS STRING)")) < col("thr"))
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
       .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
   }
@@ -705,7 +715,7 @@ object Llm {
   private def ivfCentSql: String =
     s"""prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM embeddings),
         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
-                 WHERE CAST(${md5Hex32Sql("CAST(vec_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < thr)"""
+                 WHERE ${md5U01Sql("CAST(vec_id AS VARCHAR)")} < thr)"""
 
   private val qSimIvf = Q(
     "q_sim_ivf",
