@@ -30,6 +30,12 @@ object Pipeline {
   final case class Session(
       user_id: Long, startUs: Long, endUs: Long, n_events: Long, sum_value: Double)
 
+  /** A content-addressed document on the ingest stream: `h` is the
+    * canonical-form hash (the batch side computes it with `Llm.normCol`
+    * + md5; any engine-stable content key works).
+    */
+  final case class HashedDoc(doc_id: Long, h: String)
+
   /** File-source replay of `events.parquet` as the stream (no Kinesis
     * connector offline; each arriving file = one micro-batch). The file
     * source needs a directory, and the fixture is a single parquet file,
@@ -179,6 +185,25 @@ object Pipeline {
       .transformWithState(
         new SessionProcessor(30L * 60 * 1000000),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Persistent (corpus-lifetime) content dedup — the streaming twin of
+    * batch `q_dedup_incremental`: only the FIRST document ever seen with
+    * a given content hash passes; every later arrival, in the same
+    * micro-batch (min doc_id wins, the batch operator's election rule)
+    * or months later, is dropped. Unlike
+    * `dropDuplicatesWithinWatermark`, the seen-set is deliberately NOT
+    * watermark-bounded — ingestion dedup must remember the whole corpus
+    * — so it lives as one tiny ValueState per distinct hash in the
+    * (RocksDB-backed at scale) state store, partitioned by hash across
+    * executors like any keyed state. State size is the distinct-form
+    * count, not the stream length; TimeMode.None — no timers, nothing
+    * expires.
+    */
+  def dedupPersistent(docs: Dataset[HashedDoc]): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.h)
+      .transformWithState(new DedupProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Full reference pipeline as a streaming writer: route → per-partition

@@ -73,6 +73,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids == List(1L, 2L, 3L))
   }
 
+  test("dedupPersistent: content dedup remembers across batches forever") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Pipeline.HashedDoc
+    // transformWithState requires the RocksDB provider (multi-column-family
+    // state); same conf dance as the sessionizeTws tests
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[HashedDoc]
+      val q = Pipeline.dedupPersistent(mem.toDS()).writeStream
+        .format("memory").queryName("dedup_persist").outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp("ckpt-dp")).start()
+      mem.addData(HashedDoc(1, "h1"), HashedDoc(2, "h2"))
+      q.processAllAvailable()
+      // h1 re-arrives a batch later (no watermark bounds the memory);
+      // h3 arrives twice in one batch — min doc_id must win
+      mem.addData(HashedDoc(3, "h1"), HashedDoc(5, "h3"), HashedDoc(4, "h3"))
+      q.processAllAvailable()
+      mem.addData(HashedDoc(6, "h3")) // and again much later
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("dedup_persist").as[HashedDoc]
+        .collect().map(d => d.doc_id -> d.h).toSet
+      assert(out == Set(1L -> "h1", 2L -> "h2", 4L -> "h3"),
+        s"only first-ever occurrences may pass, min doc_id per batch: $out")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize: 30-min gap closes a session; stats accumulate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
