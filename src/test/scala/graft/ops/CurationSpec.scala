@@ -132,6 +132,33 @@ class CurationSpec extends SparkSpec {
       "two-phase cap must elect the same docs as the one-window reference")
   }
 
+  test("pack property: conservation + global-window equality on random chunk tables") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tableGen: Gen[List[(Long, Long, Long)]] = for {
+      nDocs <- Gen.choose(0, 20)
+      perDoc <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.choose(1L, 32L)).map(_.take(5)))
+    } yield perDoc.zipWithIndex.flatMap { case (sizes, d) =>
+      sizes.zipWithIndex.map { case (tok, c) => (d.toLong, c.toLong, tok) }
+    }
+    val u = Llm.md5Hex32Spark("concat('pack_', CAST(doc_id AS STRING))")
+    val p = Prop.forAll(tableGen) { rows =>
+      val ch = rows.toDF("doc_id", "chunk_id", "n_tok_chunk")
+      val out = Curation.packFrom(ch).collect()
+      val conserved = out.map(_.getLong(2)).sum == rows.map(_._3).sum &&
+        out.map(_.getLong(1)).sum == rows.length
+      val wG = Window.orderBy("u", "doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ref = ch.withColumn("u", expr(u))
+        .withColumn("offset", coalesce(sum("n_tok_chunk").over(wG), lit(0L)))
+        .groupBy(expr("offset DIV 128").as("seq_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tok_chunk").as("n_tokens"))
+      val got = Curation.packFrom(ch).select("seq_id", "n_chunks", "n_tokens")
+      conserved && got.except(ref).isEmpty && ref.except(got).isEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, s"pack property failed: ${res.status}")
+  }
+
   test("incremental dedup: survivors disjoint from base, unique, and idempotent") {
     val docs = Tables(spark, sf, "documents")
     val out = Curation.incrementalFrom(docs)
