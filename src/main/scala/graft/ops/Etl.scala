@@ -101,7 +101,11 @@ object Etl {
     * runs over that tiny table, not the data.
     */
   private def withShardOffsets(df: DataFrame): DataFrame = {
+    // Materialized ONCE (the dropHotKeys discipline): the offsets
+    // aggregation and the main numbering join both consume this frame —
+    // without the checkpoint each re-runs the scan+route subtree.
     val sharded = df.withColumn("shardk", expr(s"ts_us DIV $ShardUs"))
+      .localCheckpoint(true)
     val wOff = Window.partitionBy("route").orderBy("shardk")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sharded.groupBy("route", "shardk")
@@ -156,7 +160,12 @@ object Etl {
     * Numbering is two-phase sharded ([[withShardOffsets]]); the dense
     * renumber at the end windows over the 500×-reduced batch table.
     */
-  private[graft] def batchAssign(routed: DataFrame): DataFrame = {
+  private[graft] def batchAssign(routed0: DataFrame): DataFrame = {
+    // Materialized ONCE: the ok/big split plus withShardOffsets' two
+    // consumers previously ran the scan+route subtree three times. The
+    // oversize filter no longer pushes into the parquet scan — a good
+    // trade: with pushdown each branch was its own full IO pass.
+    val routed = routed0.localCheckpoint(true)
     val ok = routed.filter(col("nbytes") <= MaxRecordBytes)
     val big = routed.filter(col("nbytes") > MaxRecordBytes)
     val wLoc = Window.partitionBy("route", "shardk").orderBy("ts_us", "event_id")

@@ -106,6 +106,14 @@ object Llm {
     * gigabytes of over-cap keys. A count-over-window formulation is the
     * trap to avoid — it funnels every row of the hottest key through
     * one sorting task.
+    *
+    * Checkpoint lifetime: the blocks must outlive this builder (the
+    * consumers execute later, at the query's action), so they cannot be
+    * unpersisted here; they are freed by the ContextCleaner when the
+    * RDD is GC'd. That lag is accepted deliberately: the materialized
+    * frames are skinny key projections (a few fixed-width columns), vs
+    * q_dedup_cluster whose per-superstep checkpoints are explicitly
+    * unpersisted because its loop holds MANY generations alive at once.
     */
   private[graft] def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val mat = df.localCheckpoint(true)
@@ -717,6 +725,29 @@ object Llm {
         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
                  WHERE ${md5U01Sql("CAST(vec_id AS VARCHAR)")} < thr)"""
 
+  /** A vector's cells as a struct array sorted by (cos desc, c_id asc):
+    * element 1 is the nearest cell, slice 1..nprobe the probe set. ONE
+    * spelling shared by `q_sim_ivf` and `q_vec_kmeans_step` — the index
+    * build and its refinement must SCORE identically (same rounding,
+    * same tie-break) or the kmeans step refines a different index than
+    * the one being probed.
+    */
+  private def sortedCellsSpark: String =
+    s"""array_sort(transform(cents, c -> named_struct(
+          'negcos', -round(graft_dot(v, c.cv) / (nrm * c.cn), 4),
+          'c_id', c.c_id)))"""
+
+  /** Oracle twin of [[sortedCellsSpark]]: the ranked assignment CTE
+    * asg(vec_id, v, nrm, c_id, arn), arn = 1 the nearest cell. Assumes
+    * `n` and `cent` in scope.
+    */
+  private def ivfAsgSql: String =
+    """asg AS (SELECT n.vec_id, n.v, n.nrm, c_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
+                 AS arn
+              FROM n CROSS JOIN cent)"""
+
   private val qSimIvf = Q(
     "q_sim_ivf",
     (s, dir) => {
@@ -730,11 +761,12 @@ object Llm {
       val probed = e.crossJoin(broadcast(ivfCentArr(s, dir)))
         // per-cell score struct sorts as (cos desc, c_id asc); the rounded
         // ccos matches the oracle's window ordering exactly
-        .withColumn("pc", expr(
-          s"""slice(array_sort(transform(cents, c -> named_struct(
-                'negcos', -round(graft_dot(v, c.cv) / (nrm * c.cn), 4),
-                'c_id', c.c_id))), 1, $IvfProbes)"""))
+        .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
         .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+        // materialized ONCE: idx and qry below both consume this frame,
+        // and the n·k assignment dots are the query's dominant CPU stage
+        // — without the checkpoint each side re-runs them from the scan
+        .localCheckpoint(true)
       val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
         col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
       val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -751,11 +783,7 @@ object Llm {
     },
     Some(s"""WITH $vecsSql,
              $ivfCentSql,
-             asg AS (SELECT n.vec_id, n.v, n.nrm, c_id,
-                      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                        ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
-                        AS arn
-                     FROM n CROSS JOIN cent),
+             $ivfAsgSql,
              idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
                      FROM asg WHERE arn = 1),
              qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
@@ -792,10 +820,12 @@ object Llm {
     "q_vec_kmeans_step",
     (s, dir) => {
       val assigned = vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
-        .withColumn("cell", expr(
-          s"""element_at(array_sort(transform(cents, c -> named_struct(
-                'negcos', -round(graft_dot(v, c.cv) / (nrm * c.cn), 4),
-                'c_id', c.c_id))), 1).c_id"""))
+        // guard the (P ≈ e^-√n, real only for tiny corpora) empty sample:
+        // element_at on an empty cents array would fabricate a NULL cell
+        // row (or throw under ANSI) while the oracle's CROSS JOIN with an
+        // empty cent CTE returns zero rows
+        .filter(expr("size(cents) > 0"))
+        .withColumn("cell", expr(s"element_at($sortedCellsSpark, 1).c_id"))
         .select(col("vec_id"), col("cell"),
           expr("transform(v, x -> CAST(floor(x * 127) AS BIGINT))").as("qv"))
         .localCheckpoint(true) // two consumers; assignment computed once
@@ -813,11 +843,7 @@ object Llm {
     },
     Some(s"""WITH $vecsSql,
              $ivfCentSql,
-             asg AS (SELECT n.vec_id, n.v, c_id,
-                      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                        ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
-                        AS arn
-                     FROM n CROSS JOIN cent),
+             $ivfAsgSql,
              a AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
              q AS (SELECT cell, CAST(u.i AS INT) AS dim,
                     CAST(floor(v[CAST(u.i + 1 AS INT)] * 127) AS BIGINT) AS qv

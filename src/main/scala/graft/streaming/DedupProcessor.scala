@@ -6,10 +6,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
 
 /** Corpus-lifetime seen-set for [[Pipeline.dedupPersistent]]: one
   * ValueState[Long] (the first-seen doc_id) per content hash,
-  * `TTLConfig.NONE` because ingestion dedup must remember forever. A
-  * batch's rows for an unseen hash elect the min doc_id — the same
-  * representative rule as the batch incremental-dedup operator, so a
-  * corpus ingested as one batch or as a stream elects identical docs.
+  * `TTLConfig.NONE` because ingestion dedup must remember forever.
+  * Within a micro-batch, rows for an unseen hash elect the min doc_id
+  * (the batch incremental-dedup operator's rule); ACROSS micro-batches
+  * the election is first-ARRIVAL — a later batch cannot unseat an
+  * earlier representative even with a smaller doc_id, so stream and
+  * batch ingestion elect identical docs only when arrival order is
+  * doc_id order (or the corpus lands in one batch). That is the right
+  * semantic for ingestion: the already-published doc wins.
   */
 class DedupProcessor extends StatefulProcessor[String, HashedDoc, HashedDoc] {
 
