@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftnative.{DotProduct, GraftNative}
+import org.apache.spark.sql.graftnative.{DotProduct, GraftNative, Md5Hex32}
 
 /** Column-DSL facade over the engine's native expressions, plus SQL
   * registration (SURVEY §2.12 extension-point ladder: native Expression
@@ -36,6 +36,10 @@ package functions {
         new FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, "graft_dot"),
         GraftNative.dotBuilder))
+      ext.injectFunction((
+        new FunctionIdentifier("graft_md5h32"),
+        new ExpressionInfo(classOf[Md5Hex32].getCanonicalName, null, "graft_md5h32"),
+        GraftNative.md5h32Builder))
       // whole-plan rewrite (SURVEY §4): bounded explode — see the rule's doc
       ext.injectOptimizerRule(_ => graft.plans.BoundedPosExplode)
     }

@@ -544,10 +544,12 @@ object Llm {
     * between its consumers or between engine twins).
     */
   private[graft] def md5Hex32Spark(arg: String): String =
-    s"""aggregate(transform(sequence(0, 7), c ->
-          shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST($arg AS BINARY)), c + 1, 1)) - 1 AS BIGINT),
-                    CAST(4 * (7 - c) AS INT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    // the native codegen'd expression (graftnative.Md5Hex32); value-
+    // identical to the old interpreted HOF spelling — first 8 md5 hex
+    // chars ARE the first 4 digest bytes — so every oracle twin is
+    // untouched. Needs GraftExtensions on the session, which every
+    // in-repo entry point (Verify/Bench/SparkSpec) installs.
+    s"graft_md5h32($arg)"
 
   private[graft] def md5Hex32Sql(arg: String): String =
     s"""list_sum(list_transform(range(8), c ->
@@ -1239,8 +1241,7 @@ object Llm {
       // Positional rolling-hash fingerprint: each token hashes to a 32-bit
       // int (first 8 md5 hex chars), weighted by (position mod 16)+1,
       // summed mod 1e9+7. Pure HOF arithmetic — no explode, no shuffle.
-      val tokHash =
-        "aggregate(transform(sequence(0, 7), c -> shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST(element_at(t, p + 1) AS BINARY)), c + 1, 1)) - 1 AS BIGINT), CAST(4 * (7 - c) AS INT))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val tokHash = md5Hex32Spark("element_at(t, p + 1)")
       Tables(s, dir, "documents")
         .withColumn("t", split(col("text"), " "))
         .withColumn("fp", expr(

@@ -9,11 +9,12 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Dot product of two ARRAY<DOUBLE> columns as a codegen'd expression.
   *
@@ -71,6 +72,42 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First 4 md5 bytes of a string's UTF-8 encoding as an unsigned 32-bit
+  * value in a BIGINT — the codegen'd native form of the engine's
+  * hash-uniform primitive (`Llm.md5Hex32Spark`). The interpreted HOF
+  * spelling it replaces (8 × instr/substr/shiftleft over the md5 hex
+  * string) costs ~20 interpreted lambda ops per evaluation and is on the
+  * per-row (sometimes per-token) path of every salted-hash selection.
+  * Value-identical by construction: the first 8 hex chars of md5 ARE the
+  * first 4 digest bytes big-endian, so every DuckDB oracle twin
+  * (`md5(...)` hex arithmetic) keeps matching bit-for-bit.
+  */
+case class Md5Hex32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5h32"
+
+  override protected def nullSafeEval(s: Any): Any =
+    Md5Hex32.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftnative.Md5Hex32.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hex32 =
+    copy(child = newChild)
+}
+
+object Md5Hex32 {
+  def compute(s: UTF8String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
 /** Bridge for code outside the sql package. */
 object GraftNative {
   def dot(a: Column, b: Column): Column =
@@ -81,10 +118,16 @@ object GraftNative {
   val dotBuilder: Seq[Expression] => Expression =
     children => DotProduct(children.head, children(1))
 
-  /** Register `graft_dot` on an already-running session (extensions only
-    * apply at session construction).
+  val md5h32Builder: Seq[Expression] => Expression =
+    children => Md5Hex32(children.head)
+
+  /** Register the SQL names on an already-running session (extensions
+    * only apply at session construction).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5h32", md5h32Builder, "built-in")
+  }
 }
