@@ -879,6 +879,50 @@ object Llm {
             FROM documents, unnest(string_split(text, ' ')) u(t)
             GROUP BY t ORDER BY n DESC, term LIMIT 20"""))
 
+  /** Heavy-hitter threshold divisor: exact output = terms with
+    * frequency > n/[[HeavyK]]; the sketch pass keeps ≤ HeavyK−1
+    * counters per partial aggregate.
+    */
+  private val HeavyK = 64
+
+  /** Exact corpus heavy hitters via a bounded-memory two-pass: a
+    * Misra–Gries sketch ([[graft.udf.MisraGries]], ≤ k−1 counters per
+    * partition — the full vocabulary never rides the shuffle) generates
+    * a candidate superset of every term with frequency > n/k; an exact
+    * re-count of JUST those ≤ k−1 candidates (broadcast semi-join) then
+    * filters to the true heavy set. The sketch's candidate set varies
+    * with Spark's partial-merge order, but the final answer is exact and
+    * deterministic — the superset guarantee means no heavy term can be
+    * missed, and the re-count discards any light term the order let in.
+    * Contrast q_text_tokens (global top-20 via full groupBy): correct,
+    * but its shuffle carries every distinct term; this shape's wide
+    * stages move O(k) state per partition regardless of vocabulary size.
+    */
+  private val qTextHeavyHitters = Q(
+    "q_text_heavy_hitters",
+    (s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("term"))
+        .localCheckpoint(true) // three consumers: sketch, total, verify join
+      val mg = udaf(new graft.udf.MisraGries(HeavyK), org.apache.spark.sql.Encoders.STRING)
+      val cands = tok.agg(mg(col("term")).as("cand"))
+        .select(explode(col("cand")).as("term"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      tok.join(broadcast(cands), "term")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(expr(s"cnt > n DIV $HeavyK"))
+        .select("term", "cnt")
+        .orderBy(col("cnt").desc, col("term"))
+    },
+    Some(s"""WITH t AS (SELECT u.t AS term
+                  FROM documents, unnest(string_split(text, ' ')) u(t)),
+            tot AS (SELECT COUNT(*) AS n FROM t),
+            g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY term)
+            SELECT term, cnt FROM g CROSS JOIN tot
+            WHERE cnt > n // $HeavyK ORDER BY cnt DESC, term"""))
+
   private val qTextStats = Q(
     "q_text_stats",
     (s, dir) => {
@@ -1575,7 +1619,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecKmeansStep, qVecQuantize,
-    qTextTokens, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
+    qTextTokens, qTextHeavyHitters, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk,
     qMultimodalJoin)
 }
