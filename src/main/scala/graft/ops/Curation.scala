@@ -64,6 +64,15 @@ object Curation {
     * corpus share), and the train×bench join is a shingle-keyed equi-join
     * whose output is aggregated map-side per doc. No step is quadratic
     * in corpus size or in any single key's frequency.
+    *
+    * HONEST LIMITATION (the df-cap trade, same as the §2.11 occupancy
+    * caps): a shingle in more than [[Llm.ShingleDfCap]] docs is dropped
+    * from the universe, so contamination carried ONLY by corpus-wide
+    * boilerplate is invisible here — by design: such text also carries
+    * ~zero benchmark-specific signal, and mass-duplicated content is
+    * exact/chunk dedup's job before decontamination runs. A doc whose
+    * every shingle is over-cap boilerplate scores no hits
+    * (CurationSpec pins this contract).
     */
   private[graft] def decontaminateFrom(docs: DataFrame): DataFrame = {
     val sh = Llm.dropHotKeys(

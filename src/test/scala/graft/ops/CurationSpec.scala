@@ -45,6 +45,20 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(benchIds.head), "benchmark docs are not scored")
   }
 
+  test("decontaminate: over-cap boilerplate carries no contamination signal (declared trade)") {
+    // one benchmark doc + ShingleDfCap+2 training docs all sharing its
+    // exact text: every shingle's df exceeds the cap, so the whole
+    // universe is dropped and NOTHING is flagged — the documented
+    // contract (mass-dup is exact-dedup's job, not decontamination's)
+    val (benchIds, trainIds) = benchSplit(1L to 200L)
+    val boiler = "this exact same boilerplate sentence repeats on every single page here"
+    val n = Llm.ShingleDfCap + 2
+    assert(trainIds.size >= n)
+    val docs = ((benchIds.head +: trainIds.take(n)).map(id => (id, boiler))).toDF("doc_id", "text")
+    assert(Curation.decontaminateFrom(docs).isEmpty,
+      "df-capped boilerplate must score zero hits by design")
+  }
+
   test("mixture: √-law keep counts, small langs kept whole, deterministic membership") {
     // 400 'big' docs: p = 4/√400 = 0.2 → E[kept] = 80, σ = √(400·0.2·0.8) = 8.
     // 9 'small' docs: p = 4/3 > 1 → all kept.
