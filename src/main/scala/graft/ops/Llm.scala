@@ -879,6 +879,57 @@ object Llm {
             FROM documents, unnest(string_split(text, ' ')) u(t)
             GROUP BY t ORDER BY n DESC, term LIMIT 20"""))
 
+  /** Corpus-derived commonness scoring — the self-supervised cousin of
+    * the lexicon quality gates (`q_text_quality` uses fixed stopword
+    * lists; this trains its "language model" on the corpus itself, the
+    * CCNet-style idea with a unigram model): score each doc by the
+    * average corpus probability of its tokens; rare-token-heavy docs
+    * (garbled text, wrong language, boilerplate IDs) score low. The
+    * score is the ARITHMETIC mean probability, not a log-space
+    * perplexity: sum(cnt)/(n_tokens·N) is computable from pure integer
+    * sums with ONE final float division — deterministic under any
+    * partial-merge order, where a sum of per-token ln() values would
+    * drift in its low bits run-to-run and engine-to-engine (the same
+    * determinism rule that keeps money sums in decimals).
+    *
+    * Scale shape: token-keyed equi-join of the exploded corpus against
+    * the unigram table (un-hinted — the vocabulary is unbounded, AQE
+    * broadcasts it only while it is actually small), then one
+    * map-combinable integer agg per doc; the corpus total rides in as a
+    * 1-row broadcast.
+    */
+  private val qTextCommonness = Q(
+    "q_text_commonness",
+    (s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .localCheckpoint(true) // three consumers: unigram LM, total, scoring
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val lm = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      tok.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("cnt").as("sum_cnt"))
+        .crossJoin(broadcast(tot))
+        .withColumn("commonness", expr(
+          "floor(sum_cnt / CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE) * 100000000) / 100000000"))
+        .withColumn("is_rare", expr("commonness < CAST(0.01 AS DOUBLE)"))
+        .select("doc_id", "n_tokens", "commonness", "is_rare")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, u.t AS term
+                  FROM documents, unnest(string_split(text, ' ')) u(t)),
+            tot AS (SELECT COUNT(*) AS n FROM t),
+            lm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY term),
+            d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+                  FROM t JOIN lm USING (term) GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+             floor(sum_cnt / CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE) * 100000000) / 100000000 AS commonness,
+             floor(sum_cnt / CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE) * 100000000) / 100000000 < CAST(0.01 AS DOUBLE) AS is_rare
+            FROM d CROSS JOIN tot
+            ORDER BY doc_id"""))
+
   /** Heavy-hitter threshold divisor: exact output = terms with
     * frequency > n/[[HeavyK]]; the sketch pass keeps ≤ HeavyK−1
     * counters per partial aggregate.
@@ -1619,7 +1670,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecKmeansStep, qVecQuantize,
-    qTextTokens, qTextHeavyHitters, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
+    qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk,
     qMultimodalJoin)
 }

@@ -15,8 +15,8 @@ class PlanLintSpec extends SparkSpec {
   private val cartesianOk =
     Set("q_join_cross", "q_text_tfidf", "q_sim_ivf", "q_text_langid_ngram",
       "q_sim_ann_lsh", "q_dedup_embed",
-      // 1-row broadcast total joined onto the ≤k-row candidate counts
-      "q_text_heavy_hitters")
+      // 1-row broadcast total joined onto already-aggregated skinny rows
+      "q_text_heavy_hitters", "q_text_commonness")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
