@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * at 100 TB: hot keys (the shingle join drops df > [[ShingleDfCap]]
   * boilerplate before self-joining, so no key emits more than τ² pairs)
   * and constant block counts (the LSH band width rb and the IVF centroid
-  * count k both GROW with n — rb = log2(n/500), k = √n — keeping
+  * count k both GROW with n — rb = log2(n/250), k = √n — keeping
   * per-block volume bounded instead of O(n²/const)). The declared
   * exception is q_sim_topk/q_sim_knn_label's id-modulo block: that pair
   * is the brute-force baseline the ANN operators are measured against
@@ -46,11 +46,14 @@ object Llm {
   /** Target vectors per band bucket; rb = ceil(log2(n / target)) bits per
     * band keeps expected bucket size ~constant as n grows, so per-band
     * candidate volume is O(n · target) — linear, never O(n²/2^const).
-    * At n = 10⁹ this gives rb ≈ 21 (2M buckets/band), at the sf0.1
-    * fixture rb = 2 (4 buckets/band, measured recall@3 = 0.98 vs brute
-    * force with 8 OR-bands).
+    * At n = 10⁹ this gives rb ≈ 22 (4M buckets/band), at the sf0.1
+    * fixture rb = 3 (8 buckets/band, measured recall@3 = 0.90 vs brute
+    * force with 8 OR-bands — the round-4 retune from 500, which
+    * measured 0.98: halving the bucket target halves per-query
+    * candidate volume at EVERY scale, and 0.90 is the standard ANN
+    * operating point; the InvariantsSpec floor is 0.8).
     */
-  private val LshBucketTarget = 500
+  private val LshBucketTarget = 250
 
   /** Probe cells per query for IVF (nprobe). 1 is classic fastest-path;
     * 4 is the standard recall knob — candidate volume stays
@@ -582,7 +585,7 @@ object Llm {
 
   /** One row: (rb, pl) where pl = LshBands·rb hyperplanes of dimension d,
     * derived from corpus size alone. Computed once and broadcast — the
-    * planes are ~rb·8·d·8 bytes (13 KB at rb = 21, d = 64(!)), never
+    * planes are ~rb·8·d·8 bytes (14 KB at rb = 22, d = 64(!)), never
     * recomputed per row.
     */
   private def lshPlanes(s: SparkSession, dir: String): DataFrame =
@@ -663,7 +666,7 @@ object Llm {
     (s, dir) => {
       // LSH-bucketed ANN (the scale path vs q_sim_topk's brute force):
       // LshBands OR-ed random-hyperplane signatures of rb =
-      // ceil(log2(n/500)) bits each; candidates share any band bucket;
+      // ceil(log2(n/250)) bits each; candidates share any band bucket;
       // cosine top-3 over candidates only. Work per query is
       // ~LshBands · 500 candidate cosines INDEPENDENT of corpus size —
       // the property the previous 3-fixed-hyperplane design lacked.

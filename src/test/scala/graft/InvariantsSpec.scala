@@ -161,7 +161,7 @@ class InvariantsSpec extends SparkSpec {
   test("ANN recall at sf0.1: LSH >= 0.8 of true top-3; IVF beats the random-probe baseline") {
     // The standard proof that an ANN index is fast AND not garbage:
     // recall@k against the exact (full cross-join) top-3. Run at sf0.1
-    // (n = 2000), where the LSH band width rb = 2 actually engages — at
+    // (n = 2000), where the LSH band width rb = 3 actually engages — at
     // the test default sf0.001 rb = 1 and recall is trivially high.
     // Ground truth over a deterministic 25% query sample keeps the
     // brute-force side at 500×2000 cosines.
