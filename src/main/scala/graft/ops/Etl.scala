@@ -160,12 +160,14 @@ object Etl {
     * Numbering is two-phase sharded ([[withShardOffsets]]); the dense
     * renumber at the end windows over the 500×-reduced batch table.
     */
-  private[graft] def batchAssign(routed0: DataFrame): DataFrame = {
-    // Materialized ONCE: the ok/big split plus withShardOffsets' two
-    // consumers previously ran the scan+route subtree three times. The
-    // oversize filter no longer pushes into the parquet scan — a good
-    // trade: with pushdown each branch was its own full IO pass.
-    val routed = routed0.localCheckpoint(true)
+  private[graft] def batchAssign(routed: DataFrame): DataFrame = {
+    // Execution count: withShardOffsets checkpoints the ok side once for
+    // its two consumers (offsets agg + numbering join); the big/DLQ
+    // branch deliberately re-reads the source instead of sharing a
+    // second checkpoint here — its oversize predicate pushes into the
+    // pruned parquet scan, and stacking a routed-frame checkpoint under
+    // withShardOffsets' own was double materialization of nearly the
+    // same narrow rows (review r4b).
     val ok = routed.filter(col("nbytes") <= MaxRecordBytes)
     val big = routed.filter(col("nbytes") > MaxRecordBytes)
     val wLoc = Window.partitionBy("route", "shardk").orderBy("ts_us", "event_id")

@@ -668,7 +668,7 @@ object Llm {
       // LshBands OR-ed random-hyperplane signatures of rb =
       // ceil(log2(n/250)) bits each; candidates share any band bucket;
       // cosine top-3 over candidates only. Work per query is
-      // ~LshBands · 500 candidate cosines INDEPENDENT of corpus size —
+      // ~LshBands · LshBucketTarget candidate cosines INDEPENDENT of corpus size —
       // the property the previous 3-fixed-hyperplane design lacked.
       val e = vecs(s, dir)
       val q = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
@@ -764,6 +764,10 @@ object Llm {
       // so nothing shuffles until the skinny probe join.
       val e = vecs(s, dir)
       val probed = e.crossJoin(broadcast(ivfCentArr(s, dir)))
+        // empty-sample guard (P ≈ e^-√n, real for tiny corpora): without
+        // it element_at(pc, 1) below errors under ANSI where the
+        // oracle's cross join with an empty cent CTE returns zero rows
+        .filter(expr("size(cents) > 0"))
         // per-cell score struct sorts as (cos desc, c_id asc); the rounded
         // ccos matches the oracle's window ordering exactly
         .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))

@@ -101,8 +101,18 @@ case class Md5Hex32(child: Expression)
 }
 
 object Md5Hex32 {
+  // one digest instance per task thread, reset between rows — a JCA
+  // provider lookup + allocation per evaluation would undercut the
+  // point of the native expression on the per-token hot path
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def compute(s: UTF8String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
