@@ -273,7 +273,8 @@ object Curation {
                      ORDER BY u, doc_id, chunk_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
                   FROM o),
-            q AS (SELECT doc_id, n_tok_chunk, off // $SeqLen AS seq_id,
+            q AS (SELECT doc_id, n_tok_chunk,
+                   CAST(off // $SeqLen AS BIGINT) AS seq_id,
                    CASE WHEN off + n_tok_chunk > (off // $SeqLen + 1) * $SeqLen
                         THEN 1 ELSE 0 END AS strad
                   FROM p)

@@ -62,6 +62,27 @@ def compare(name, sdf, ddf):
     return True, f"{len(sdf)} rows x {len(scols)} cols"
 
 
+# Portable DuckDB output types: anything outside this set (HUGEINT from
+# window SUM, DECIMAL, TINYINT...) may hash differently from Spark's
+# physical output even when values compare equal — the r4 q_pack_sequences
+# trap. The value-level compare below can't see it; this lint can.
+PORTABLE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
+                  "BOOLEAN", "BLOB"}
+
+
+def lint_types(con, name, sql):
+    """DESCRIBE the oracle SQL; return list of (col, type) outside the
+    portable set. LIST types are portable iff the element type is."""
+    bad = []
+    for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        t = typ.strip()
+        if t.endswith("[]"):
+            t = t[:-2].strip()
+        if t not in PORTABLE_TYPES:
+            bad.append((col, typ))
+    return bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:]) or None
@@ -73,6 +94,18 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and name not in only:
+            continue
+        try:
+            bad = lint_types(con, name, oracle[name])
+        except Exception as e:
+            print(f"ERROR    {name}: type lint DESCRIBE failed: {e}")
+            n_fail += 1
+            continue
+        if bad:
+            cols = ", ".join(f"{c}:{t}" for c, t in bad)
+            print(f"TYPELINT {name}: non-portable oracle output ({cols}) "
+                  f"— cast to one of {sorted(PORTABLE_TYPES)}")
+            n_fail += 1
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
