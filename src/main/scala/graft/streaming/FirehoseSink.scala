@@ -19,16 +19,37 @@ import org.apache.spark.sql.functions._
 object FirehoseSink {
   val MaxAttempts = 3
 
+  /** Records drained per Batcher.deliver call. Bounds per-partition heap:
+    * the partition is never materialized — same-route records are made
+    * adjacent by an in-partition sort (no shuffle) and drained lazily in
+    * runs of at most this many, so resident memory is O(chunk), not
+    * O(partition). 5 full Firehose batches per chunk keeps the per-call
+    * amortization while staying a few MB at the 1000 KiB record cap.
+    */
+  val DeliverChunkRecords: Int = 5 * Batcher.MaxRecordsPerBatch
+
   def process(batch: DataFrame, batchId: Long, outDir: String, failEvery: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val tagged = batch
       .select(col("event_id").cast("long"), col("route"), col("props"))
+      .sortWithinPartitions("route")
       .as[(Long, String, String)]
       .mapPartitions { it =>
-        it.toVector.groupBy(_._2).iterator.flatMap { case (route, recs) =>
-          val failedOnce = scala.collection.mutable.Set.empty[Long]
-          val out = Batcher.deliver(recs, MaxAttempts)(r =>
+        val buffered = it.buffered
+        val failedOnce = scala.collection.mutable.Set.empty[Long]
+        Iterator.continually(()).takeWhile(_ => buffered.hasNext).flatMap { _ =>
+          // One chunk = the next run of ≤ DeliverChunkRecords same-route
+          // records. Chunking a route's run into several deliver() calls
+          // is outcome-equivalent to one call: batches are planned in
+          // input order and retries re-plan only that call's failures.
+          val route = buffered.head._2
+          val chunk = Vector.newBuilder[(Long, String, String)]
+          var n = 0
+          while (buffered.hasNext && buffered.head._2 == route && n < DeliverChunkRecords) {
+            chunk += buffered.next(); n += 1
+          }
+          val out = Batcher.deliver(chunk.result(), MaxAttempts)(r =>
             if (r._3 == null) 0L else r._3.getBytes("UTF-8").length.toLong) { b =>
             b.map { case (id, _, _) =>
               if (failEvery <= 0) true

@@ -225,6 +225,60 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).filter(col("batch_id") === 7L).count() == n1)
   }
 
+  test("firehose restart from checkpoint: crash-replay of an uncommitted batch neither duplicates nor loses") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val replayDir = tmp("fh-replay")
+    val ckpt = tmp("ckpt-fh-restart")
+    val out = tmp("fh-restart-out")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$sf/events.parquet")
+    val total = src.count()
+    // stage one single-file micro-batch per event_id residue class
+    def stage(mod: Long, name: String): Unit = {
+      val d = tmp(s"fh-stage-$name")
+      src.filter(col("event_id") % 3 === mod).coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      val part = JFiles.list(Paths.get(d)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      JFiles.copy(part, Paths.get(replayDir, s"$name.parquet"))
+    }
+    def stream() = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(replayDir)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_ts", expr("timestamp_micros(ts DIV 1000)"))
+    stage(0, "a"); stage(1, "b")
+    val q1 = Pipeline.firehose(stream(), out, failEvery = 7L)
+      .option("checkpointLocation", ckpt).start()
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    // Simulate a crash after the sink wrote the newest batch but before its
+    // commit was recorded: drop the newest commit-log entry. On restart the
+    // offsets log still names that batch, so Structured Streaming re-executes
+    // it with the same batchId — the at-least-once replay the sink's dynamic
+    // partition overwrite must absorb.
+    val newestCommit = JFiles.list(Paths.get(ckpt, "commits")).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    JFiles.delete(newestCommit)
+    // the checkpoint lives on Hadoop's ChecksumFileSystem: drop the hidden
+    // .N.crc sibling too, or the re-written commit trips FileAlreadyExists
+    JFiles.deleteIfExists(
+      newestCommit.resolveSibling("." + newestCommit.getFileName + ".crc"))
+    stage(2, "c") // a third file arrived while the query was down
+    val q2 = Pipeline.firehose(stream(), out, failEvery = 7L)
+      .option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable(); q2.stop()
+    val result = spark.read.parquet(out)
+    assert(result.count() == total,
+      s"replay must not duplicate or lose: got ${result.count()}, want $total")
+    assert(result.select("event_id").distinct().count() == total)
+    val dead = result.filter(col("status") === "dead")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val expectedDead = src.select("event_id").collect()
+      .map(_.getLong(0)).filter(_ % 70 == 0).toSet
+    assert(dead == expectedDead, "permanent failures must still be exactly the DLQ after replay")
+  }
+
   test("firehose sink: delivered ∪ DLQ ≡ input; transient failures retried") {
     val out = tmp("firehose-out")
     val events = Pipeline.fileReplay(spark, sf)
