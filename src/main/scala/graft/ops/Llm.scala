@@ -1547,64 +1547,19 @@ object Llm {
     * over-keeps at 100 TB; this closure step is what production dedup
     * pipelines run after LSH.
     *
-    * Algorithm: iterative min-label propagation (the Pregel/GraphX pattern
-    * re-expressed on DataFrames) — each round every node takes the min of
-    * its own label and its neighbors', until a fixpoint. Rounds = graph
-    * diameter (dup clusters are near-cliques, so 2–3 in practice); each
-    * round is one shuffle-join + hash agg, `localCheckpoint` truncates
-    * the growing lineage exactly as GraphX materializes between supersteps.
-    * The driver-side loop only compares row COUNTS (a scalar per round) —
-    * label data never leaves the executors.
+    * Algorithm: alternating large-star/small-star contraction
+    * ([[ConnectedComponents]]) — O(log n) rounds on EVERY graph shape,
+    * including the chain-shaped dup graphs (sliding near-dup windows
+    * over a scrolled page) where plain min-label propagation needs
+    * O(diameter) rounds. The driver-side loop only sees per-round
+    * convergence scalars — label data never leaves the executors.
     */
   private val qDedupCluster = Q(
     "q_dedup_cluster",
     (s, dir) => {
       val pairs = jaccardPairs(s, dir).filter(col("jac") >= 0.4)
-        .select(col("d1"), col("d2"))
-      // undirected edge list, kept hot across supersteps
-      val edges = pairs
-        .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .toDF("src", "dst").localCheckpoint(true)
-      // Dataset.unpersist() frees cache-manager entries, not checkpoint
-      // blocks — to release a dead superstep we must unpersist the
-      // checkpointed RDD itself (the LogicalRDD leaf of the plan).
-      def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-        df.queryExecution.analyzed.collectFirst {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }
-      var lbl = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint(true)
-      var changed = 1L
-      var rounds = 0
-      val maxRounds = 50
-      while (changed > 0 && rounds < maxRounds) {
-        val nbrMin = edges.join(lbl, edges("dst") === lbl("id"))
-          .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-        // the change flag rides along in the materialized superstep, so
-        // convergence costs one count over checkpointed blocks instead of
-        // a second join against the previous labels
-        val next = lbl.withColumnRenamed("lbl", "old")
-          .join(nbrMin, col("id") === nbrMin("src"), "left")
-          .select(col("id"),
-            least(col("old"), coalesce(col("nbr_lbl"), col("old"))).as("lbl"),
-            (coalesce(col("nbr_lbl"), col("old")) < col("old")).as("chg"))
-          .localCheckpoint(true) // eager: materialized here, before unpersist
-        changed = next.filter(col("chg")).count()
-        // the previous round's checkpoint blocks are dead once `next` is
-        // materialized (localCheckpoint is eager) — release them instead of
-        // accumulating one superstep's worth of storage per round for the
-        // session lifetime. Safe: dead rounds are never recomputed.
-        ckptRdd(lbl).foreach(_.unpersist(blocking = false))
-        lbl = next.select("id", "lbl")
-        rounds += 1
-      }
-      // a component with diameter > maxRounds (chain-shaped dup graph)
-      // would exit with wrong labels — diverging silently from the exact
-      // recursive-CTE oracle. Fail loudly instead of returning garbage.
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"q_dedup_cluster: min-label propagation not converged after $maxRounds rounds ($changed labels still changing)")
-      ckptRdd(edges).foreach(_.unpersist(blocking = false))
+        .select(col("d1").as("a"), col("d2").as("b"))
+      val (lbl, _) = ConnectedComponents.labels(pairs)
       val sz = lbl.groupBy(col("lbl").as("rep")).agg(count(lit(1)).as("n_members"))
       lbl.select(col("id").as("doc_id"), col("lbl").as("rep"))
         .join(sz, "rep")

@@ -109,6 +109,34 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge in O(log n) rounds on a 500-node path graph") {
+    import spark.implicits._
+    // The worst case for min-label propagation: a single chain, diameter
+    // 499 (a sliding near-dup window over a scrolled page produces this
+    // shape). Alternating star contraction must collapse it to one
+    // component labeled by the minimum in logarithmic rounds.
+    val edges = (1L until 500L).map(i => (i, i + 1)).toDF("a", "b")
+    val (lbl, rounds) = graft.ops.ConnectedComponents.labels(edges)
+    assert(rounds < 15, s"path graph took $rounds rounds — not logarithmic")
+    val got = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 500, s"every node must be labeled: ${got.size}")
+    assert(got.values.forall(_ == 1L), "one component, labeled by its minimum")
+  }
+
+  test("connected components: disjoint cliques and chains keep distinct labels") {
+    import spark.implicits._
+    // clique 10..19, chain 100..120, pair (7, 8), plus a self-loop no-op
+    val clique = for (i <- 10L to 19L; j <- (i + 1) to 19L) yield (i, j)
+    val chain = (100L until 120L).map(i => (i, i + 1))
+    val edges = (clique ++ chain ++ Seq((7L, 8L), (7L, 7L))).toDF("a", "b")
+    val (lbl, _) = graft.ops.ConnectedComponents.labels(edges)
+    val got = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 19L).forall(got(_) == 10L))
+    assert((100L to 120L).forall(got(_) == 100L))
+    assert(got(7L) == 7L && got(8L) == 7L)
+    assert(got.size == 10 + 21 + 2)
+  }
+
   test("approx distinct (HLL) is within 10% of exact per group") {
     val approx = SparkEntry.queries("q_agg_approx_hll")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
