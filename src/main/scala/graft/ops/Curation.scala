@@ -45,7 +45,7 @@ object Curation {
   // ------------------------------------------------------ decontamination
 
   /** 1-in-DecontBenchMod docs play the held-out benchmark. */
-  private val DecontBenchMod = 20
+  private[graft] val DecontBenchMod = 20
 
   /** Flag threshold: ≥ this many shingles shared with the benchmark. */
   private val DecontMinHits = 2

@@ -15,14 +15,14 @@ class CurationSpec extends SparkSpec {
   import spark.implicits._
 
   /** doc_ids partitioned by the operator's own benchmark-membership hash
-    * (pmod(md5Hex32("dec_" + id), 20) == 0), so tests can plant docs on a
-    * chosen side of the benchmark boundary without replicating the hash
-    * math in Scala.
+    * (pmod(md5Hex32("dec_" + id), DecontBenchMod) == 0), so tests can
+    * plant docs on a chosen side of the benchmark boundary without
+    * replicating the hash math in Scala.
     */
   private def benchSplit(ids: Seq[Long]): (Seq[Long], Seq[Long]) = {
     val h = Llm.md5Hex32Spark("concat('dec_', CAST(id AS STRING))")
     val rows = ids.toDF("id")
-      .withColumn("is_bench", expr(s"pmod($h, 20) = 0"))
+      .withColumn("is_bench", expr(s"pmod($h, ${Curation.DecontBenchMod}) = 0"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1))
     (rows.filter(_._2).map(_._1).toSeq, rows.filterNot(_._2).map(_._1).toSeq)
   }
