@@ -75,6 +75,40 @@ class PlanLintSpec extends SparkSpec {
       s"pack offsets must broadcast-join:\n$plan")
   }
 
+  test("pack's only single-partition exchange feeds the ≤32-row offsets window") {
+    // the two-phase prefix-sum contract: the one unpartitioned window in
+    // the plan must be the per-shard offsets frame (≤32 rows after the
+    // groupBy), never the chunk stream itself. A second SinglePartition
+    // exchange would mean a refactor re-introduced a global sort/window
+    // over the data.
+    val plan = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles == 1,
+      s"pack must have exactly one SinglePartition exchange (offsets), got $singles:\n$plan")
+  }
+
+  test("source cap phase-1 window shuffles by (source, shard), not source alone") {
+    // the mega-source contract: phase 1 must rank within (source,
+    // hash-shard) so no single task ever sorts a whole 10 TB domain; a
+    // source-only hashpartitioning on the full data would be that task.
+    val plan = SparkEntry.queries("q_source_cap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("""hashpartitioning\(source[^)]*shard""".r.findFirstIn(plan).isDefined,
+      s"q_source_cap phase 1 must window per (source, shard):\n$plan")
+  }
+
+  test("decontaminate joins benchmark shingles by key — no nested-loop anywhere") {
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontaminate must never plan a pair scan:\n$plan")
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[sh#""".r
+      .findFirstIn(plan).isDefined,
+      s"train×bench must be a shingle-keyed equi-join:\n$plan")
+  }
+
   test("mixture census broadcasts; incremental dedup anti-joins on the form key") {
     val mix = SparkEntry.queries("q_sample_mixture")(spark, sf)
       .queryExecution.executedPlan.toString
