@@ -805,6 +805,84 @@ object Llm {
              SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
              ORDER BY q_id, rnk"""))
 
+  /** IVF-PQ-style compressed ANN — the `q_sim_ivf` coarse index with the
+    * `q_vec_quantize` int8 machinery applied to the RESIDUAL v − centroid
+    * (product quantization in its d×1-subspace form with a fixed uniform
+    * per-dimension codebook — the scalar-quantizer member of the IVF-PQ
+    * family): each indexed vector stores only its cell id plus d int8
+    * residual codes, and queries score against the dequantized
+    * reconstruction cv + code/127. This is the memory rung past
+    * `q_sim_ivf` on the 100 TB ladder: the float corpus (8d bytes/vec)
+    * drops to d bytes/vec beside the √n-sized centroid table, while the
+    * residual's small dynamic range keeps reconstruction error ≤ 1/254
+    * per dimension — recall@3 within noise of the uncompressed index
+    * (InvariantsSpec pins both against the same exact top-3 truth).
+    *
+    * Scale shape: identical to `q_sim_ivf` — map-only broadcast
+    * assignment (the n·k score matrix never exists as rows), one
+    * checkpoint for the two consumers, skinny probe equi-join on the
+    * cell key. Reconstruction is a per-row zip_with; the dequantized
+    * array exists only inside the scoring join, never at rest.
+    * Dequantize-then-dot (ADC, asymmetric distance computation) keeps
+    * the query side exact; both engines evaluate cv + floor((x−cv)·127)
+    * /127 in the same IEEE order, so the oracle hash-matches.
+    */
+  private val qSimIvfPq = Q(
+    "q_sim_ivfpq",
+    (s, dir) => {
+      val e = vecs(s, dir)
+      val probed = e.crossJoin(broadcast(ivfCentArr(s, dir)))
+        // empty-sample guard, same as q_sim_ivf
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
+        .withColumn("cell", expr("element_at(pc, 1).c_id"))
+        // the assigned cell's centroid vector, pulled out of the
+        // broadcast array BEFORE the checkpoint so `cents` (k·d doubles)
+        // never materializes per-row in storage
+        .withColumn("cv", expr(
+          "element_at(filter(cents, c -> c.c_id = element_at(pc, 1).c_id), 1).cv"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"), col("cell"), col("cv"))
+        .localCheckpoint(true)
+      // index side: per-dimension int8 residual code, read back as the
+      // dequantized reconstruction (at rest only the codes would live)
+      val idx = probed
+        .withColumn("nv", expr(
+          "zip_with(cv, v, (c, x) -> c + floor((x - c) * 127D) / 127D)"))
+        .withColumn("nn", expr("sqrt(graft_dot(nv, nv))"))
+        .select(col("vec_id").as("n_id"), col("cell"), col("nv"), col("nn"))
+      val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "rnk", "n_id", "cos")
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             $ivfAsgSql,
+             a AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+             ac AS (SELECT a.vec_id, a.v, a.cell, cv
+                    FROM a JOIN cent ON a.cell = cent.c_id),
+             av AS (SELECT vec_id AS n_id, cell,
+                     list_transform(range(len(v)), i ->
+                       cv[i + 1] + floor((v[i + 1] - cv[i + 1]) * 127) / 127) AS nv
+                    FROM ac),
+             idx AS (SELECT n_id, cell, nv,
+                      sqrt(list_dot_product(nv, nv)) AS nn FROM av),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= $IvfProbes),
+             p AS (SELECT q_id, n_id,
+                          ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
+             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
+             ORDER BY q_id, rnk"""))
+
   /** One Lloyd refinement step of the IVF coarse index: assign every
     * vector to its nearest sampled centroid ([[ivfCentArr]] — the same
     * argmax-cosine rule `q_sim_ivf` indexes by), then recompute each
@@ -1631,7 +1709,7 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qVecKmeansStep, qVecQuantize,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qVecKmeansStep, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk,
     qMultimodalJoin)

@@ -222,6 +222,11 @@ class InvariantsSpec extends SparkSpec {
     // IVF could honestly reach on this data.
     val ivfRecall = hits("q_sim_ivf")
     assert(ivfRecall >= 0.2, f"IVF recall@3 = $ivfRecall%.3f < 0.2 (random baseline ~0.08)")
+    // int8 residual compression perturbs each cosine by ≤ ~d/254·ε — the
+    // compressed index must stay within noise of the uncompressed one
+    val pqRecall = hits("q_sim_ivfpq")
+    assert(pqRecall >= ivfRecall - 0.05,
+      f"IVF-PQ recall@3 = $pqRecall%.3f fell > 0.05 below IVF's $ivfRecall%.3f")
   }
 
   test("chunking tiles every document: full coverage, correct overlap, no gaps") {

@@ -13,8 +13,8 @@ class PlanLintSpec extends SparkSpec {
   // hyperplane array / IVF centroid array) — their pair joins proper are
   // equi-joins, asserted separately below.
   private val cartesianOk =
-    Set("q_join_cross", "q_text_tfidf", "q_sim_ivf", "q_text_langid_ngram",
-      "q_sim_ann_lsh", "q_dedup_embed",
+    Set("q_join_cross", "q_text_tfidf", "q_sim_ivf", "q_sim_ivfpq",
+      "q_text_langid_ngram", "q_sim_ann_lsh", "q_dedup_embed",
       // 1-row broadcast total joined onto already-aggregated skinny rows
       "q_text_heavy_hitters", "q_text_commonness")
 
@@ -43,11 +43,13 @@ class PlanLintSpec extends SparkSpec {
         .findFirstIn(plan).isDefined,
         s"$name must equi-join on the (band, sig) bucket key:\n$plan")
     }
-    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
-      .findFirstIn(ivf).isDefined,
-      s"q_sim_ivf must equi-join on the cell key:\n$ivf")
+    Seq("q_sim_ivf", "q_sim_ivfpq").foreach { name =>
+      val ivf = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
+        .findFirstIn(ivf).isDefined,
+        s"$name must equi-join on the cell key:\n$ivf")
+    }
   }
 
   test("etl numbering windows shuffle by (route, shard), not route alone") {
