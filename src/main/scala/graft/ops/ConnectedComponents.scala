@@ -35,7 +35,11 @@ object ConnectedComponents {
 
   /** Large-star round: every node u connects each strictly larger
     * neighbor to m = min of u's closed neighborhood. Emitted edges
-    * (v, m) always have v > m, so no self-edges survive.
+    * (v, m) always have v > m, so no self-edges survive. NOT
+    * deduplicated — each input edge emits exactly one row (only one
+    * orientation passes v > u), so the output is |e| rows and a
+    * distinct here would spend a shuffle to dedup the few cross-source
+    * (v, m) collisions that smallStar's min-agg absorbs for free.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val nbrs = e.select(col("a").as("u"), col("b").as("v"))
@@ -44,7 +48,6 @@ object ConnectedComponents {
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     nbrs.join(mins, "u").filter(col("v") > col("u"))
       .select(col("v").as("a"), col("m").as("b"))
-      .distinct()
   }
 
   /** Small-star round: orient each edge large→small; every node u
@@ -69,18 +72,23 @@ object ConnectedComponents {
   private[graft] def labels(edges: DataFrame, maxRounds: Int = 30): (DataFrame, Int) = {
     var e = edges.select(col("a"), col("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var eCount = e.count()
     var rounds = 0
-    var done = e.isEmpty
+    var done = eCount == 0
     while (!done && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       // exact set-equality convergence: star sets are the fixpoints of
       // both rounds, so "unchanged" means every component is a star
-      // centered at its minimum. (Both frames are materialized
-      // checkpoints — the counts and the except scan those blocks, not
-      // the join lineage.)
-      done = next.count() == e.count() && next.except(e).isEmpty
+      // centered at its minimum. The previous round's count is carried
+      // forward (one count job per round, not two), and the except
+      // anti-join only runs when the counts already agree — typically
+      // once, at the true fixpoint. Both frames are materialized
+      // checkpoints, so these jobs scan blocks, not the join lineage.
+      val nextCount = next.count()
+      done = nextCount == eCount && next.except(e).isEmpty
       ckptRdd(e).foreach(_.unpersist(blocking = false))
       e = next
+      eCount = nextCount
       rounds += 1
     }
     if (!done)
