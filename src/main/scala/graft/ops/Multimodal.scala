@@ -124,5 +124,45 @@ object Multimodal {
             FROM v, unnest(range(0, least(length(hx) // 64, 5))) u(i)
             ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames)
+  /** Exact content dedup over the binary payload — the "same image
+    * uploaded twice" story, format-scoped (an image dup of an audio
+    * payload is not a dup). Payloads are keyed by md5 of their hex form
+    * (string-md5 parity between the engines is already load-bearing in
+    * §2.11), the min doc_id is elected per distinct payload, and the
+    * per-format audit row carries a kept-id checksum pinning exact
+    * survivor membership.
+    *
+    * Scale shape: two stacked hash aggregations, both map-side
+    * combinable — (format, h) then format — so a payload duplicated a
+    * million times combines inside each map task and the shuffle carries
+    * one row per distinct payload per partition. No window, no join.
+    */
+  private val qMultimodalDedup = Q(
+    "q_multimodal_dedup",
+    (s, dir) =>
+      assets(s, dir)
+        .withColumn("h", md5(expr("CAST(hex(payload) AS BINARY)")))
+        .groupBy("format", "h")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+        .groupBy("format")
+        .agg(
+          sum("n").as("n_assets"),
+          count(lit(1)).as("n_distinct"),
+          (sum("n") - count(lit(1))).as("n_dups"),
+          sum("keep_id").as("kept_id_sum"))
+        .orderBy("format"),
+    Some("""WITH a AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
+              md5(hex(CAST(text AS BLOB))) AS h
+             FROM documents),
+            g AS (SELECT format, h, COUNT(*) AS n, MIN(doc_id) AS keep_id
+                  FROM a GROUP BY format, h)
+            SELECT format, CAST(SUM(n) AS BIGINT) AS n_assets,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dups,
+             CAST(SUM(keep_id) AS BIGINT) AS kept_id_sum
+            FROM g GROUP BY format ORDER BY format"""))
+
+  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalDedup)
 }
