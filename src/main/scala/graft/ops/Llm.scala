@@ -477,6 +477,60 @@ object Llm {
             FROM cand WHERE bit_count(xor(s1, s2)) <= 3
             ORDER BY d1, d2"""))
 
+  /** Edit-distance near-dup via the sorted-neighborhood method (the
+    * classic Hernández–Stolfo entity-resolution blocking): documents are
+    * sorted by a normalized 64-char prefix key inside 6-char-prefix
+    * blocks, and each document is compared ONLY to its next 2 neighbors
+    * in sort order — Levenshtein ≤ 3 on the normalized prefix makes a
+    * pair. Catches the typo/near-identical-opening dups that
+    * shingle-Jaccard (token-level) and simhash (global fingerprint)
+    * both blur over.
+    *
+    * Scale shape: one window per prefix block with a 2-row lead frame —
+    * work is O(n log n) sort + O(n·W) bounded-length (≤64 char)
+    * edit-distance computations; no pair blowup is possible by
+    * construction. Declared recall trade (documented like the df/
+    * occupancy caps): only pairs within W = 2 positions of the same
+    * sorted block are compared, and a corpus-hot 6-char prefix becomes
+    * one block's sort task — boilerplate openings belong to exact/chunk
+    * dedup, which runs first.
+    */
+  private val qDedupEditdist = Q(
+    "q_dedup_editdist",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), expr(
+          "substring(trim(regexp_replace(regexp_replace(lower(substring(text, 1, 96)), " +
+            "'[^a-z0-9 ]', ' '), ' +', ' ')), 1, 64)").as("norm"))
+        .withColumn("blk", expr("substring(norm, 1, 6)"))
+      val w = Window.partitionBy("blk").orderBy("norm", "doc_id")
+      d.withColumn("n1", lead(struct(col("doc_id").as("id"), col("norm").as("nm")), 1).over(w))
+        .withColumn("n2", lead(struct(col("doc_id").as("id"), col("norm").as("nm")), 2).over(w))
+        .select(col("doc_id"), col("norm"),
+          explode(array(col("n1"), col("n2"))).as("nb"))
+        .filter(col("nb").isNotNull)
+        .withColumn("dist", expr("CAST(levenshtein(norm, nb.nm) AS BIGINT)"))
+        .filter(col("dist") <= 3)
+        .select(col("doc_id").as("d1"), col("nb.id").as("d2"), col("dist"))
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+              substr(trim(regexp_replace(regexp_replace(lower(substr(text, 1, 96)),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 64) AS norm
+             FROM documents),
+            b AS (SELECT doc_id, norm, substr(norm, 1, 6) AS blk FROM d),
+            l AS (SELECT doc_id, norm,
+                   lead(doc_id, 1) OVER w AS id1, lead(norm, 1) OVER w AS nm1,
+                   lead(doc_id, 2) OVER w AS id2, lead(norm, 2) OVER w AS nm2
+                  FROM b WINDOW w AS (PARTITION BY blk ORDER BY norm, doc_id)),
+            p AS (SELECT doc_id AS d1, id1 AS d2,
+                   levenshtein(norm, nm1) AS dist FROM l WHERE id1 IS NOT NULL
+                  UNION ALL
+                  SELECT doc_id, id2, levenshtein(norm, nm2) FROM l WHERE id2 IS NOT NULL)
+            SELECT d1, d2, CAST(dist AS BIGINT) AS dist
+            FROM p WHERE dist <= 3 ORDER BY d1, d2"""))
+
   private val qDedupEmbed = Q(
     "q_dedup_embed",
     (s, dir) => {
@@ -1707,7 +1761,7 @@ object Llm {
              FROM c GROUP BY label ORDER BY label"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash,
+    qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qVecKmeansStep, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
