@@ -83,6 +83,11 @@ object Llm {
     */
   private val BandBucketCap = 256
 
+  /** Occupancy cap for q_dedup_editdist's sorted-neighborhood prefix
+    * blocks — same discipline as [[BandBucketCap]].
+    */
+  private val EditBlockCap = 256
+
   /** The sign-LSH variant of the cap, coupled to the bucket-size target:
     * sign buckets are sized ~LshBucketTarget by construction (rb grows
     * with n), so only pathological skew — a mega-cluster of
@@ -489,21 +494,26 @@ object Llm {
     * Scale shape: one window per prefix block with a 2-row lead frame —
     * work is O(n log n) sort + O(n·W) bounded-length (≤64 char)
     * edit-distance computations; no pair blowup is possible by
-    * construction. Declared recall trade (documented like the df/
-    * occupancy caps): only pairs within W = 2 positions of the same
-    * sorted block are compared, and a corpus-hot 6-char prefix becomes
-    * one block's sort task — boilerplate openings belong to exact/chunk
-    * dedup, which runs first.
+    * construction. Blocks hotter than [[EditBlockCap]] docs are dropped
+    * via the family's dropHotKeys discipline — a corpus-hot prefix
+    * (boilerplate openings) would otherwise funnel its whole block
+    * through one window sort task, the hot-key trap every other §2.11
+    * blocking path also caps. Declared recall trades, documented like
+    * the df/occupancy caps: only pairs within W = 2 positions of the
+    * same sorted block are compared, and over-cap boilerplate blocks
+    * are exact/chunk dedup's job, which runs first.
     */
   private val qDedupEditdist = Q(
     "q_dedup_editdist",
     (s, dir) => {
-      val d = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), expr(
-          "substring(trim(regexp_replace(regexp_replace(lower(substring(text, 1, 96)), " +
-            "'[^a-z0-9 ]', ' '), ' +', ' ')), 1, 64)").as("norm"))
-        .withColumn("blk", expr("substring(norm, 1, 6)"))
+      val d = dropHotKeys(
+        Tables(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), expr(
+            "substring(trim(regexp_replace(regexp_replace(lower(substring(text, 1, 96)), " +
+              "'[^a-z0-9 ]', ' '), ' +', ' ')), 1, 64)").as("norm"))
+          .withColumn("blk", expr("substring(norm, 1, 6)")),
+        Seq("blk"), EditBlockCap)
       val w = Window.partitionBy("blk").orderBy("norm", "doc_id")
       d.withColumn("n1", lead(struct(col("doc_id").as("id"), col("norm").as("nm")), 1).over(w))
         .withColumn("n2", lead(struct(col("doc_id").as("id"), col("norm").as("nm")), 2).over(w))
@@ -515,11 +525,15 @@ object Llm {
         .select(col("doc_id").as("d1"), col("nb.id").as("d2"), col("dist"))
         .orderBy("d1", "d2")
     },
-    Some("""WITH d AS (SELECT doc_id,
+    Some(s"""WITH d AS (SELECT doc_id,
               substr(trim(regexp_replace(regexp_replace(lower(substr(text, 1, 96)),
                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 64) AS norm
              FROM documents),
-            b AS (SELECT doc_id, norm, substr(norm, 1, 6) AS blk FROM d),
+            b0 AS (SELECT doc_id, norm, substr(norm, 1, 6) AS blk FROM d),
+            hotb AS (SELECT blk FROM b0 GROUP BY blk
+                     HAVING COUNT(*) > $EditBlockCap),
+            b AS (SELECT * FROM b0 WHERE NOT EXISTS
+                   (SELECT 1 FROM hotb h WHERE h.blk = b0.blk)),
             l AS (SELECT doc_id, norm,
                    lead(doc_id, 1) OVER w AS id1, lead(norm, 1) OVER w AS nm1,
                    lead(doc_id, 2) OVER w AS id2, lead(norm, 2) OVER w AS nm2
