@@ -386,10 +386,81 @@ object Aggregates {
             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.05) AS DOUBLE), 4) AS sum_hitax_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Funnel attribution window: later steps must land within 24 h of the
+    * first click.
+    */
+  private val FunnelWinUs = 86400000000L
+
+  /** Event funnel analysis (the ClickHouse `windowFunnel` story): per
+    * user, how far through click → view → purchase did they get, with
+    * every later step required within [[FunnelWinUs]] of the FIRST
+    * click — the conversion-analytics query every event pipeline runs.
+    * Levels are computed by stepwise conditional minima (t1 = first
+    * click; t2 = first view after t1; t3 = first purchase after t2,
+    * both inside the window), so a user's level is monotone by
+    * construction; output is the per-level user count plus a user-id
+    * checksum pinning exact membership.
+    *
+    * Scale shape: three filtered aggregations and all joins keyed by
+    * user_id — one hash partitioning reused end to end (the post-agg
+    * frames are one skinny row per qualifying user), no window over
+    * event rows, no self-join. Map-side combine applies to every min().
+    */
+  private val qAggFunnel = Q(
+    "q_agg_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
+      val t1 = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val t2 = e.join(t1, "user_id")
+        .filter(col("event_type") === "view" &&
+          col("ts_us") > col("t1") && col("ts_us") <= col("t1") + FunnelWinUs)
+        .groupBy("user_id", "t1").agg(min("ts_us").as("t2"))
+      val t3 = e.join(t2, "user_id")
+        .filter(col("event_type") === "purchase" &&
+          col("ts_us") > col("t2") && col("ts_us") <= col("t1") + FunnelWinUs)
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      e.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .withColumn("level", expr(
+          "CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
+            "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
+        .orderBy("level")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+             t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+                    WHERE event_type = 'click' GROUP BY user_id),
+             t2 AS (SELECT e.user_id, t1.t1, MIN(ts_us) AS t2
+                    FROM e JOIN t1 ON e.user_id = t1.user_id
+                    WHERE event_type = 'view' AND ts_us > t1.t1
+                      AND ts_us <= t1.t1 + $FunnelWinUs
+                    GROUP BY e.user_id, t1.t1),
+             t3 AS (SELECT e.user_id, MIN(ts_us) AS t3
+                    FROM e JOIN t2 ON e.user_id = t2.user_id
+                    WHERE event_type = 'purchase' AND ts_us > t2.t2
+                      AND ts_us <= t2.t1 + $FunnelWinUs
+                    GROUP BY e.user_id),
+             l AS (SELECT u.user_id,
+                    CASE WHEN t3.t3 IS NOT NULL THEN 3
+                         WHEN t2.t2 IS NOT NULL THEN 2
+                         WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS level
+                   FROM (SELECT DISTINCT user_id FROM e) u
+                   LEFT JOIN t1 USING (user_id)
+                   LEFT JOIN t2 USING (user_id)
+                   LEFT JOIN t3 USING (user_id))
+             SELECT CAST(level AS BIGINT) AS level,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(user_id) AS BIGINT) AS user_checksum
+             FROM l GROUP BY level ORDER BY level"""))
+
   val all: Seq[Q] = Seq(
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
-    qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq)
+    qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel)
 }
