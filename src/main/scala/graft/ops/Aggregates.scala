@@ -457,10 +457,48 @@ object Aggregates {
               CAST(SUM(user_id) AS BIGINT) AS user_checksum
              FROM l GROUP BY level ORDER BY level"""))
 
+  /** Cohort bucket width: epoch weeks (integer division of µs). */
+  private val WeekUs = 7L * 86400000000L
+
+  /** Cohort retention (the funnel's standard companion): users bucketed
+    * by their first-active epoch week (the cohort), then each cohort's
+    * distinct active users counted per week offset — the
+    * triangle-matrix retention report every product-analytics pipeline
+    * computes. All integer arithmetic (epoch-µs DIV week), so the
+    * result is engine-exact with no float discipline needed.
+    *
+    * Scale shape: the (user, week) activity set is distinct-ed FIRST
+    * (one row per user-week, however hot a user's event stream is),
+    * cohorts are a user-keyed min agg over it, and the join back is
+    * user-keyed on two already-skinny frames; the final cell agg is a
+    * plain count because upstream distinctness makes count ≡ count
+    * distinct. Two partitionings total (user_id, then the cell key).
+    */
+  private val qAggRetention = Q(
+    "q_agg_retention",
+    (s, dir) => {
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_us DIV $WeekUs").as("wk"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min("wk").as("cw"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_diff"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_diff")
+    },
+    Some(s"""WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS wk
+                        FROM events),
+             c AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id)
+             SELECT cw AS cohort_week, w.wk - cw AS week_diff,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+             FROM w JOIN c USING (user_id)
+             GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
-    qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel)
+    qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
+    qAggRetention)
 }
