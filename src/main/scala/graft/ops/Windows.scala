@@ -168,7 +168,56 @@ object Windows {
                   FROM events)
             WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Session gap: 30 minutes of inactivity closes a session (matches the
+    * streaming sessionizer's rule).
+    */
+  private val SessGapUs = 30L * 60L * 1000000L
+
+  /** Batch gap-rule sessionization with ROW-LEVEL session ids — the
+    * lag → new-session flag → running-sum idiom. Unlike the
+    * `session_window` aggregate (q_stream_session batch-mode), this
+    * assigns each event a (user, session-ordinal) key that downstream
+    * joins can use, which is what attribution and funnel pipelines
+    * actually need. All-integer arithmetic (epoch-µs gaps), so the
+    * result is engine-exact.
+    *
+    * Scale shape: one exchange total — the lag and running-sum windows
+    * and the final (user_id, sess_seq) aggregation all share the
+    * user_id partitioning (the grouping key's prefix is the window
+    * key, the q_etl_compact pattern), and per-user state is one sort
+    * of that user's events.
+    */
+  private val qWinSessionize = Q(
+    "q_win_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev", lag("ts_us", 1).over(w))
+        .withColumn("new_s", expr(
+          s"CASE WHEN prev IS NULL OR ts_us - prev >= $SessGapUs THEN 1 ELSE 0 END"))
+        .withColumn("sess_seq",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy("user_id", "sess_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        .orderBy("user_id", "sess_seq")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+             l AS (SELECT *, lag(ts_us) OVER w AS prev FROM e
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= $SessGapUs
+                              THEN 1 ELSE 0 END AS new_s FROM l),
+             sx AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS sess_seq FROM f)
+             SELECT user_id, sess_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+             FROM sx GROUP BY user_id, sess_seq
+             ORDER BY user_id, sess_seq"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
-    qWinNthValue, qWinDedupLatest)
+    qWinNthValue, qWinDedupLatest, qWinSessionize)
 }

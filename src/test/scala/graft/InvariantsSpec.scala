@@ -109,6 +109,21 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("gap-rule sessionization agrees with session_window per user") {
+    // q_win_sessionize (lag → flag → running sum) and q_stream_session
+    // (batch-mode session_window) implement the same 30-minute gap rule
+    // through entirely different operators — their per-user session
+    // counts must be identical.
+    val gap = SparkEntry.queries("q_win_sessionize")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n1"))
+    val sw = SparkEntry.queries("q_stream_session")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n2"))
+    val diff = gap.join(sw, Seq("user_id"), "full")
+      .filter(coalesce(col("n1"), lit(-1L)) =!= coalesce(col("n2"), lit(-2L)))
+    assert(diff.isEmpty,
+      s"sessionizers disagree: ${diff.collect().take(5).toList}")
+  }
+
   test("connected components converge in O(log n) rounds on a 500-node path graph") {
     import spark.implicits._
     // The worst case for min-label propagation: a single chain, diameter
