@@ -123,6 +123,18 @@ class PlanLintSpec extends SparkSpec {
       s"incremental dedup must LEFT ANTI join on the canonical-form hash:\n$inc")
   }
 
+  test("gap-rule sessionization costs exactly one hash exchange") {
+    // the lag window, the running-sum window, and the (user_id,
+    // sess_seq) aggregation must all share the user_id partitioning
+    // (hashpartitioning(user_id) satisfies the agg's clustered
+    // distribution because user_id is a subset of the grouping key) —
+    // a second hash exchange would mean the reuse regressed.
+    val plan = SparkEntry.queries("q_win_sessionize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val n = """Exchange hashpartitioning""".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly one hash exchange, got $n:\n$plan")
+  }
+
   test("pruned scan reads only the projected columns") {
     val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
       .queryExecution.executedPlan.toString
