@@ -285,8 +285,66 @@ object Scalars {
             SELECT doc_id, CAST(u.ord AS BIGINT) AS pos, u.tok AS tok
             FROM x WHERE u.ord <= 5 ORDER BY doc_id, pos"""))
 
+  /** URL parsing + canonicalization — the web-corpus preprocessing
+    * family (host/domain extraction feeds per-domain caps, tracking-
+    * param stripping feeds URL dedup). The fixtures carry no URLs, so
+    * one is synthesized deterministically from (source, doc_id) and
+    * then parsed back with engine-portable character-class regexes
+    * (identical semantics under Java regex and RE2 — no escapes, no
+    * lookaround): scheme, host, registered domain, path depth, and a
+    * canonical URL with utm_* tracking params stripped and the
+    * dangling separator cleaned up. Purely row-wise — map-only at any
+    * scale.
+    */
+  private val qFnUrl = Q(
+    "q_fn_url",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", expr(
+          "concat('https://', source, '.example.com/docs/', " +
+            "CAST(doc_id % 7 AS STRING), '/', CAST(doc_id AS STRING), " +
+            "'?utm_source=feed&id=', CAST(doc_id AS STRING), '&utm_campaign=x')"))
+        .withColumn("scheme", regexp_extract(col("url"), "^([a-z]+)://", 1))
+        .withColumn("host", regexp_extract(col("url"), "://([^/]+)", 1))
+        .withColumn("domain", regexp_extract(col("host"), "([a-z0-9-]+[.][a-z]+)$", 1))
+        .withColumn("path", regexp_extract(col("url"), "://[^/]+([^?]*)", 1))
+        .withColumn("path_depth", expr(
+          "CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)"))
+        .withColumn("q0", regexp_extract(col("url"), "[?](.*)$", 1))
+        .withColumn("q1", expr(
+          "regexp_replace(regexp_replace(q0, 'utm_[a-z]+=[^&]*[&]?', ''), '[&]$', '')"))
+        .withColumn("clean_url", expr(
+          "CASE WHEN q1 = '' THEN concat(scheme, '://', host, path) " +
+            "ELSE concat(scheme, '://', host, path, '?', q1) END"))
+        .select("doc_id", "scheme", "host", "domain", "path_depth", "clean_url")
+        .orderBy("doc_id"),
+    Some("""WITH u AS (SELECT doc_id,
+              'https://' || source || '.example.com/docs/' ||
+                CAST(doc_id % 7 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR) ||
+                '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+                '&utm_campaign=x' AS url
+             FROM documents),
+            x AS (SELECT doc_id, url,
+                   regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                   regexp_extract(url, '://([^/]+)', 1) AS host,
+                   regexp_extract(url, '://[^/]+([^?]*)', 1) AS path,
+                   regexp_extract(url, '[?](.*)$', 1) AS q0
+                  FROM u),
+            y AS (SELECT *,
+                   regexp_extract(host, '([a-z0-9-]+[.][a-z]+)$', 1) AS domain,
+                   CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+                     AS path_depth,
+                   regexp_replace(regexp_replace(q0, 'utm_[a-z]+=[^&]*[&]?', '', 'g'),
+                     '[&]$', '') AS q1
+                  FROM x)
+            SELECT doc_id, scheme, host, domain, path_depth,
+             CASE WHEN q1 = '' THEN scheme || '://' || host || path
+                  ELSE scheme || '://' || host || path || '?' || q1 END AS clean_url
+            FROM y ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qFnPosexplode,
     qFnString, qFnDate, qFnMath, qFnCond, qFnJson, qFnArray, qFnMap, qFnCast,
-    qFnBits)
+    qFnBits, qFnUrl)
 }
