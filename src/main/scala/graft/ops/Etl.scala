@@ -469,7 +469,90 @@ object Etl {
              FROM binned GROUP BY route, file_id
              ORDER BY route, file_id"""))
 
+  /** Pipeline data-quality audit (the dbt-test / expectations story a
+    * production ingest pipeline runs after every load): one audit row
+    * per declared check — primary-key uniqueness, foreign-key orphans,
+    * value-range and domain-membership violations, null rates — each
+    * reporting violations over rows checked. All-integer counts, so the
+    * report is engine-exact.
+    *
+    * Scale shape: each check is a map-side-combinable count aggregation
+    * (the FK check is a keyed LEFT ANTI join, the same shape as
+    * incremental dedup); the final frame is a fixed 5-row union of
+    * 1-row aggregates — driver-sized by construction, however big the
+    * audited tables are.
+    */
+  private val qEtlDqAudit = Q(
+    "q_etl_dq_audit",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      val events = Tables.events(s, dir)
+      val pkDup = orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+        .withColumn("check_name", lit("orders_pk_unique"))
+      val orphans = lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")).distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          sum(expr("CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END"))
+            .as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .withColumn("check_name", lit("lineitem_fk_orphans"))
+      val qtyRange = lineitem.agg(
+        sum(expr("CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END"))
+          .as("n_violations"),
+        count(lit(1)).as("n_checked"))
+        .withColumn("check_name", lit("lineitem_qty_range"))
+      val nullCust = orders.agg(
+        sum(expr("CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END")).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+        .withColumn("check_name", lit("orders_null_custkey"))
+      val typeDomain = events.agg(
+        sum(expr("CASE WHEN event_type NOT IN " +
+          "('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END"))
+          .as("n_violations"),
+        count(lit(1)).as("n_checked"))
+        .withColumn("check_name", lit("events_type_domain"))
+      pkDup.unionByName(orphans).unionByName(qtyRange)
+        .unionByName(nullCust).unionByName(typeDomain)
+        .select(col("check_name"),
+          col("n_violations").cast("long").as("n_violations"),
+          col("n_checked").cast("long").as("n_checked"))
+        .orderBy("check_name")
+    },
+    Some("""SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+             CAST(n_checked AS BIGINT) AS n_checked
+            FROM (
+              SELECT 'orders_pk_unique' AS check_name,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
+               COUNT(*) AS n_checked FROM orders
+              UNION ALL
+              SELECT 'lineitem_fk_orphans',
+               SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(*)
+              FROM lineitem l LEFT JOIN
+               (SELECT DISTINCT o_orderkey FROM orders) o
+               ON o.o_orderkey = l.l_orderkey
+              UNION ALL
+              SELECT 'lineitem_qty_range',
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END),
+               COUNT(*) FROM lineitem
+              UNION ALL
+              SELECT 'orders_null_custkey',
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(*) FROM orders
+              UNION ALL
+              SELECT 'events_type_domain',
+               SUM(CASE WHEN event_type NOT IN
+                 ('click', 'view', 'purchase', 'signup', 'error')
+                 THEN 1 ELSE 0 END),
+               COUNT(*) FROM events)
+            ORDER BY check_name"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
-    qEtlCompact, qEtlRedact, qStreamTumbling, qStreamSliding, qStreamSession)
+    qEtlCompact, qEtlRedact, qEtlDqAudit, qStreamTumbling, qStreamSliding,
+    qStreamSession)
 }
