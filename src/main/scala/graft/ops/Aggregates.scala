@@ -494,11 +494,57 @@ object Aggregates {
              FROM w JOIN c USING (user_id)
              GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Incremental rollup maintenance — the materialized-aggregate-table
+    * pattern (the exact-count sibling of q_agg_sketch_merge's HLL
+    * state): a deterministic hash splits lineitem into an
+    * already-rolled-up BASE and an incoming DELTA batch; the base is
+    * pre-aggregated, the delta aggregated on arrival, and the two
+    * states merge by summing counts/sums and min/max-ing extrema —
+    * never re-reading base rows. Count and sum states are integral
+    * doubles (quantities are whole numbers, far below 2^53), so every
+    * merge order yields the identical result and the merged table
+    * equals the from-scratch aggregate exactly.
+    *
+    * Scale shape: two map-combinable aggregations plus a merge agg over
+    * |groups| rows — the delta's cost is O(delta), not O(base), which
+    * is the entire point of maintaining the rollup incrementally.
+    */
+  private val qAggIncremental = Q(
+    "q_agg_incremental",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("is_base", expr(s"pmod(${Llm.md5Hex32Spark(
+          "concat('inc_', CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING))")}, 2) = 0"))
+      def roll(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+      roll(li.filter(col("is_base"))).unionByName(roll(li.filter(!col("is_base"))))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("n").as("n"), round(sum("sum_qty"), 4).as("sum_qty"),
+          min("min_qty").as("min_qty"), max("max_qty").as("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""WITH t AS (SELECT *,
+              (${Llm.md5Hex32Sql(
+                "'inc_' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")}) % 2 = 0
+                AS is_base
+             FROM lineitem),
+            r AS (SELECT l_returnflag, l_linestatus, is_base,
+                   COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+                   MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+                  FROM t GROUP BY 1, 2, 3)
+            SELECT l_returnflag, l_linestatus, CAST(SUM(n) AS BIGINT) AS n,
+             ROUND(SUM(sum_qty), 4) AS sum_qty,
+             CAST(MIN(min_qty) AS DOUBLE) AS min_qty,
+             CAST(MAX(max_qty) AS DOUBLE) AS max_qty
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
     qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
-    qAggRetention)
+    qAggRetention, qAggIncremental)
 }

@@ -109,6 +109,18 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("incremental rollup merge equals the from-scratch aggregate") {
+    // the mergeable-state contract: pre-aggregated base + delta batch,
+    // merged, must equal aggregating the whole table directly
+    val inc = SparkEntry.queries("q_agg_incremental")(spark, sf).collect().toSeq
+    val direct = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    assert(inc == direct, s"merge diverged from direct aggregate:\n$inc\n$direct")
+  }
+
   test("gap-rule sessionization agrees with session_window per user") {
     // q_win_sessionize (lag → flag → running sum) and q_stream_session
     // (batch-mode session_window) implement the same 30-minute gap rule
