@@ -951,6 +951,127 @@ object Llm {
              SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
              ORDER BY q_id, rnk"""))
 
+  /** Subspaces for true product quantization: 16 subspaces × 4 dims over
+    * the fixture's d = 64 embeddings, k ≈ [[PqK]] codewords each. Tuned
+    * on the hostile near-uniform fixture: 8×8-dim subspaces at k = 16
+    * reconstructed so coarsely that recall@3 fell to the random
+    * baseline (~0.08); 4-dim subspaces with 64 codewords keep ~4× the
+    * IVF candidate ranking signal (recall measured in InvariantsSpec).
+    */
+  private val PqM = 16
+  private val PqSub = 4
+  private val PqK = 64
+
+  /** One broadcast row holding the PQ training sample as a sorted struct
+    * array (k ≈ [[PqK]] codewords via the portable md5 threshold — every
+    * subquantizer trains on the same sample, as Faiss does). Codeword m
+    * of id c is `slice(cv, m·PqSub+1, PqSub)`.
+    */
+  private def pqCbArr(s: SparkSession, dir: String): DataFrame = {
+    val thr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+      .select(expr(s"CAST($PqK AS DOUBLE) / CAST(n AS DOUBLE)").as("thr"))
+    vecs(s, dir).crossJoin(broadcast(thr))
+      .filter(expr(md5U01Spark("concat('pq_', CAST(vec_id AS STRING))")) < col("thr"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cb"))
+  }
+
+  /** In-row PQ encode + reconstruct: per subspace, the codeword
+    * minimizing the 4dp-rounded squared L2 distance (tie-break smallest
+    * codeword id — the sortedCells discipline) contributes its slice to
+    * the reconstruction. One pass, no second codebook lookup: the
+    * winning struct carries its own slice.
+    */
+  private def pqReconSpark: String =
+    s"""flatten(transform(sequence(0, ${PqM - 1}), m ->
+          element_at(array_sort(transform(cb, c -> named_struct(
+            'd4', round(aggregate(zip_with(
+                    slice(v, m * $PqSub + 1, $PqSub),
+                    slice(c.cv, m * $PqSub + 1, $PqSub),
+                    (x, y) -> (x - y) * (x - y)), 0D, (a, p) -> a + p), 4),
+            'c_id', c.c_id,
+            'sub', slice(c.cv, m * $PqSub + 1, $PqSub)))), 1).sub))"""
+
+  /** True product quantization over the IVF cells (Faiss IndexIVFPQ with
+    * by_residual=false): 8 subquantizers of 8 dims, each coding a vector
+    * as its nearest sampled codeword by squared L2; the index stores the
+    * cell id plus 8 codeword ids (8 bytes/vec at k ≤ 256), and queries
+    * score asymmetrically (exact query against the concatenated codeword
+    * reconstruction). The next compression rung past `q_sim_ivfpq`'s
+    * scalar quantizer: d bytes/vec → M bytes/vec.
+    *
+    * Scale shape: the codebook is one ~16-codeword broadcast row;
+    * encoding is map-only O(k·d) per vector (the per-subspace argmin is
+    * an in-row array_sort whose winning struct carries its own slice —
+    * no codeword re-lookup); candidates come from the same cell-keyed
+    * probe equi-join as the IVF family. The oracle re-derives the codes
+    * through an explode + window-argmin formulation of the identical
+    * rounded distances, so the two engines elect identical codewords.
+    */
+  private val qSimPq = Q(
+    "q_sim_pq",
+    (s, dir) => {
+      val e = vecs(s, dir)
+      val probed = e.crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
+        .withColumn("cell", expr("element_at(pc, 1).c_id"))
+        .crossJoin(broadcast(pqCbArr(s, dir)))
+        .filter(expr("size(cb) > 0"))
+        .withColumn("nv", expr(pqReconSpark))
+        // drop the broadcast arrays BEFORE the checkpoint — cents/cb are
+        // k·d doubles that must never materialize per-row in storage
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"), col("cell"), col("nv"))
+        .localCheckpoint(true)
+      val idx = probed
+        .withColumn("nn", expr("sqrt(graft_dot(nv, nv))"))
+        .select(col("vec_id").as("n_id"), col("cell"), col("nv"), col("nn"))
+      val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "rnk", "n_id", "cos")
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             $ivfAsgSql,
+             pqprm AS (SELECT CAST($PqK AS DOUBLE) / COUNT(*) AS thr FROM embeddings),
+             cb AS (SELECT vec_id AS c_id, v AS cv FROM n CROSS JOIN pqprm
+                    WHERE ${md5U01Sql("'pq_' || CAST(vec_id AS VARCHAR)")} < thr),
+             enc AS (SELECT n.vec_id, mm.m, cb.c_id,
+                      ROUND(list_sum(list_transform(range($PqSub), i ->
+                        (v[CAST(mm.m * $PqSub + i + 1 AS INT)]
+                          - cv[CAST(mm.m * $PqSub + i + 1 AS INT)])
+                        * (v[CAST(mm.m * $PqSub + i + 1 AS INT)]
+                          - cv[CAST(mm.m * $PqSub + i + 1 AS INT)]))), 4) AS d4
+                     FROM n CROSS JOIN range(0, $PqM) mm(m) CROSS JOIN cb),
+             code AS (SELECT vec_id, m, c_id FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d4, c_id) AS rn FROM enc)
+                      WHERE rn = 1),
+             subv AS (SELECT code.vec_id, code.m,
+                       cb.cv[CAST(code.m * $PqSub + 1 AS INT):CAST(code.m * $PqSub + $PqSub AS INT)] AS sub
+                      FROM code JOIN cb USING (c_id)),
+             recon AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS nv
+                       FROM subv GROUP BY vec_id),
+             rc AS (SELECT vec_id, nv, sqrt(list_dot_product(nv, nv)) AS nn FROM recon),
+             idx AS (SELECT a.vec_id AS n_id, a.c_id AS cell, rc.nv, rc.nn
+                     FROM asg a JOIN rc ON a.vec_id = rc.vec_id WHERE a.arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= $IvfProbes),
+             p AS (SELECT q_id, n_id,
+                          ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
+             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
+             ORDER BY q_id, rnk"""))
+
   /** One Lloyd refinement step of the IVF coarse index: assign every
     * vector to its nearest sampled centroid ([[ivfCentArr]] — the same
     * argmax-cosine rule `q_sim_ivf` indexes by), then recompute each
@@ -1777,7 +1898,7 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qVecKmeansStep, qVecQuantize,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qSimPq, qVecKmeansStep, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk,
     qMultimodalJoin)

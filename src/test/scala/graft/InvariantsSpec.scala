@@ -251,9 +251,16 @@ class InvariantsSpec extends SparkSpec {
     assert(ivfRecall >= 0.2, f"IVF recall@3 = $ivfRecall%.3f < 0.2 (random baseline ~0.08)")
     // int8 residual compression perturbs each cosine by ≤ ~d/254·ε — the
     // compressed index must stay within noise of the uncompressed one
-    val pqRecall = hits("q_sim_ivfpq")
-    assert(pqRecall >= ivfRecall - 0.05,
-      f"IVF-PQ recall@3 = $pqRecall%.3f fell > 0.05 below IVF's $ivfRecall%.3f")
+    val sqRecall = hits("q_sim_ivfpq")
+    assert(sqRecall >= ivfRecall - 0.05,
+      f"IVF-SQ recall@3 = $sqRecall%.3f fell > 0.05 below IVF's $ivfRecall%.3f")
+    // true PQ (16×4-dim subspaces, 64 codewords ≈ 12 bytes/vec) trades
+    // more recall for 5× less storage than int8 — it must still carry
+    // real ranking signal, ~2x above the ~0.08 random-probe baseline
+    // (measured 0.21 on this near-uniform worst-case fixture)
+    val pqRecall = hits("q_sim_pq")
+    assert(pqRecall >= 0.15,
+      f"PQ recall@3 = $pqRecall%.3f < 0.15 (random baseline ~0.08)")
   }
 
   test("chunking tiles every document: full coverage, correct overlap, no gaps") {

@@ -43,7 +43,7 @@ class PlanLintSpec extends SparkSpec {
         .findFirstIn(plan).isDefined,
         s"$name must equi-join on the (band, sig) bucket key:\n$plan")
     }
-    Seq("q_sim_ivf", "q_sim_ivfpq").foreach { name =>
+    Seq("q_sim_ivf", "q_sim_ivfpq", "q_sim_pq").foreach { name =>
       val ivf = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
