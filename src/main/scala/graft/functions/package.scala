@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftnative.{DotProduct, GraftNative, Md5Hex32}
+import org.apache.spark.sql.graftnative.{DotProduct, GraftNative, Md5Hex32, PqRecon}
 
 /** Column-DSL facade over the engine's native expressions, plus SQL
   * registration (SURVEY §2.12 extension-point ladder: native Expression
@@ -40,6 +40,10 @@ package functions {
         new FunctionIdentifier("graft_md5h32"),
         new ExpressionInfo(classOf[Md5Hex32].getCanonicalName, null, "graft_md5h32"),
         GraftNative.md5h32Builder))
+      ext.injectFunction((
+        new FunctionIdentifier("graft_pq_recon"),
+        new ExpressionInfo(classOf[PqRecon].getCanonicalName, null, "graft_pq_recon"),
+        GraftNative.pqReconBuilder))
       // whole-plan rewrite (SURVEY §4): bounded explode — see the rule's doc
       ext.injectOptimizerRule(_ => graft.plans.BoundedPosExplode)
     }

@@ -976,21 +976,18 @@ object Llm {
       .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cb"))
   }
 
-  /** In-row PQ encode + reconstruct: per subspace, the codeword
-    * minimizing the 4dp-rounded squared L2 distance (tie-break smallest
-    * codeword id — the sortedCells discipline) contributes its slice to
-    * the reconstruction. One pass, no second codebook lookup: the
-    * winning struct carries its own slice.
+  /** PQ encode + reconstruct via the native `graft_pq_recon` expression
+    * (graftnative.PqRecon — one primitive double loop per row). The
+    * composable HOF spelling ran ~PqM·PqK interpreted lambda closures
+    * per row and put the whole query at 7–8 s in the sf0.1 bench; the
+    * native pass is the §2.12 preference ladder applied ("native
+    * Expression beats anything interpreted on the hot path"). The
+    * codebook rides in codeword-id order (sort_array upstream), so the
+    * expression's first-minimal rule IS the oracle's (distance, c_id)
+    * window tie-break; rounding matches Spark round(_, 4) exactly.
     */
   private def pqReconSpark: String =
-    s"""flatten(transform(sequence(0, ${PqM - 1}), m ->
-          element_at(array_sort(transform(cb, c -> named_struct(
-            'd4', round(aggregate(zip_with(
-                    slice(v, m * $PqSub + 1, $PqSub),
-                    slice(c.cv, m * $PqSub + 1, $PqSub),
-                    (x, y) -> (x - y) * (x - y)), 0D, (a, p) -> a + p), 4),
-            'c_id', c.c_id,
-            'sub', slice(c.cv, m * $PqSub + 1, $PqSub)))), 1).sub))"""
+    s"graft_pq_recon(v, transform(cb, c -> c.cv), $PqM, $PqSub)"
 
   /** True product quantization over the IVF cells (Faiss IndexIVFPQ with
     * by_residual=false): 8 subquantizers of 8 dims, each coding a vector

@@ -131,6 +131,9 @@ object GraftNative {
   val md5h32Builder: Seq[Expression] => Expression =
     children => Md5Hex32(children.head)
 
+  val pqReconBuilder: Seq[Expression] => Expression =
+    children => PqRecon(children(0), children(1), children(2), children(3))
+
   /** Register the SQL names on an already-running session (extensions
     * only apply at session construction).
     */
@@ -139,5 +142,92 @@ object GraftNative {
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5h32", md5h32Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_recon", pqReconBuilder, "built-in")
+  }
+}
+
+/** PQ encode + reconstruct in one native pass: for each of `m` subspaces
+  * of `sub` dims, pick the codeword (from `cvs`, the codebook vectors in
+  * codeword-id order) minimizing the 4dp-rounded squared L2 distance to
+  * the corresponding slice of `v` — first minimal wins, which IS the
+  * (distance, codeword-id) tie-break because the caller passes the
+  * codebook id-sorted — and emit its slice into the reconstruction.
+  *
+  * Exists because the composable HOF spelling (transform + aggregate
+  * min-fold per subspace) runs ~m·k interpreted lambda closures per row
+  * (CodegenFallback with per-element dispatch and struct allocation);
+  * this is one primitive double loop. CodegenFallback here too, but the
+  * interpreter is entered once per ROW, not once per (subspace ×
+  * codeword × dim). Rounding matches Spark's round(_, 4) for doubles
+  * (BigDecimal HALF_UP), so the DuckDB oracle's window argmin over
+  * ROUND(..., 4) elects identical codewords.
+  */
+case class PqRecon(v: Expression, cvs: Expression, m: Expression, sub: Expression)
+    extends Expression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(v, cvs, m, sub)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)),
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_recon"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vv = v.eval(input)
+    val cc = cvs.eval(input)
+    val mm = m.eval(input)
+    val ss = sub.eval(input)
+    if (vv == null || cc == null || mm == null || ss == null) null
+    else PqRecon.compute(vv.asInstanceOf[ArrayData], cc.asInstanceOf[ArrayData],
+      mm.asInstanceOf[Int], ss.asInstanceOf[Int])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqRecon =
+    copy(v = newChildren(0), cvs = newChildren(1), m = newChildren(2), sub = newChildren(3))
+}
+
+object PqRecon {
+  def compute(v: ArrayData, cvs: ArrayData, m: Int, sub: Int): Any = {
+    val d = m * sub
+    val vArr = v.toDoubleArray()
+    if (vArr.length < d) return null
+    val k = cvs.numElements()
+    if (k == 0) return null
+    val cb = new Array[Array[Double]](k)
+    var i = 0
+    while (i < k) { cb(i) = cvs.getArray(i).toDoubleArray(); i += 1 }
+    val out = new Array[Double](d)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * sub
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val cv = cb(c)
+        if (cv.length >= d) {
+          var s = 0.0
+          var j = 0
+          while (j < sub) {
+            val diff = vArr(off + j) - cv(off + j)
+            s += diff * diff
+            j += 1
+          }
+          val d4 = java.math.BigDecimal.valueOf(s)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (d4 < bestD) { bestD = d4; best = c }
+        }
+        c += 1
+      }
+      if (best < 0) return null
+      var j = 0
+      while (j < sub) { out(off + j) = cb(best)(off + j); j += 1 }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
