@@ -409,7 +409,10 @@ object Aggregates {
   private val qAggFunnel = Q(
     "q_agg_funnel",
     (s, dir) => {
+      // materialized ONCE: four consumers (t1/t2/t3 and the user frame)
+      // would otherwise each re-run the events scan + ts projection
       val e = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
+        .localCheckpoint(true)
       val t1 = e.filter(col("event_type") === "click")
         .groupBy("user_id").agg(min("ts_us").as("t1"))
       val t2 = e.join(t1, "user_id")

@@ -485,38 +485,43 @@ object Etl {
   private val qEtlDqAudit = Q(
     "q_etl_dq_audit",
     (s, dir) => {
+      // one scan per audited table: both orders checks come out of a
+      // single aggregate, and both lineitem checks ride the FK left
+      // join (which preserves lineitem's row count against the DISTINCT
+      // parent keys) — at 100 TB the two big tables are read once each
       val orders = Tables(s, dir, "orders")
-      val lineitem = Tables(s, dir, "lineitem")
-      val events = Tables.events(s, dir)
-      val pkDup = orders.agg(
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"),
+      val ordersChecks = orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_v"),
+        sum(expr("CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END")).as("null_v"),
         count(lit(1)).as("n_checked"))
-        .withColumn("check_name", lit("orders_pk_unique"))
-      val orphans = lineitem.select(col("l_orderkey"))
+        .select(explode(array(
+          struct(lit("orders_pk_unique").as("check_name"),
+            col("pk_v").as("n_violations"), col("n_checked")),
+          struct(lit("orders_null_custkey").as("check_name"),
+            col("null_v").as("n_violations"), col("n_checked")))).as("c"))
+        .select("c.*")
+      val lineitemChecks = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
         .join(orders.select(col("o_orderkey")).distinct(),
           col("l_orderkey") === col("o_orderkey"), "left")
         .agg(
-          sum(expr("CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END"))
-            .as("n_violations"),
+          sum(expr("CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END")).as("fk_v"),
+          sum(expr("CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END"))
+            .as("qty_v"),
           count(lit(1)).as("n_checked"))
-        .withColumn("check_name", lit("lineitem_fk_orphans"))
-      val qtyRange = lineitem.agg(
-        sum(expr("CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END"))
-          .as("n_violations"),
-        count(lit(1)).as("n_checked"))
-        .withColumn("check_name", lit("lineitem_qty_range"))
-      val nullCust = orders.agg(
-        sum(expr("CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END")).as("n_violations"),
-        count(lit(1)).as("n_checked"))
-        .withColumn("check_name", lit("orders_null_custkey"))
-      val typeDomain = events.agg(
+        .select(explode(array(
+          struct(lit("lineitem_fk_orphans").as("check_name"),
+            col("fk_v").as("n_violations"), col("n_checked")),
+          struct(lit("lineitem_qty_range").as("check_name"),
+            col("qty_v").as("n_violations"), col("n_checked")))).as("c"))
+        .select("c.*")
+      val eventsChecks = Tables.events(s, dir).agg(
         sum(expr("CASE WHEN event_type NOT IN " +
           "('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END"))
           .as("n_violations"),
         count(lit(1)).as("n_checked"))
         .withColumn("check_name", lit("events_type_domain"))
-      pkDup.unionByName(orphans).unionByName(qtyRange)
-        .unionByName(nullCust).unionByName(typeDomain)
+      ordersChecks.unionByName(lineitemChecks).unionByName(eventsChecks)
         .select(col("check_name"),
           col("n_violations").cast("long").as("n_violations"),
           col("n_checked").cast("long").as("n_checked"))

@@ -781,14 +781,26 @@ object Llm {
     * `q_vec_kmeans_step` so the sampling rule cannot drift between the
     * index build and its refinement.
     */
-  private def ivfCentArr(s: SparkSession, dir: String): DataFrame = {
+  /** Shared scaffold of the deterministic sample-to-broadcast-array
+    * idiom (one corpus pass, md5-threshold membership, id-sorted struct
+    * array in a single row): [[ivfCentArr]] and [[pqCbArr]] differ only
+    * in salt, threshold, and struct shape — one spelling so a fix to
+    * the sampling discipline can never reach one and miss the other.
+    */
+  private def hashSampledArr(s: SparkSession, dir: String, saltPrefix: String,
+      thrSql: String)(mk: DataFrame => DataFrame): DataFrame = {
     val thr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
-      .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
-    vecs(s, dir).crossJoin(broadcast(thr))
-      .filter(expr(md5U01Spark("CAST(vec_id AS STRING)")) < col("thr"))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+      .select(expr(thrSql).as("thr"))
+    mk(vecs(s, dir).crossJoin(broadcast(thr))
+      .filter(expr(
+        md5U01Spark(s"concat('$saltPrefix', CAST(vec_id AS STRING))")) < col("thr")))
   }
+
+  private def ivfCentArr(s: SparkSession, dir: String): DataFrame =
+    hashSampledArr(s, dir, "", "CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))") {
+      _.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+    }
 
   /** Oracle twin of [[ivfCentArr]]: CTEs prm/cent(c_id, cv, cn). Assumes
     * the `n` CTE from [[vecsSql]] is already in scope.
@@ -821,6 +833,42 @@ object Llm {
                  AS arn
               FROM n CROSS JOIN cent)"""
 
+  /** Shared search tail of the IVF index family: probe-cell candidates
+    * via the cell equi-join, self-pair exclusion, rounded cosine, top-3
+    * per query. ONE spelling (with the [[cellTopKSql]] oracle twin) so
+    * the ranking contract — rounding, tie-break, k — cannot drift
+    * between the index variants.
+    */
+  private def cellTopK(idx: DataFrame, qry: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosCol)
+      .select("q_id", "n_id", "cos")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "rnk", "n_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Probe-side frame shared by the IVF variants: one row per
+    * (query, probed cell).
+    */
+  private def probedQry(probed: DataFrame): DataFrame =
+    probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
+
+  /** Oracle twin of [[cellTopK]]: expects CTEs idx(n_id, nv, nn, cell)
+    * and qry(q_id, qv, qn, cell) in scope.
+    */
+  private def cellTopKSql: String =
+    """p AS (SELECT q_id, n_id,
+              ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+            FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
+       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
+       SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
+       ORDER BY q_id, rnk"""
+
   private val qSimIvf = Q(
     "q_sim_ivf",
     (s, dir) => {
@@ -846,17 +894,8 @@ object Llm {
         .localCheckpoint(true)
       val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
         col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
-      val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
       // each (q, n) pair appears at most once: n has ONE index cell
-      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", cosCol)
-        .select("q_id", "n_id", "cos")
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "rnk", "n_id", "cos")
-        .orderBy("q_id", "rnk")
+      cellTopK(idx, probedQry(probed))
     },
     Some(s"""WITH $vecsSql,
              $ivfCentSql,
@@ -865,13 +904,7 @@ object Llm {
                      FROM asg WHERE arn = 1),
              qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
                      FROM asg WHERE arn <= $IvfProbes),
-             p AS (SELECT q_id, n_id,
-                          ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
-                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
-             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
-             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
-             ORDER BY q_id, rnk"""))
+             $cellTopKSql"""))
 
   /** IVF-PQ-style compressed ANN — the `q_sim_ivf` coarse index with the
     * `q_vec_quantize` int8 machinery applied to the RESIDUAL v − centroid
@@ -918,16 +951,7 @@ object Llm {
           "zip_with(cv, v, (c, x) -> c + floor((x - c) * 127D) / 127D)"))
         .withColumn("nn", expr("sqrt(graft_dot(nv, nv))"))
         .select(col("vec_id").as("n_id"), col("cell"), col("nv"), col("nn"))
-      val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", cosCol)
-        .select("q_id", "n_id", "cos")
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "rnk", "n_id", "cos")
-        .orderBy("q_id", "rnk")
+      cellTopK(idx, probedQry(probed))
     },
     Some(s"""WITH $vecsSql,
              $ivfCentSql,
@@ -943,13 +967,7 @@ object Llm {
                       sqrt(list_dot_product(nv, nv)) AS nn FROM av),
              qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
                      FROM asg WHERE arn <= $IvfProbes),
-             p AS (SELECT q_id, n_id,
-                          ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
-                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
-             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
-             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
-             ORDER BY q_id, rnk"""))
+             $cellTopKSql"""))
 
   /** Subspaces for true product quantization: 16 subspaces × 4 dims over
     * the fixture's d = 64 embeddings, k ≈ [[PqK]] codewords each. Tuned
@@ -967,14 +985,11 @@ object Llm {
     * subquantizer trains on the same sample, as Faiss does). Codeword m
     * of id c is `slice(cv, m·PqSub+1, PqSub)`.
     */
-  private def pqCbArr(s: SparkSession, dir: String): DataFrame = {
-    val thr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
-      .select(expr(s"CAST($PqK AS DOUBLE) / CAST(n AS DOUBLE)").as("thr"))
-    vecs(s, dir).crossJoin(broadcast(thr))
-      .filter(expr(md5U01Spark("concat('pq_', CAST(vec_id AS STRING))")) < col("thr"))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cb"))
-  }
+  private def pqCbArr(s: SparkSession, dir: String): DataFrame =
+    hashSampledArr(s, dir, "pq_", s"CAST($PqK AS DOUBLE) / CAST(n AS DOUBLE)") {
+      _.select(col("vec_id").as("c_id"), col("v").as("cv"))
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cb"))
+    }
 
   /** PQ encode + reconstruct via the native `graft_pq_recon` expression
     * (graftnative.PqRecon — one primitive double loop per row). The
@@ -990,12 +1005,13 @@ object Llm {
     s"graft_pq_recon(v, transform(cb, c -> c.cv), $PqM, $PqSub)"
 
   /** True product quantization over the IVF cells (Faiss IndexIVFPQ with
-    * by_residual=false): 8 subquantizers of 8 dims, each coding a vector
-    * as its nearest sampled codeword by squared L2; the index stores the
-    * cell id plus 8 codeword ids (8 bytes/vec at k ≤ 256), and queries
-    * score asymmetrically (exact query against the concatenated codeword
+    * by_residual=false): [[PqM]] subquantizers of [[PqSub]] dims, each
+    * coding a vector as its nearest sampled codeword ([[PqK]] ≈ 64 per
+    * subspace) by squared L2; the index stores the cell id plus PqM
+    * codeword ids (~12 bytes/vec at 6 bits/code), and queries score
+    * asymmetrically (exact query against the concatenated codeword
     * reconstruction). The next compression rung past `q_sim_ivfpq`'s
-    * scalar quantizer: d bytes/vec → M bytes/vec.
+    * scalar quantizer: d bytes/vec → ~M·log2(k)/8 bytes/vec.
     *
     * Scale shape: the codebook is one ~16-codeword broadcast row;
     * encoding is map-only O(k·d) per vector (the per-subspace argmin is
@@ -1023,16 +1039,7 @@ object Llm {
       val idx = probed
         .withColumn("nn", expr("sqrt(graft_dot(nv, nv))"))
         .select(col("vec_id").as("n_id"), col("cell"), col("nv"), col("nn"))
-      val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", cosCol)
-        .select("q_id", "n_id", "cos")
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "rnk", "n_id", "cos")
-        .orderBy("q_id", "rnk")
+      cellTopK(idx, probedQry(probed))
     },
     Some(s"""WITH $vecsSql,
              $ivfCentSql,
@@ -1061,13 +1068,7 @@ object Llm {
                      FROM asg a JOIN rc ON a.vec_id = rc.vec_id WHERE a.arn = 1),
              qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
                      FROM asg WHERE arn <= $IvfProbes),
-             p AS (SELECT q_id, n_id,
-                          ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
-                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
-             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
-             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
-             ORDER BY q_id, rnk"""))
+             $cellTopKSql"""))
 
   /** One Lloyd refinement step of the IVF coarse index: assign every
     * vector to its nearest sampled centroid ([[ivfCentArr]] — the same

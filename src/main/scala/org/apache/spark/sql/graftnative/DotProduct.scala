@@ -131,8 +131,12 @@ object GraftNative {
   val md5h32Builder: Seq[Expression] => Expression =
     children => Md5Hex32(children.head)
 
-  val pqReconBuilder: Seq[Expression] => Expression =
-    children => PqRecon(children(0), children(1), children(2), children(3))
+  val pqReconBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 4)
+      throw new IllegalArgumentException(
+        s"graft_pq_recon expects 4 arguments (v, codebook, m, sub), got ${children.length}")
+    PqRecon(children(0), children(1), children(2), children(3))
+  }
 
   /** Register the SQL names on an already-running session (extensions
     * only apply at session construction).
