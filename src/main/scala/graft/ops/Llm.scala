@@ -969,25 +969,37 @@ object Llm {
                      FROM asg WHERE arn <= $IvfProbes),
              $cellTopKSql"""))
 
-  /** Subspaces for true product quantization: 16 subspaces × 4 dims over
+  /** Subspaces for true product quantization: 32 subspaces × 2 dims over
     * the fixture's d = 64 embeddings, k ≈ [[PqK]] codewords each. Tuned
-    * on the hostile near-uniform fixture: 8×8-dim subspaces at k = 16
-    * reconstructed so coarsely that recall@3 fell to the random
-    * baseline (~0.08); 4-dim subspaces with 64 codewords keep ~4× the
-    * IVF candidate ranking signal (recall measured in InvariantsSpec).
+    * on the hostile near-uniform fixture, where quantization error is
+    * dominated by subspace width: 8×8-dim at k = 16 was random-level
+    * (~0.08 recall@3), 16×4-dim at k = 64 reached 0.21 (round 5), and
+    * 2-dim subspaces at k = 128 reach 0.295 — within 0.03 of the int8
+    * scalar quantizer at 2.3× less storage (InvariantsSpec pins the
+    * gap ≤ 0.05).
     */
-  private val PqM = 16
-  private val PqSub = 4
-  private val PqK = 64
+  private val PqM = 32
+  private val PqSub = 2
+  private val PqK = 128
 
   /** One broadcast row holding the PQ training sample as a sorted struct
     * array (k ≈ [[PqK]] codewords via the portable md5 threshold — every
-    * subquantizer trains on the same sample, as Faiss does). Codeword m
-    * of id c is `slice(cv, m·PqSub+1, PqSub)`.
+    * subquantizer trains on the same sample, as Faiss does). The
+    * codewords are IVF RESIDUALS (v − nearest-cell centroid, the
+    * by_residual=true training set): residuals concentrate near the
+    * origin with far smaller dynamic range than raw vectors, so the
+    * same codeword budget quantizes much finer. Codeword m of id c is
+    * `slice(cv, m·PqSub+1, PqSub)`. The sample is ~[[PqK]] rows, so the
+    * per-row centroid lookup inside the builder is negligible.
     */
   private def pqCbArr(s: SparkSession, dir: String): DataFrame =
     hashSampledArr(s, dir, "pq_", s"CAST($PqK AS DOUBLE) / CAST(n AS DOUBLE)") {
-      _.select(col("vec_id").as("c_id"), col("v").as("cv"))
+      _.crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("cv0", expr(
+          s"element_at(filter(cents, c -> c.c_id = element_at($sortedCellsSpark, 1).c_id), 1).cv"))
+        .select(col("vec_id").as("c_id"),
+          expr("zip_with(v, cv0, (x, c) -> x - c)").as("cv"))
         .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cb"))
     }
 
@@ -999,27 +1011,43 @@ object Llm {
     * Expression beats anything interpreted on the hot path"). The
     * codebook rides in codeword-id order (sort_array upstream), so the
     * expression's first-minimal rule IS the oracle's (distance, c_id)
-    * window tie-break; rounding matches Spark round(_, 4) exactly.
+    * window tie-break; rounding uses the same BigDecimal HALF_UP rule
+    * as Spark's round(_, 4) (see PqRecon's scaladoc for the documented
+    * 1-ulp boundary caveat vs DuckDB). Encodes the residual column
+    * `rv` (by_residual=true).
     */
   private def pqReconSpark: String =
-    s"graft_pq_recon(v, transform(cb, c -> c.cv), $PqM, $PqSub)"
+    s"graft_pq_recon(rv, transform(cb, c -> c.cv), $PqM, $PqSub)"
 
   /** True product quantization over the IVF cells (Faiss IndexIVFPQ with
-    * by_residual=false): [[PqM]] subquantizers of [[PqSub]] dims, each
-    * coding a vector as its nearest sampled codeword ([[PqK]] ≈ 64 per
-    * subspace) by squared L2; the index stores the cell id plus PqM
-    * codeword ids (~12 bytes/vec at 6 bits/code), and queries score
-    * asymmetrically (exact query against the concatenated codeword
-    * reconstruction). The next compression rung past `q_sim_ivfpq`'s
-    * scalar quantizer: d bytes/vec → ~M·log2(k)/8 bytes/vec.
+    * by_residual=true): [[PqM]] subquantizers of [[PqSub]] dims code the
+    * RESIDUAL v − centroid against a residual-trained codebook ([[PqK]]
+    * ≈ 128 codewords per subspace, squared-L2 argmin); the index stores
+    * the cell id plus PqM codeword ids (~28 bytes/vec at 7 bits/code),
+    * and queries score asymmetrically — exact query against centroid +
+    * reconstructed residual. Residual encoding is the standard IVFPQ
+    * recipe: the coarse quantizer absorbs the vector's location so the
+    * PQ budget spends on the remainder. Measured honestly on this
+    * near-uniform fixture the lift to recall@3 = 0.295 (from round 5's
+    * 0.21) comes from the finer 2-dim subspaces, NOT the residual — a
+    * raw-encoding replay at the identical 32×2 k=128 geometry scores
+    * 0.303, because near-uniform data gives nearly-orthogonal
+    * centroids whose residuals have ~√2 the range of the vectors
+    * themselves. The residual contract is kept because on real
+    * clustered embeddings (tight cells) it is the win, and the 0.008
+    * fixture cost is inside the pinned ivfpq−0.05 envelope
+    * (InvariantsSpec). The compression rung past `q_sim_ivfpq`:
+    * d bytes/vec → ~M·log2(k)/8 bytes/vec.
     *
-    * Scale shape: the codebook is one ~16-codeword broadcast row;
-    * encoding is map-only O(k·d) per vector (the per-subspace argmin is
-    * an in-row array_sort whose winning struct carries its own slice —
-    * no codeword re-lookup); candidates come from the same cell-keyed
-    * probe equi-join as the IVF family. The oracle re-derives the codes
-    * through an explode + window-argmin formulation of the identical
-    * rounded distances, so the two engines elect identical codewords.
+    * Scale shape: the codebook is one ~[[PqK]]-codeword broadcast row;
+    * encoding is map-only O(k·d) per vector via the native
+    * `graft_pq_recon` pass; the final reconstruction is a per-row
+    * zip_with add of the broadcast centroid; candidates come from the
+    * same cell-keyed probe equi-join as the IVF family. The oracle
+    * re-derives the codes through an explode + window-argmin over the
+    * identical rounded residual distances, so the two engines elect
+    * identical codewords, and centroid + codeword adds in the same
+    * IEEE order on both sides.
     */
   private val qSimPq = Q(
     "q_sim_pq",
@@ -1029,9 +1057,16 @@ object Llm {
         .filter(expr("size(cents) > 0"))
         .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
         .withColumn("cell", expr("element_at(pc, 1).c_id"))
+        // the assigned cell's centroid, pulled from the broadcast array
+        // (same spelling as q_sim_ivfpq)
+        .withColumn("cv", expr(
+          "element_at(filter(cents, c -> c.c_id = element_at(pc, 1).c_id), 1).cv"))
         .crossJoin(broadcast(pqCbArr(s, dir)))
         .filter(expr("size(cb) > 0"))
-        .withColumn("nv", expr(pqReconSpark))
+        // encode the residual; reconstruct as centroid + decoded residual
+        .withColumn("rv", expr("zip_with(v, cv, (x, c) -> x - c)"))
+        .withColumn("nv", expr(
+          s"zip_with(cv, $pqReconSpark, (c, r) -> c + r)"))
         // drop the broadcast arrays BEFORE the checkpoint — cents/cb are
         // k·d doubles that must never materialize per-row in storage
         .select(col("vec_id"), col("v"), col("nrm"), col("pc"), col("cell"), col("nv"))
@@ -1044,28 +1079,36 @@ object Llm {
     Some(s"""WITH $vecsSql,
              $ivfCentSql,
              $ivfAsgSql,
+             a AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+             ac AS (SELECT a.vec_id, a.v, a.cell, cv
+                    FROM a JOIN cent ON a.cell = cent.c_id),
+             res AS (SELECT vec_id, cell, cv,
+                      list_transform(range(len(v)), i -> v[i + 1] - cv[i + 1]) AS rv
+                     FROM ac),
              pqprm AS (SELECT CAST($PqK AS DOUBLE) / COUNT(*) AS thr FROM embeddings),
-             cb AS (SELECT vec_id AS c_id, v AS cv FROM n CROSS JOIN pqprm
+             cb AS (SELECT vec_id AS c_id, rv AS cw FROM res CROSS JOIN pqprm
                     WHERE ${md5U01Sql("'pq_' || CAST(vec_id AS VARCHAR)")} < thr),
-             enc AS (SELECT n.vec_id, mm.m, cb.c_id,
+             enc AS (SELECT res.vec_id, mm.m, cb.c_id,
                       ROUND(list_sum(list_transform(range($PqSub), i ->
-                        (v[CAST(mm.m * $PqSub + i + 1 AS INT)]
-                          - cv[CAST(mm.m * $PqSub + i + 1 AS INT)])
-                        * (v[CAST(mm.m * $PqSub + i + 1 AS INT)]
-                          - cv[CAST(mm.m * $PqSub + i + 1 AS INT)]))), 4) AS d4
-                     FROM n CROSS JOIN range(0, $PqM) mm(m) CROSS JOIN cb),
+                        (rv[CAST(mm.m * $PqSub + i + 1 AS INT)]
+                          - cw[CAST(mm.m * $PqSub + i + 1 AS INT)])
+                        * (rv[CAST(mm.m * $PqSub + i + 1 AS INT)]
+                          - cw[CAST(mm.m * $PqSub + i + 1 AS INT)]))), 4) AS d4
+                     FROM res CROSS JOIN range(0, $PqM) mm(m) CROSS JOIN cb),
              code AS (SELECT vec_id, m, c_id FROM (
                        SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                    ORDER BY d4, c_id) AS rn FROM enc)
                       WHERE rn = 1),
              subv AS (SELECT code.vec_id, code.m,
-                       cb.cv[CAST(code.m * $PqSub + 1 AS INT):CAST(code.m * $PqSub + $PqSub AS INT)] AS sub
+                       cb.cw[CAST(code.m * $PqSub + 1 AS INT):CAST(code.m * $PqSub + $PqSub AS INT)] AS sub
                       FROM code JOIN cb USING (c_id)),
-             recon AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS nv
-                       FROM subv GROUP BY vec_id),
-             rc AS (SELECT vec_id, nv, sqrt(list_dot_product(nv, nv)) AS nn FROM recon),
-             idx AS (SELECT a.vec_id AS n_id, a.c_id AS cell, rc.nv, rc.nn
-                     FROM asg a JOIN rc ON a.vec_id = rc.vec_id WHERE a.arn = 1),
+             rrec AS (SELECT vec_id, flatten(list(sub ORDER BY m)) AS rv2
+                      FROM subv GROUP BY vec_id),
+             nvx AS (SELECT res.vec_id, res.cell,
+                      list_transform(range(len(res.cv)), i -> res.cv[i + 1] + rv2[i + 1]) AS nv
+                     FROM res JOIN rrec USING (vec_id)),
+             idx AS (SELECT vec_id AS n_id, cell, nv,
+                      sqrt(list_dot_product(nv, nv)) AS nn FROM nvx),
              qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
                      FROM asg WHERE arn <= $IvfProbes),
              $cellTopKSql"""))

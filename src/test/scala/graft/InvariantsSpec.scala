@@ -254,13 +254,17 @@ class InvariantsSpec extends SparkSpec {
     val sqRecall = hits("q_sim_ivfpq")
     assert(sqRecall >= ivfRecall - 0.05,
       f"IVF-SQ recall@3 = $sqRecall%.3f fell > 0.05 below IVF's $ivfRecall%.3f")
-    // true PQ (16×4-dim subspaces, 64 codewords ≈ 12 bytes/vec) trades
-    // more recall for 5× less storage than int8 — it must still carry
-    // real ranking signal, ~2x above the ~0.08 random-probe baseline
-    // (measured 0.21 on this near-uniform worst-case fixture)
+    // true residual PQ (32×2-dim subspaces, 128 codewords ≈ 28
+    // bytes/vec) trades a little recall for 2.3× less storage than
+    // int8 — pinned to the scalar quantizer's level, the same envelope
+    // ivfpq holds against uncompressed IVF (measured 0.295 vs ivfpq's
+    // 0.323 on this near-uniform worst-case fixture; the round-5
+    // 16×4-dim raw encoding scored 0.21 and the old floor was 0.15)
     val pqRecall = hits("q_sim_pq")
-    assert(pqRecall >= 0.15,
-      f"PQ recall@3 = $pqRecall%.3f < 0.15 (random baseline ~0.08)")
+    assert(pqRecall >= sqRecall - 0.05,
+      f"PQ recall@3 = $pqRecall%.3f fell > 0.05 below IVF-SQ's $sqRecall%.3f")
+    assert(pqRecall >= 0.2,
+      f"PQ recall@3 = $pqRecall%.3f < 0.2 (random baseline ~0.08)")
   }
 
   test("chunking tiles every document: full coverage, correct overlap, no gaps") {
