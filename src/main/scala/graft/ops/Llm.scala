@@ -59,7 +59,7 @@ object Llm {
     * 4 is the standard recall knob — candidate volume stays
     * nprobe·√n per query.
     */
-  private val IvfProbes = 4
+  private[ops] val IvfProbes = 4
 
   /** Occupancy cap for LSH-style buckets (MinHash bands, SimHash bands,
     * hyperplane sign buckets). A bucket with more members than this is
@@ -242,13 +242,13 @@ object Llm {
     * dot/(na*nb) with strictly sequential folds so both engines sum in the
     * same order.
     */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private[ops] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
 
-  private val vecsSql =
+  private[ops] val vecsSql =
     """e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -796,7 +796,7 @@ object Llm {
         md5U01Spark(s"concat('$saltPrefix', CAST(vec_id AS STRING))")) < col("thr")))
   }
 
-  private def ivfCentArr(s: SparkSession, dir: String): DataFrame =
+  private[ops] def ivfCentArr(s: SparkSession, dir: String): DataFrame =
     hashSampledArr(s, dir, "", "CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))") {
       _.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
         .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
@@ -805,7 +805,7 @@ object Llm {
   /** Oracle twin of [[ivfCentArr]]: CTEs prm/cent(c_id, cv, cn). Assumes
     * the `n` CTE from [[vecsSql]] is already in scope.
     */
-  private def ivfCentSql: String =
+  private[ops] def ivfCentSql: String =
     s"""prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM embeddings),
         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
                  WHERE ${md5U01Sql("CAST(vec_id AS VARCHAR)")} < thr)"""
@@ -817,7 +817,7 @@ object Llm {
     * same tie-break) or the kmeans step refines a different index than
     * the one being probed.
     */
-  private def sortedCellsSpark: String =
+  private[ops] def sortedCellsSpark: String =
     s"""array_sort(transform(cents, c -> named_struct(
           'negcos', -round(graft_dot(v, c.cv) / (nrm * c.cn), 4),
           'c_id', c.c_id)))"""
@@ -826,7 +826,7 @@ object Llm {
     * asg(vec_id, v, nrm, c_id, arn), arn = 1 the nearest cell. Assumes
     * `n` and `cent` in scope.
     */
-  private def ivfAsgSql: String =
+  private[ops] def ivfAsgSql: String =
     """asg AS (SELECT n.vec_id, n.v, n.nrm, c_id,
                row_number() OVER (PARTITION BY n.vec_id ORDER BY
                  ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id)
@@ -839,7 +839,7 @@ object Llm {
     * the ranking contract — rounding, tie-break, k — cannot drift
     * between the index variants.
     */
-  private def cellTopK(idx: DataFrame, qry: DataFrame): DataFrame = {
+  private[ops] def cellTopK(idx: DataFrame, qry: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosCol)
@@ -860,7 +860,7 @@ object Llm {
   /** Oracle twin of [[cellTopK]]: expects CTEs idx(n_id, nv, nn, cell)
     * and qry(q_id, qv, qn, cell) in scope.
     */
-  private def cellTopKSql: String =
+  private[ops] def cellTopKSql: String =
     """p AS (SELECT q_id, n_id,
               ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
             FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan lint over the whole declared inventory: no query may compile to an
   * unexpected O(n²) physical join. Guards the scale posture (ARCHITECTURE)
   * against regressions — e.g. a refactor that silently turns an equi-join
@@ -54,6 +56,39 @@ class PlanLintSpec extends SparkSpec {
         .findFirstIn(ivf).isDefined,
         s"$name must equi-join on the cell key:\n$ivf")
     }
+  }
+
+  test("q_ann_index_serve reads ONLY the index table — embeddings absent from the scan set") {
+    // the persist→serve contract: after q_ann_index_build persists the
+    // IVF index, serving must run entirely off that artifact. A serve
+    // plan that re-scans embeddings.parquet would mean the lifecycle
+    // split silently collapsed back into an inline rebuild.
+    // inputFiles resolves the scan set through the AQE wrapper (the
+    // executedPlan collect used elsewhere sees only the adaptive root)
+    val df = SparkEntry.queries("q_ann_index_serve")(spark, sf)
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty, "serve plan must scan the persisted index")
+    assert(files.forall(_.contains("graft_ann_index_")),
+      s"serve scans must all target the index table, got:\n${files.mkString("\n")}")
+    assert(!files.exists(_.contains("embeddings")),
+      s"serve plan must not scan embeddings.parquet:\n${files.mkString("\n")}")
+  }
+
+  test("ann index probe of one cell prunes to that cell's partition directory") {
+    // the inverted-list claim of the cell-partitioned layout: a probe
+    // restricted to one cell must prune at planning time, reading one
+    // directory of ~√n, not filtering rows post-scan.
+    val path = ops.AnnIndex.writeIndex(spark, sf)
+    val ix = spark.read.parquet(path)
+    val total = ix.select("cell_part").distinct.count().toInt
+    // partition values read back through directory-name inference (INT
+    // here) — the data column `cell` keeps the declared LONG type; the
+    // untyped get sidesteps the inference-dependent box
+    val one = ix.select("cell_part").orderBy("cell_part").limit(1)
+      .collect().head.get(0)
+    assert(graft.sources.Partitioned.prunesTo(
+      ix.filter(col("cell_part") === one), 1, total),
+      "cell_part predicate must prune the scan to a single partition")
   }
 
   test("etl numbering windows shuffle by (route, shard), not route alone") {
