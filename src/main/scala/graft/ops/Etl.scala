@@ -556,8 +556,95 @@ object Etl {
                COUNT(*) FROM events)
             ORDER BY check_name"""))
 
+  /** Apply a CDC changeset to a keyed snapshot — MERGE INTO with
+    * latest-wins conflict resolution and delete support. Election is a
+    * single keep-latest window over snapshot ⊎ deltas ordered by
+    * (ts_us desc, event_id desc, delta-before-base): a delta upsert
+    * newer than the snapshot row replaces it (update), a delta on an
+    * absent key survives alone (insert), a winning delete removes the
+    * key, and a delta OLDER than the snapshot row loses — out-of-order
+    * changesets cannot regress state. The delta-before-base tie-break
+    * is what makes re-application idempotent: re-applying a changeset
+    * row that already won ties with its own snapshot copy, and the
+    * delta side winning again reproduces the identical output
+    * (InvariantsSpec proves apply-twice ≡ apply-once).
+    *
+    * Scale shape: one hash exchange on the key for the election window,
+    * per-group state is a running winner (no global sort). In
+    * production the snapshot is already materialized, so an apply is
+    * exactly one shuffle of base ⊎ delta — the oracled query derives
+    * the snapshot inline (hash-split of events) only to stay a pure
+    * function of the corpus.
+    */
+  private[graft] def applyChangeset(snapshot: DataFrame, delta: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(
+      col("ts_us").desc, col("event_id").desc,
+      expr("CASE WHEN src = 'delta' THEN 0 ELSE 1 END"))
+    snapshot
+      .withColumn("op", lit("upsert")).withColumn("src", lit("base"))
+      .unionByName(delta)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select("user_id", "event_id", "ts_us", "event_type", "src")
+      .orderBy("user_id")
+  }
+
+  /** Deterministic (snapshot, changeset) pair hash-split from events:
+    * the even half compacts to the base snapshot (keep-latest per
+    * user), the odd half plays the incoming changeset with ~10% of its
+    * rows marked delete. Salts are independent ("cdc" membership,
+    * "del" op) per the shared-seed-leakage rule.
+    */
+  private[graft] def mergeParts(events: DataFrame): (DataFrame, DataFrame) = {
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("is_base", expr(
+        s"pmod(${Llm.md5Hex32Spark("concat('cdc_', CAST(event_id AS STRING))")}, 2) = 0"))
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val snapshot = ev.filter(col("is_base"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts_us", "event_type")
+    val delta = ev.filter(!col("is_base"))
+      .withColumn("op", expr(
+        s"CASE WHEN pmod(${Llm.md5Hex32Spark("concat('del_', CAST(event_id AS STRING))")}, 10) = 0 " +
+          "THEN 'delete' ELSE 'upsert' END"))
+      .withColumn("src", lit("delta"))
+      .select("user_id", "event_id", "ts_us", "event_type", "op", "src")
+    (snapshot, delta)
+  }
+
+  private val qEtlMerge = Q(
+    "q_etl_merge",
+    (s, dir) => {
+      val (snapshot, delta) = mergeParts(Tables.events(s, dir))
+      applyChangeset(snapshot, delta)
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                   (${Llm.md5Hex32Sql("'cdc_' || CAST(event_id AS VARCHAR)")}) % 2 = 0 AS is_base
+                  FROM events),
+            b0 AS (SELECT user_id, event_id, ts_us, event_type FROM (
+                    SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us DESC, event_id DESC) AS rn
+                    FROM e WHERE is_base) WHERE rn = 1),
+            u AS (SELECT user_id, event_id, ts_us, event_type,
+                   'upsert' AS op, 'base' AS src FROM b0
+                  UNION ALL
+                  SELECT user_id, event_id, ts_us, event_type,
+                   CASE WHEN (${Llm.md5Hex32Sql("'del_' || CAST(event_id AS VARCHAR)")}) % 10 = 0
+                     THEN 'delete' ELSE 'upsert' END AS op,
+                   'delta' AS src
+                  FROM e WHERE NOT is_base),
+            w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_us DESC, event_id DESC,
+                      CASE WHEN src = 'delta' THEN 0 ELSE 1 END) AS rn
+                  FROM u)
+            SELECT user_id, event_id, ts_us, event_type, src FROM w
+            WHERE rn = 1 AND op <> 'delete' ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
-    qEtlCompact, qEtlRedact, qEtlDqAudit, qStreamTumbling, qStreamSliding,
-    qStreamSession)
+    qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qStreamTumbling,
+    qStreamSliding, qStreamSession)
 }

@@ -18,6 +18,29 @@ class InvariantsSpec extends SparkSpec {
     assert(once.select("doc_id").except(twice.select("doc_id")).isEmpty)
   }
 
+  test("cdc merge idempotence: re-applying the changeset changes nothing") {
+    // the MERGE INTO contract incremental pipelines rely on: applying
+    // the same changeset to the already-merged state must be a no-op.
+    // The delta-before-base tie-break in applyChangeset is load-bearing
+    // here — a re-applied winner ties with its own snapshot copy and
+    // must re-win identically (src included).
+    val (snapshot, delta) = ops.Etl.mergeParts(Tables.events(spark, sf))
+    val once = ops.Etl.applyChangeset(snapshot, delta)
+    val twice = ops.Etl.applyChangeset(
+      once.select("user_id", "event_id", "ts_us", "event_type"), delta)
+    assert(once.count() == twice.count(), "apply-twice must not change row count")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+      "apply-twice must reproduce apply-once exactly")
+    // delete semantics: every key whose latest change is a delete is gone
+    val deleted = delta.filter(col("op") === "delete")
+      .select("user_id").distinct()
+      .join(once.select("user_id", "event_id"), Seq("user_id"))
+      .join(delta.withColumnRenamed("event_id", "d_event_id")
+        .filter(col("op") === "delete"), Seq("user_id"))
+      .filter(col("event_id") === col("d_event_id"))
+    assert(deleted.isEmpty, "a delete row can never be the surviving state")
+  }
+
   test("window-vs-group consistency: final running sum == group sum") {
     val orders = Tables(spark, sf, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
