@@ -1627,12 +1627,18 @@ object Llm {
       val groups = ch.groupBy("chunk_md5")
         .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc"))
         .filter(col("n_copies") > 1L)
+      // perDoc's key is RENAMED before the self-derived join: dataset-id
+      // disambiguation (groups("chunk_md5") === perDoc("chunk_md5"))
+      // resolves correctly today but trips Spark's "trivially true
+      // equals" heuristic on two frames sharing one plan subtree — the
+      // rename makes the equi-join unambiguous under any resolver
       val perDoc = ch.groupBy("chunk_md5", "doc_id")
         .agg(min("chunk_id").as("keep_chunk"))
+        .withColumnRenamed("chunk_md5", "pd_md5")
       groups.join(perDoc,
-          groups("chunk_md5") === perDoc("chunk_md5") &&
-            groups("keep_doc") === perDoc("doc_id"))
-        .select(groups("chunk_md5"), col("n_copies"), col("keep_doc"), col("keep_chunk"))
+          col("chunk_md5") === col("pd_md5") &&
+            col("keep_doc") === col("doc_id"))
+        .select("chunk_md5", "n_copies", "keep_doc", "keep_chunk")
         .orderBy("chunk_md5")
     },
     Some(s"""WITH $chunkedSql,

@@ -25,6 +25,11 @@ object FirehoseSink {
     * runs of at most this many, so resident memory is O(chunk), not
     * O(partition). 5 full Firehose batches per chunk keeps the per-call
     * amortization while staying a few MB at the 1000 KiB record cap.
+    * Caveat: the test-only `failedOnce` transient-failure ledger below
+    * lives for the whole partition (one Long per transient-failing id),
+    * so with failEvery > 0 resident memory is O(partition transient
+    * failures) on top of the chunk — benign in production, where
+    * failEvery <= 0 keeps the ledger empty.
     */
   val DeliverChunkRecords: Int = 5 * Batcher.MaxRecordsPerBatch
 

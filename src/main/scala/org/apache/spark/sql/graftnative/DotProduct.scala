@@ -163,9 +163,23 @@ object GraftNative {
   * (CodegenFallback with per-element dispatch and struct allocation);
   * this is one primitive double loop. CodegenFallback here too, but the
   * interpreter is entered once per ROW, not once per (subspace ×
-  * codeword × dim). Rounding matches Spark's round(_, 4) for doubles
-  * (BigDecimal HALF_UP), so the DuckDB oracle's window argmin over
-  * ROUND(..., 4) elects identical codewords.
+  * codeword × dim). Rounding uses BigDecimal.valueOf HALF_UP — the rule
+  * behind Spark's round(_, 4) — which rounds the double's SHORTEST
+  * DECIMAL rendering while DuckDB's ROUND rounds the binary double, so
+  * an exact .00005-boundary distance could in principle round apart and
+  * (because the per-subspace argmin keys on the rounded value) elect a
+  * DIFFERENT codeword — the same accepted risk class as cosCol's
+  * rounded ranking, but with a whole-codeword blast radius rather than
+  * a last-place rank swap. Not observed on any fixture; both-SF oracle
+  * hashes pin it.
+  *
+  * Dimension contract: every codebook vector must carry >= m·sub
+  * elements. The engine's builders guarantee it (codewords ARE corpus
+  * vectors or their residuals, same fixed d), and [[PqRecon.compute]]
+  * defensively SKIPS shorter codewords; the DuckDB oracle's list_sum
+  * instead scores a short codeword on its present elements (NULLs drop
+  * out), so the defensive paths diverge — by construction unreachable,
+  * and only reachable at all with a hand-built mixed-length codebook.
   */
 case class PqRecon(v: Expression, cvs: Expression, m: Expression, sub: Expression)
     extends Expression with ExpectsInputTypes

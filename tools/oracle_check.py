@@ -72,11 +72,12 @@ PORTABLE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
 
 def lint_types(con, name, sql):
     """DESCRIBE the oracle SQL; return list of (col, type) outside the
-    portable set. LIST types are portable iff the element type is."""
+    portable set. LIST types (nested included) are portable iff the
+    element type is — strip [] suffixes in a loop, not once."""
     bad = []
     for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
         t = typ.strip()
-        if t.endswith("[]"):
+        while t.endswith("[]"):
             t = t[:-2].strip()
         if t not in PORTABLE_TYPES:
             bad.append((col, typ))
@@ -102,11 +103,13 @@ def main():
             n_fail += 1
             continue
         if bad:
+            # report the lint but FALL THROUGH to the value compare: a
+            # non-portable output type must not mask an underlying value
+            # divergence (both findings print; the query counts as ONE
+            # failure either way)
             cols = ", ".join(f"{c}:{t}" for c, t in bad)
             print(f"TYPELINT {name}: non-portable oracle output ({cols}) "
                   f"— cast to one of {sorted(PORTABLE_TYPES)}")
-            n_fail += 1
-            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISSING  {name} (no spark result parquet)")
@@ -121,6 +124,9 @@ def main():
             n_fail += 1
             continue
         ok, msg = compare(name, sdf, ddf)
+        if bad:
+            ok = False
+            msg += " [values compared despite TYPELINT above]"
         print(f"{'PASS' if ok else 'FAIL':8} {name}: {msg}")
         n_pass += ok
         n_fail += not ok
