@@ -1289,6 +1289,76 @@ object Llm {
             SELECT term, cnt FROM g CROSS JOIN tot
             WHERE cnt > n // $HeavyK ORDER BY cnt DESC, term"""))
 
+  /** Featurizer dimensionality — matches the embeddings fixture's d=64
+    * so featurized documents feed the existing ANN family unchanged.
+    */
+  private val FeatD = 64
+
+  /** Text→vector featurizer: hashed bag-of-tokens ("feature hashing",
+    * Weinberger et al., ICML 2009) into a fixed-[[FeatD]] signed-count
+    * vector — the doc↔vector bridge that closes the text side of the
+    * corpus onto the ANN/dedup vector operators. Every token lands in
+    * bucket md5h32("embb_"+token) mod d with sign from an INDEPENDENT
+    * hash bit (the shared-seed-leakage rule; the signed variant keeps
+    * collision noise zero-mean). Weights are pure BIGINT sums — exact,
+    * merge-order-free, engine-identical — per the q_text_commonness
+    * integer-sum determinism discipline. Output is the exploded sparse
+    * view (doc_id, dim, w), w ≠ 0: flat for the driver compare while
+    * fully determining the vector; [[featurizeVec]] assembles the dense
+    * Array[Double] form the ANN operators consume (InvariantsSpec proves the
+    * round-trip).
+    *
+    * Scale shape: explode → one map-side-combinable integer aggregation
+    * keyed (doc_id, dim) — ≤ d rows per doc into the exchange, no joins,
+    * no per-doc state beyond the running sums.
+    */
+  private val qTextFeaturize = Q(
+    "q_text_featurize",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          expr(s"pmod(${md5Hex32Spark("concat('embb_', tok)")}, $FeatD)").as("dim"),
+          expr(s"CASE WHEN pmod(${md5Hex32Spark("concat('embs_', tok)")}, 2) = 0 " +
+            "THEN 1L ELSE -1L END").as("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(sum("sgn").as("w"))
+        .filter(col("w") =!= 0L)
+        .orderBy("doc_id", "dim")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, u.tok AS tok
+                  FROM documents, unnest(string_split(text, ' ')) u(tok)),
+            h AS (SELECT doc_id,
+                   CAST((${md5Hex32Sql("'embb_' || tok")}) % $FeatD AS BIGINT) AS dim,
+                   CASE WHEN (${md5Hex32Sql("'embs_' || tok")}) % 2 = 0
+                     THEN 1 ELSE -1 END AS sgn
+                  FROM t)
+            SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS w
+            FROM h GROUP BY doc_id, dim
+            HAVING SUM(sgn) <> 0
+            ORDER BY doc_id, dim"""))
+
+  /** Dense form of [[qTextFeaturize]]'s sparse rows: (vec_id, v, nrm)
+    * with v an Array[Double] of length [[FeatD]] — exactly the `vecs`
+    * column convention, so featurized documents drop into cellTopK /
+    * LSH / quantization unchanged. Map-only from the sparse aggregation
+    * (map_from_entries + a sequence fill; no second shuffle).
+    */
+  private[graft] def featurizeVec(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr(s"pmod(${md5Hex32Spark("concat('embb_', tok)")}, $FeatD)").as("dim"),
+        expr(s"CASE WHEN pmod(${md5Hex32Spark("concat('embs_', tok)")}, 2) = 0 " +
+          "THEN 1L ELSE -1L END").as("sgn"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("sgn").as("w"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        expr(s"transform(sequence(0, ${FeatD - 1}), d -> CAST(coalesce(m[d], 0L) AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
+
   private val qTextStats = Q(
     "q_text_stats",
     (s, dir) => {
@@ -1947,6 +2017,6 @@ object Llm {
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qSimPq, qVecKmeansStep, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
-    qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk,
+    qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qMultimodalJoin)
 }

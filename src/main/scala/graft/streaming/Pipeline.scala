@@ -206,6 +206,40 @@ object Pipeline {
       .transformWithState(new DedupProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming heavy hitters, sketch pass — the streaming twin of
+    * `q_text_heavy_hitters`' first stage. A streaming GLOBAL aggregation
+    * of the mergeable MisraGries sketch (Agarwal et al., PODS 2012):
+    * per micro-batch Spark folds new terms into partial sketches and
+    * merges them into the ≤ k−1-counter state buffer, so state is O(k)
+    * however long the stream runs, and the emitted candidate array (run
+    * in Complete mode) is a SUPERSET of every term with true frequency
+    * > n/k over everything ingested so far — the sketch's merge bound
+    * survives any batch/merge order. Exact per-term counts are
+    * unavailable mid-stream by design (that would be O(vocab) state);
+    * the verify pass below closes the gap.
+    */
+  def heavyHitterSketch(terms: DataFrame, k: Int): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.udf.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    terms.groupBy().agg(mg(col("term")).as("cand"))
+  }
+
+  /** Streaming heavy hitters, verify pass: exact counts for the ≤ k−1
+    * candidates from a sketch-pass replay, plus the global total carried
+    * by the null key (a real term is never null) — one streaming
+    * aggregation with ≤ k keys of state. After the stream drains,
+    * candidates with cnt > total/k are EXACTLY the batch twin's answer:
+    * replay agreement is equality, not approximation (StreamingSpec).
+    * The two-pass shape is the batch operator's own
+    * sketch-then-recount discipline lifted onto Structured Streaming —
+    * a production deployment runs pass 2 as a second subscription on
+    * the same log (e.g. a Kinesis replay from a checkpointed offset).
+    */
+  def heavyHitterVerify(terms: DataFrame, cands: Seq[String]): DataFrame =
+    terms
+      .groupBy(when(col("term").isin(cands: _*), col("term")).as("term"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Full reference pipeline as a streaming writer: route → per-partition
     * batch → deliver-with-retry → delivered/DLQ parquet dirs per route
     * (§0.1 steps 4–6). `failEvery` injects a deterministic per-record

@@ -18,6 +18,28 @@ class InvariantsSpec extends SparkSpec {
     assert(once.select("doc_id").except(twice.select("doc_id")).isEmpty)
   }
 
+  test("featurizer bridge: dense vectors round-trip the sparse rows and fit the ANN column convention") {
+    val dense = ops.Llm.featurizeVec(spark, sf) // (vec_id, v, nrm)
+    // every vector has the fixture dimensionality the ANN family expects
+    assert(dense.filter(size(col("v")) =!= 64).isEmpty, "all vectors must be d=64")
+    // dense ↔ sparse round-trip: exploding the dense form reproduces the
+    // declared q_text_featurize rows exactly
+    val sparseFromDense = dense
+      .select(col("vec_id").as("doc_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .filter(col("x") =!= 0.0)
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("long").as("w"))
+    val declared = SparkEntry.queries("q_text_featurize")(spark, sf)
+    assert(sparseFromDense.exceptAll(declared).isEmpty &&
+      declared.exceptAll(sparseFromDense).isEmpty,
+      "dense form must encode exactly the declared sparse weights")
+    // the vecs-convention norm column is consistent: cos(v,v) = 1
+    val selfCos = dense.filter(col("nrm") > 0)
+      .withColumn("c", expr("graft_dot(v, v)") / (col("nrm") * col("nrm")))
+      .filter(abs(col("c") - 1.0) > 1e-9)
+    assert(selfCos.isEmpty, "self-cosine of every featurized vector must be 1")
+  }
+
   test("cdc merge idempotence: re-applying the changeset changes nothing") {
     // the MERGE INTO contract incremental pipelines rely on: applying
     // the same changeset to the already-merged state must be a no-op.

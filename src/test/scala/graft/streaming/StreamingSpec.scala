@@ -133,6 +133,58 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming heavy hitters: two-pass replay agrees EXACTLY with the batch twin") {
+    // the q_text_heavy_hitters ↔ streaming agreement proof, same pattern
+    // as q_win_sessionize ↔ q_stream_session: replay the fixture's term
+    // stream through the bounded-state streaming passes and require the
+    // batch answer to the element. k matches the batch operator's 64.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 64
+    val termList = graft.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .as[String].collect().toSeq
+    val chunks = termList.grouped((termList.size / 5).max(1)).toSeq
+
+    // pass 1 — MisraGries sketch as a streaming global aggregation;
+    // several micro-batches so the cross-batch state merge is exercised
+    val mem1 = MemoryStream[String]
+    val q1 = Pipeline.heavyHitterSketch(
+        mem1.toDF().withColumnRenamed("value", "term"), k)
+      .writeStream.format("memory").queryName("hh_sketch")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp("ckpt-hh1")).start()
+    chunks.foreach { g => mem1.addData(g); q1.processAllAvailable() }
+    q1.stop()
+    val cands = spark.table("hh_sketch")
+      .select(explode(col("cand")).as("t")).as[String].collect().toSeq
+    assert(cands.nonEmpty && cands.size <= k - 1,
+      s"sketch state must stay within k-1 counters, got ${cands.size}")
+
+    // pass 2 — exact candidate counts + total (null key), ≤ k keys of state
+    val mem2 = MemoryStream[String]
+    val q2 = Pipeline.heavyHitterVerify(
+        mem2.toDF().withColumnRenamed("value", "term"), cands)
+      .writeStream.format("memory").queryName("hh_verify")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp("ckpt-hh2")).start()
+    chunks.foreach { g => mem2.addData(g); q2.processAllAvailable() }
+    q2.stop()
+    val counts = spark.table("hh_verify").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n == termList.size, "every term must land in exactly one count group")
+    val streamed = counts.collect {
+      case (Some(t), c) if c > n / k => t -> c
+    }.toSet
+
+    val batch = graft.SparkEntry.queries("q_text_heavy_hitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(batch.nonEmpty, "fixture must produce at least one heavy hitter")
+    assert(streamed == batch,
+      s"streamed HH must equal the batch twin exactly:\n streamed=$streamed\n batch=$batch")
+  }
+
   test("sessionize: 30-min gap closes a session; stats accumulate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
