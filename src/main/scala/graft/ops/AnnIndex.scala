@@ -51,18 +51,25 @@ object AnnIndex {
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_$h"
   }
 
-  /** One row per corpus vector: (vec_id, v, nrm, cell, probes). The same
-    * broadcast-centroid assignment `q_sim_ivf` runs inline — the n·k
-    * score matrix never exists as rows; `probes` precomputes the
+  /** Broadcast-centroid cell assignment shared by every lifecycle op:
+    * one row per input vector — (vec_id, v, nrm, cell, probes) — via the
+    * `q_sim_ivf` scoring rule (rounded cosine, (−cos, c_id) sort). The
+    * n·k score matrix never exists as rows; `probes` precomputes the
     * query-side cell list so serving needs no centroid math at all.
     */
-  private def buildIndexDf(s: SparkSession, dir: String): DataFrame =
-    Llm.vecs(s, dir).crossJoin(broadcast(Llm.ivfCentArr(s, dir)))
+  private def assignCells(vecsDf: DataFrame, cents: DataFrame): DataFrame =
+    vecsDf.crossJoin(broadcast(cents))
       .filter(expr("size(cents) > 0"))
       .withColumn("pc", expr(s"slice(${Llm.sortedCellsSpark}, 1, ${Llm.IvfProbes})"))
       .select(col("vec_id"), col("v"), col("nrm"),
         expr("element_at(pc, 1).c_id").as("cell"),
         expr("transform(pc, p -> p.c_id)").as("probes"))
+
+  /** One row per corpus vector against the full-corpus IVF centroids —
+    * the build half of `q_ann_index_build`/`serve`.
+    */
+  private def buildIndexDf(s: SparkSession, dir: String): DataFrame =
+    assignCells(Llm.vecs(s, dir), Llm.ivfCentArr(s, dir))
 
   /** Build + persist, returning the on-disk path. Always overwrites:
     * the index is a pure function of the corpus (hash-sampled centroids,
@@ -120,5 +127,83 @@ object AnnIndex {
                      FROM asg WHERE arn <= ${Llm.IvfProbes}),
              ${Llm.cellTopKSql}"""))
 
-  val all: Seq[Q] = Seq(qAnnIndexBuild, qAnnIndexServe)
+  /** Corpus vectors split into a ~90% already-indexed base and a ~10%
+    * incoming batch by a deterministic hash — the update op's fixture.
+    * Membership salt ("annu_") and the centroid-sample salt ("annuc_")
+    * are independent per the shared-seed-leakage rule.
+    */
+  private def updSplit(s: SparkSession, dir: String): DataFrame =
+    Llm.vecs(s, dir).withColumn("is_base",
+      expr(s"pmod(${Llm.md5Hex32Spark("concat('annu_', CAST(vec_id AS STRING))")}, 10) != 0"))
+
+  /** IVF centroids hash-sampled from the BASE generation only (thr =
+    * 1/√n_base) — the update contract freezes the coarse quantizer at
+    * build time; incoming vectors are assigned against it, never against
+    * centroids they could have been sampled into.
+    */
+  private def baseCentArr(s: SparkSession, dir: String): DataFrame = {
+    val base = updSplit(s, dir).filter(col("is_base"))
+    val thr = base.agg(count(lit(1)).as("n"))
+      .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
+    base.crossJoin(broadcast(thr))
+      .filter(expr(Llm.md5U01Spark("concat('annuc_', CAST(vec_id AS STRING))")) < col("thr"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+  }
+
+  /** Incremental index maintenance — the batch-ingest half of the
+    * lifecycle: a new vector batch is assigned against the FROZEN base
+    * centroids and APPENDED into the persisted cell layout (new files in
+    * existing cell directories; base files never rewritten — the
+    * inverted-list append). The declared output is the per-cell
+    * (n_base, n_delta, id_sum) inventory read back from the merged
+    * artifact, proving both generations landed in one queryable table.
+    *
+    * The base generation is written with a STATIC overwrite (whole-path
+    * truncate) each run so the declared query stays a pure function of
+    * the corpus: with a dynamic overwrite, a cell that received only
+    * delta rows (possible when two centroids tie at 4dp-rounded cosine)
+    * would keep its stale delta files across runs and the append would
+    * double them — the determinism double-run gate would catch exactly
+    * that. A production deployment runs build once and append per batch;
+    * re-packing base+delta back into one generation is `q_etl_compact`'s
+    * job applied to this layout.
+    */
+  private val qAnnIndexUpdate = Q(
+    "q_ann_index_update",
+    (s, dir) => {
+      val path = indexPath(dir) + "_upd"
+      val cents = baseCentArr(s, dir)
+      val sp = updSplit(s, dir)
+      val base = assignCells(sp.filter(col("is_base")), cents)
+        .withColumn("gen", lit("base")).withColumn("cell_part", col("cell"))
+      val delta = assignCells(sp.filter(!col("is_base")), cents)
+        .withColumn("gen", lit("delta")).withColumn("cell_part", col("cell"))
+      Partitioned.writeStatic(base, path, 1 << 18, "cell_part")
+      Partitioned.append(delta, path, 1 << 18, "cell_part")
+      s.read.parquet(path)
+        .groupBy("cell")
+        .agg(sum(when(col("gen") === "base", 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("gen") === "delta", 1L).otherwise(0L)).as("n_delta"),
+          sum("vec_id").as("id_sum"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH ${Llm.vecsSql},
+             sp AS (SELECT vec_id, v, nrm,
+                      (${Llm.md5Hex32Sql("'annu_' || CAST(vec_id AS VARCHAR)")}) % 10 <> 0 AS is_base
+                    FROM n),
+             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM sp WHERE is_base),
+             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM sp CROSS JOIN prm
+                      WHERE is_base AND ${Llm.md5U01Sql("'annuc_' || CAST(vec_id AS VARCHAR)")} < thr),
+             asg AS (SELECT sp.vec_id, sp.is_base, c_id,
+                       row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+                         ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id) AS arn
+                     FROM sp CROSS JOIN cent)
+             SELECT c_id AS cell,
+                    CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                    CAST(SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                    CAST(SUM(vec_id) AS BIGINT) AS id_sum
+             FROM asg WHERE arn = 1 GROUP BY c_id ORDER BY cell"""))
+
+  val all: Seq[Q] = Seq(qAnnIndexBuild, qAnnIndexServe, qAnnIndexUpdate)
 }

@@ -1359,6 +1359,47 @@ object Llm {
         expr(s"transform(sequence(0, ${FeatD - 1}), d -> CAST(coalesce(m[d], 0L) AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
 
+  /** One BPE tokenizer-training iteration (Sennrich et al., ACL 2016):
+    * adjacent-symbol pair counts at the character stage, reported as the
+    * top-20 merge candidates. The scale-correct shape — and the reason
+    * BPE training is feasible over a 100 TB corpus at all — is that pair
+    * counting runs over the WORD-COUNT table, not the token stream: stage
+    * 1 compresses the corpus to (word, count) with one map-combinable
+    * aggregation (vocab size is corpus-size-sublinear), stage 2 explodes
+    * ≤ len−1 character pairs per DISTINCT word weighted by its count and
+    * re-aggregates over the ~alphabet² pair keys. Iterating (apply the
+    * top merge, recount) is the `q_vec_kmeans_step` superstep pattern.
+    * Length-1 words are filtered on BOTH sides before the pair explode:
+    * Spark's `sequence(1, 0)` would step DOWNWARD (to [1, 0]) where
+    * DuckDB's `range(1, 1)` is empty — the guard keeps the engines off
+    * that divergence entirely. All-integer output (D1).
+    */
+  private val qTextBpeStep = Q(
+    "q_text_bpe_step",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, length(w) - 1), i -> named_struct(
+             'l', substring(w, i, 1), 'r', substring(w, i + 1, 1)))""")).as("p"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum("wc").as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("left_sym"), col("right_sym"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT u.tok AS w
+                 FROM documents, unnest(string_split(text, ' ')) u(tok)
+                 WHERE length(u.tok) >= 2),
+            vc AS (SELECT w, COUNT(*) AS wc FROM t GROUP BY w),
+            p AS (SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+                         substr(w, CAST(i AS INT) + 1, 1) AS right_sym, wc
+                  FROM vc, unnest(range(1, length(w))) u(i))
+            SELECT left_sym, right_sym, CAST(SUM(wc) AS BIGINT) AS pair_cnt
+            FROM p GROUP BY left_sym, right_sym
+            ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 20"""))
+
   private val qTextStats = Q(
     "q_text_stats",
     (s, dir) => {
@@ -2018,5 +2059,5 @@ object Llm {
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qSimPq, qVecKmeansStep, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qMultimodalJoin)
+    qTextBpeStep, qMultimodalJoin)
 }

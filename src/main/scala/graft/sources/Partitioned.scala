@@ -33,6 +33,31 @@ object Partitioned {
       .partitionBy(cols: _*)
       .parquet(path)
 
+  /** Append `df` into an existing partitioned layout: new files land in
+    * the partition directories their rows belong to, existing files are
+    * never touched — the inverted-list / incremental-ingest append an
+    * index-maintenance pipeline runs per batch (see `q_ann_index_update`).
+    */
+  def append(df: DataFrame, path: String, maxRecordsPerFile: Long, cols: String*): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
+  /** Static-overwrite variant of [[write]]: truncates the WHOLE path
+    * before writing, not just the incoming partitions. Used when the
+    * artifact must be a pure function of this one write (e.g. the base
+    * generation of an append lifecycle, where a dynamic overwrite could
+    * leave stale delta files alive in partitions the base doesn't cover).
+    */
+  def writeStatic(df: DataFrame, path: String, maxRecordsPerFile: Long, cols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
   /** True iff `df`'s scan prunes partitions down to `expected` of
     * `total` — i.e. the partition filter is applied at planning time, not
     * per-row. The proof used by the spec and available for ad-hoc audits.

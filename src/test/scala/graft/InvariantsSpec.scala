@@ -40,6 +40,16 @@ class InvariantsSpec extends SparkSpec {
     assert(selfCos.isEmpty, "self-cosine of every featurized vector must be 1")
   }
 
+  test("ann index update: the build+append lifecycle is idempotent across runs") {
+    // a second run must truncate-and-rebuild the base generation and
+    // re-append exactly one delta generation — stale delta files
+    // surviving a re-run would double n_delta here.
+    val once = SparkEntry.queries("q_ann_index_update")(spark, sf).collect()
+    val twice = SparkEntry.queries("q_ann_index_update")(spark, sf).collect()
+    assert(once.nonEmpty && once.sameElements(twice),
+      "re-running q_ann_index_update must reproduce the identical inventory")
+  }
+
   test("cdc merge idempotence: re-applying the changeset changes nothing") {
     // the MERGE INTO contract incremental pipelines rely on: applying
     // the same changeset to the already-merged state must be a no-op.
