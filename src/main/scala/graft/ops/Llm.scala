@@ -1326,17 +1326,25 @@ object Llm {
         .filter(col("w") =!= 0L)
         .orderBy("doc_id", "dim")
     },
-    Some(s"""WITH t AS (SELECT doc_id, u.tok AS tok
-                  FROM documents, unnest(string_split(text, ' ')) u(tok)),
-            h AS (SELECT doc_id,
-                   CAST((${md5Hex32Sql("'embb_' || tok")}) % $FeatD AS BIGINT) AS dim,
-                   CASE WHEN (${md5Hex32Sql("'embs_' || tok")}) % 2 = 0
-                     THEN 1 ELSE -1 END AS sgn
-                  FROM t)
+    Some(s"""WITH $featSparseSql
             SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS w
             FROM h GROUP BY doc_id, dim
             HAVING SUM(sgn) <> 0
             ORDER BY doc_id, dim"""))
+
+  /** Oracle twin of the featurizer's hashing stage: CTEs t (tokens) and
+    * h (doc_id, dim, sgn) — ONE spelling shared by `q_text_featurize`
+    * and `q_sim_doc_topk` so the hash/sign rule cannot drift between the
+    * sparse view and its ANN consumer.
+    */
+  private def featSparseSql: String =
+    s"""t AS (SELECT doc_id, u.tok AS tok
+              FROM documents, unnest(string_split(text, ' ')) u(tok)),
+        h AS (SELECT doc_id,
+               CAST((${md5Hex32Sql("'embb_' || tok")}) % $FeatD AS BIGINT) AS dim,
+               CASE WHEN (${md5Hex32Sql("'embs_' || tok")}) % 2 = 0
+                 THEN 1 ELSE -1 END AS sgn
+              FROM t)"""
 
   /** Dense form of [[qTextFeaturize]]'s sparse rows: (vec_id, v, nrm)
     * with v an Array[Double] of length [[FeatD]] — exactly the `vecs`
@@ -1358,6 +1366,62 @@ object Llm {
       .select(col("doc_id").as("vec_id"),
         expr(s"transform(sequence(0, ${FeatD - 1}), d -> CAST(coalesce(m[d], 0L) AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
+
+  /** The text↔vector loop closed end-to-end: IVF-ANN top-3 over the
+    * FEATURIZED document vectors — documents in, neighbor documents out,
+    * no embeddings table anywhere. Exactly the `q_sim_ivf` index shape
+    * (√n hash-sampled centroids, map-only broadcast assignment, probe
+    * equi-join, shared [[cellTopK]] ranking contract) applied to
+    * [[featurizeVec]]'s output, which is the point: the featurizer
+    * produces the `vecs` column convention, so the entire ANN family
+    * works on text with zero new machinery. Zero-norm documents (all
+    * hash buckets cancelled) are excluded on both engines.
+    *
+    * Determinism note: featurized components are integer-valued doubles,
+    * so every dot product is EXACT (integer sums below 2⁵³ — no
+    * fold-order sensitivity at all); only the final cosine division and
+    * 4dp round involve float rules, both shared with the oracle.
+    */
+  private val qSimDocTopk = Q(
+    "q_sim_doc_topk",
+    (s, dir) => {
+      // dominant CPU is the featurizer aggregation; one materialization
+      // feeds the centroid sample, the index side, and the query side
+      val dv = featurizeVec(s, dir).filter(col("nrm") > 0).localCheckpoint(true)
+      val thr = dv.agg(count(lit(1)).as("n"))
+        .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
+      val cents = dv.crossJoin(broadcast(thr))
+        .filter(expr(md5U01Spark("concat('dctr_', CAST(vec_id AS STRING))")) < col("thr"))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+      val probed = dv.crossJoin(broadcast(cents))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+        .localCheckpoint(true)
+      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+      cellTopK(idx, probedQry(probed))
+    },
+    Some(s"""WITH $featSparseSql,
+             f AS (SELECT doc_id, dim, SUM(sgn) AS w FROM h GROUP BY doc_id, dim),
+             ids AS (SELECT DISTINCT doc_id FROM f),
+             grid AS (SELECT ids.doc_id, u.d FROM ids, unnest(range($FeatD)) u(d)),
+             dw AS (SELECT g.doc_id, g.d, CAST(coalesce(f.w, 0) AS DOUBLE) AS x
+                    FROM grid g LEFT JOIN f ON f.doc_id = g.doc_id AND f.dim = g.d),
+             dv AS (SELECT doc_id AS vec_id, list(x ORDER BY d) AS v
+                    FROM dw GROUP BY doc_id),
+             n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dv
+                   WHERE list_dot_product(v, v) > 0),
+             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM n),
+             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
+                      WHERE ${md5U01Sql("'dctr_' || CAST(vec_id AS VARCHAR)")} < thr),
+             $ivfAsgSql,
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= $IvfProbes),
+             $cellTopKSql"""))
 
   /** One BPE tokenizer-training iteration (Sennrich et al., ACL 2016):
     * adjacent-symbol pair counts at the character stage, reported as the
@@ -2059,5 +2123,5 @@ object Llm {
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qSimPq, qVecKmeansStep, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qMultimodalJoin)
+    qTextBpeStep, qSimDocTopk, qMultimodalJoin)
 }
