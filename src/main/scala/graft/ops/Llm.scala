@@ -1011,10 +1011,11 @@ object Llm {
     * Expression beats anything interpreted on the hot path"). The
     * codebook rides in codeword-id order (sort_array upstream), so the
     * expression's first-minimal rule IS the oracle's (distance, c_id)
-    * window tie-break; rounding uses the same BigDecimal HALF_UP rule
-    * as Spark's round(_, 4) (see PqRecon's scaladoc for the documented
-    * 1-ulp boundary caveat vs DuckDB). Encodes the residual column
-    * `rv` (by_residual=true).
+    * window tie-break; rounding is allocation-free binary-double
+    * half-up — DuckDB ROUND's own family (see PqRecon's scaladoc for
+    * the 1-ulp boundary caveat and why BigDecimal was evicted from the
+    * m·k-per-row hot loop). Encodes the residual column `rv`
+    * (by_residual=true).
     */
   private def pqReconSpark: String =
     s"graft_pq_recon(rv, transform(cb, c -> c.cv), $PqM, $PqSub)"

@@ -163,15 +163,20 @@ object GraftNative {
   * (CodegenFallback with per-element dispatch and struct allocation);
   * this is one primitive double loop. CodegenFallback here too, but the
   * interpreter is entered once per ROW, not once per (subspace ×
-  * codeword × dim). Rounding uses BigDecimal.valueOf HALF_UP — the rule
-  * behind Spark's round(_, 4) — which rounds the double's SHORTEST
-  * DECIMAL rendering while DuckDB's ROUND rounds the binary double, so
-  * an exact .00005-boundary distance could in principle round apart and
-  * (because the per-subspace argmin keys on the rounded value) elect a
-  * DIFFERENT codeword — the same accepted risk class as cosCol's
-  * rounded ranking, but with a whole-codeword blast radius rather than
-  * a last-place rank swap. Not observed on any fixture; both-SF oracle
-  * hashes pin it.
+  * codeword × dim). Rounding is allocation-free binary-double half-up
+  * (`floor(s·10⁴ + 0.5)/10⁴`) — the same FAMILY as DuckDB's ROUND,
+  * which rounds the binary double (C `round`, half away from zero;
+  * identical for these non-negative distances except sub-ulp boundary
+  * artifacts of the `+0.5` spelling). An exact .00005-boundary distance
+  * could still in principle round apart between engines and (because
+  * the per-subspace argmin keys on the rounded value) elect a DIFFERENT
+  * codeword — the same accepted risk class as cosCol's rounded ranking,
+  * but with a whole-codeword blast radius rather than a last-place rank
+  * swap. Not observed on any fixture; both-SF oracle hashes pin it.
+  * (The first spelling here was BigDecimal HALF_UP — Spark's own
+  * round(_, 4) rule — which rounds the shortest decimal STRING: one
+  * allocation + digit rendering per candidate, m·k = 4096 of them per
+  * row, and it dominated the whole query at 5.1 s bench time.)
   *
   * Dimension contract: every codebook vector must carry >= m·sub
   * elements. The engine's builders guarantee it (codewords ARE corpus
@@ -235,8 +240,15 @@ object PqRecon {
             s += diff * diff
             j += 1
           }
-          val d4 = java.math.BigDecimal.valueOf(s)
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          // Binary-double half-up rounding — DuckDB ROUND's own family
+          // (it rounds the binary double, not the decimal rendering), so
+          // the argmin election aligns with the oracle by construction;
+          // divergence is confined to exact .00005-boundary 1-ulp cases,
+          // the documented accepted risk class. Deliberately NOT
+          // BigDecimal: allocation-free, because this line runs m·k
+          // times per row (32·128 = 4096) and the BigDecimal spelling
+          // measurably dominated the whole query (5.1 s → see PLANS.md).
+          val d4 = Math.floor(s * 10000.0 + 0.5) / 10000.0
           if (d4 < bestD) { bestD = d4; best = c }
         }
         c += 1
