@@ -71,27 +71,33 @@ object AnnIndex {
   private def buildIndexDf(s: SparkSession, dir: String): DataFrame =
     assignCells(Llm.vecs(s, dir), Llm.ivfCentArr(s, dir))
 
-  /** Build + persist, returning the on-disk path. Always overwrites:
-    * the index is a pure function of the corpus (hash-sampled centroids,
-    * rounded scores), so rebuilding is idempotent and a stale artifact
-    * from an older engine version can never leak into a serve result.
+  /** Build + persist, returning the on-disk path and the written
+    * schema. The overwrite is STATIC (whole-path truncate, not
+    * per-partition): the index is a pure function of the corpus, and a
+    * dynamic overwrite would leave a previous build's cell directories
+    * alive whenever the new centroid set doesn't cover them (fixture
+    * regenerated in place, engine version change) — exactly the stale
+    * artifact the docstring contract rules out. The schema is returned
+    * so read-backs never depend on inference: an empty centroid sample
+    * (P ≈ (1−1/√n)ⁿ, corpus-dependent) writes zero parquet files, and a
+    * schema-less read of that directory throws where the oracle returns
+    * an empty result.
     */
-  private[graft] def writeIndex(s: SparkSession, dir: String): String = {
+  private[graft] def writeIndex(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val path = indexPath(dir)
-    Partitioned.write(
-      buildIndexDf(s, dir).withColumn("cell_part", col("cell")),
-      path, maxRecordsPerFile = 1 << 18, "cell_part")
-    path
+    val df = buildIndexDf(s, dir).withColumn("cell_part", col("cell"))
+    Partitioned.writeStatic(df, path, maxRecordsPerFile = 1 << 18, "cell_part")
+    (path, df.schema)
   }
 
   private val qAnnIndexBuild = Q(
     "q_ann_index_build",
     (s, dir) => {
-      val path = writeIndex(s, dir)
+      val (path, schema) = writeIndex(s, dir)
       // inventory read back FROM THE ARTIFACT: row counts and an id
       // checksum per cell prove what parquet holds, not what the build
       // frame computed
-      s.read.parquet(path)
+      s.read.schema(schema).parquet(path)
         .groupBy("cell")
         .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("id_sum"))
         .orderBy("cell")
@@ -108,8 +114,8 @@ object AnnIndex {
     (s, dir) => {
       // lifecycle: ensure the artifact exists (idempotent rebuild), then
       // serve from it — the RETURNED plan reads only the index table
-      val path = writeIndex(s, dir)
-      val ix = s.read.parquet(path)
+      val (path, schema) = writeIndex(s, dir)
+      val ix = s.read.schema(schema).parquet(path)
       val idx = ix.select(col("vec_id").as("n_id"), col("cell"),
         col("v").as("nv"), col("nrm").as("nn"))
       val qry = ix.select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -141,8 +147,8 @@ object AnnIndex {
     * build time; incoming vectors are assigned against it, never against
     * centroids they could have been sampled into.
     */
-  private def baseCentArr(s: SparkSession, dir: String): DataFrame = {
-    val base = updSplit(s, dir).filter(col("is_base"))
+  private def baseCentArr(sp: DataFrame): DataFrame = {
+    val base = sp.filter(col("is_base"))
     val thr = base.agg(count(lit(1)).as("n"))
       .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
     base.crossJoin(broadcast(thr))
@@ -173,15 +179,20 @@ object AnnIndex {
     "q_ann_index_update",
     (s, dir) => {
       val path = indexPath(dir) + "_upd"
-      val cents = baseCentArr(s, dir)
-      val sp = updSplit(s, dir)
+      // materialize-once: the two write actions below would otherwise
+      // each re-run the corpus scan + split hash, and the centroid
+      // aggregation is embedded in BOTH assignment plans via the
+      // broadcast — checkpointing sp and the 1-row cents frame leaves
+      // one corpus scan for the split and one for the sample
+      val sp = updSplit(s, dir).localCheckpoint(true)
+      val cents = baseCentArr(sp).localCheckpoint(true)
       val base = assignCells(sp.filter(col("is_base")), cents)
         .withColumn("gen", lit("base")).withColumn("cell_part", col("cell"))
       val delta = assignCells(sp.filter(!col("is_base")), cents)
         .withColumn("gen", lit("delta")).withColumn("cell_part", col("cell"))
       Partitioned.writeStatic(base, path, 1 << 18, "cell_part")
       Partitioned.append(delta, path, 1 << 18, "cell_part")
-      s.read.parquet(path)
+      s.read.schema(base.schema).parquet(path)
         .groupBy("cell")
         .agg(sum(when(col("gen") === "base", 1L).otherwise(0L)).as("n_base"),
           sum(when(col("gen") === "delta", 1L).otherwise(0L)).as("n_delta"),

@@ -1313,17 +1313,24 @@ object Llm {
     * keyed (doc_id, dim) — ≤ d rows per doc into the exchange, no joins,
     * no per-doc state beyond the running sums.
     */
+  /** Shared hashing/aggregation stage — ONE Spark spelling (the
+    * [[featSparseSql]] twin) of the token→(doc_id, dim, w) rule, so the
+    * declared sparse view and the dense ANN feed cannot drift.
+    */
+  private def featSparse(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr(s"pmod(${md5Hex32Spark("concat('embb_', tok)")}, $FeatD)").as("dim"),
+        expr(s"CASE WHEN pmod(${md5Hex32Spark("concat('embs_', tok)")}, 2) = 0 " +
+          "THEN 1L ELSE -1L END").as("sgn"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("sgn").as("w"))
+
   private val qTextFeaturize = Q(
     "q_text_featurize",
     (s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"),
-          expr(s"pmod(${md5Hex32Spark("concat('embb_', tok)")}, $FeatD)").as("dim"),
-          expr(s"CASE WHEN pmod(${md5Hex32Spark("concat('embs_', tok)")}, 2) = 0 " +
-            "THEN 1L ELSE -1L END").as("sgn"))
-        .groupBy("doc_id", "dim")
-        .agg(sum("sgn").as("w"))
+      featSparse(s, dir)
         .filter(col("w") =!= 0L)
         .orderBy("doc_id", "dim")
     },
@@ -1354,14 +1361,7 @@ object Llm {
     * (map_from_entries + a sequence fill; no second shuffle).
     */
   private[graft] def featurizeVec(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
-        expr(s"pmod(${md5Hex32Spark("concat('embb_', tok)")}, $FeatD)").as("dim"),
-        expr(s"CASE WHEN pmod(${md5Hex32Spark("concat('embs_', tok)")}, 2) = 0 " +
-          "THEN 1L ELSE -1L END").as("sgn"))
-      .groupBy("doc_id", "dim")
-      .agg(sum("sgn").as("w"))
+    featSparse(s, dir)
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
       .select(col("doc_id").as("vec_id"),

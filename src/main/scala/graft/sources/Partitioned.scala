@@ -54,6 +54,10 @@ object Partitioned {
   def writeStatic(df: DataFrame, path: String, maxRecordsPerFile: Long, cols: String*): Unit =
     df.write
       .mode(SaveMode.Overwrite)
+      // pinned per-writer like `write` does: a session-wide
+      // partitionOverwriteMode=dynamic must not silently turn the
+      // whole-path truncate into a partial one
+      .option("partitionOverwriteMode", "static")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(cols: _*)
       .parquet(path)

@@ -63,14 +63,30 @@ class InvariantsSpec extends SparkSpec {
     assert(once.count() == twice.count(), "apply-twice must not change row count")
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
       "apply-twice must reproduce apply-once exactly")
-    // delete semantics: every key whose latest change is a delete is gone
-    val deleted = delta.filter(col("op") === "delete")
-      .select("user_id").distinct()
-      .join(once.select("user_id", "event_id"), Seq("user_id"))
-      .join(delta.withColumnRenamed("event_id", "d_event_id")
-        .filter(col("op") === "delete"), Seq("user_id"))
-      .filter(col("event_id") === col("d_event_id"))
-    assert(deleted.isEmpty, "a delete row can never be the surviving state")
+    // delete semantics, decided INDEPENDENTLY of applyChangeset: a key
+    // is absent from the merged state iff its latest change across
+    // snapshot ∪ delta (ts desc, event_id desc, delta beats base) is a
+    // delete. (An earlier spelling only checked that no surviving row
+    // CARRIED a delete's event_id — vacuously true, since delete rows
+    // are filtered from the output and the hash split keeps snapshot
+    // and delta event_ids disjoint.)
+    val unioned = snapshot
+      .withColumn("op", lit("upsert")).withColumn("pri", lit(1))
+      .select("user_id", "ts_us", "event_id", "op", "pri")
+      .unionByName(delta.withColumn("pri", lit(0))
+        .select("user_id", "ts_us", "event_id", "op", "pri"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc, col("pri").asc)
+    val winners = unioned.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+    val delUsers = winners.filter(col("op") === "delete").select("user_id")
+    assert(delUsers.count() > 0,
+      "fixture must elect at least one delete winner or this test proves nothing")
+    assert(once.select("user_id").join(delUsers, Seq("user_id")).isEmpty,
+      "a key whose latest change is a delete must be absent from the merge")
+    assert(winners.filter(col("op") =!= "delete").select("user_id")
+      .except(once.select("user_id")).isEmpty,
+      "every key whose latest change is an upsert must be present")
   }
 
   test("window-vs-group consistency: final running sum == group sum") {

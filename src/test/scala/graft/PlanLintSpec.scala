@@ -78,7 +78,7 @@ class PlanLintSpec extends SparkSpec {
     // the inverted-list claim of the cell-partitioned layout: a probe
     // restricted to one cell must prune at planning time, reading one
     // directory of ~√n, not filtering rows post-scan.
-    val path = ops.AnnIndex.writeIndex(spark, sf)
+    val (path, _) = ops.AnnIndex.writeIndex(spark, sf)
     val ix = spark.read.parquet(path)
     val total = ix.select("cell_part").distinct.count().toInt
     // partition values read back through directory-name inference (INT
