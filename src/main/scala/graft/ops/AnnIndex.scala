@@ -87,7 +87,37 @@ object AnnIndex {
     val path = indexPath(dir)
     val df = buildIndexDf(s, dir).withColumn("cell_part", col("cell"))
     Partitioned.writeStatic(df, path, maxRecordsPerFile = 1 << 18, "cell_part")
+    // the coarse quantizer is part of the index (Faiss persists it the
+    // same way): without the centroid array on storage, a NEW query
+    // vector could not be probe-assigned without the corpus — the
+    // online-serve path ([[serveBatch]]) reads it back instead
+    Llm.ivfCentArr(s, dir).write.mode("overwrite").parquet(path + "_cents")
     (path, df.schema)
+  }
+
+  /** Online serve: top-3 neighbors for a batch of NEW query vectors
+    * (vec_id, v) computed from the persisted artifacts ALONE — probe
+    * assignment against the stored centroid array, candidates from the
+    * stored cell table, the shared `cellTopK` ranking contract. This is
+    * the foreachBatch body of a streaming ANN service (StreamingSpec
+    * wires it and proves batch-for-batch equality with
+    * `q_ann_index_serve` for corpus queries); per-batch pure, so any
+    * micro-batch segmentation gives the same union of answers.
+    */
+  private[graft] def serveBatch(s: SparkSession, queries: DataFrame,
+      path: String): DataFrame = {
+    val cents = s.read.parquet(path + "_cents")
+    val qry = queries
+      .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
+      .crossJoin(broadcast(cents))
+      .filter(expr("size(cents) > 0"))
+      .withColumn("pc", expr(s"slice(${Llm.sortedCellsSpark}, 1, ${Llm.IvfProbes})"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
+    val idx = s.read.parquet(path).select(col("vec_id").as("n_id"),
+      col("cell"), col("v").as("nv"), col("nrm").as("nn"))
+    Llm.cellTopK(idx, qry)
   }
 
   private val qAnnIndexBuild = Q(

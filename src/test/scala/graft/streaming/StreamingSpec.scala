@@ -185,6 +185,42 @@ class StreamingSpec extends SparkSpec {
       s"streamed HH must equal the batch twin exactly:\n streamed=$streamed\n batch=$batch")
   }
 
+  test("streaming ANN serve: foreachBatch answers off the persisted index equal the batch serve") {
+    // the online half of the index lifecycle: queries arrive as a
+    // stream, every answer is computed from the persisted artifacts
+    // alone (centroid parquet for probe assignment + cell table for
+    // candidates). Streaming the corpus's own vectors in 3 micro-batches
+    // must reproduce q_ann_index_serve exactly — serveBatch is per-batch
+    // pure, so segmentation cannot change the union of answers.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (path, _) = graft.ops.AnnIndex.writeIndex(spark, sf)
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val out = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= graft.ops.AnnIndex.serveBatch(spark, batch, path).collect(); ()
+      }
+      .option("checkpointLocation", tmp("ckpt-annserve")).start()
+    emb.grouped((emb.length / 3).max(1)).foreach { g =>
+      mem.addData(g.map { case (id, v) => (id, v) })
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val batchTwin = graft.SparkEntry.queries("q_ann_index_serve")(spark, sf)
+      .collect()
+    assert(batchTwin.nonEmpty, "fixture must produce serve answers")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(out.map(key).toSet == batchTwin.map(key).toSet,
+      s"streamed serve must equal the batch serve (${out.size} vs ${batchTwin.length} rows)")
+  }
+
   test("sessionize: 30-min gap closes a session; stats accumulate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
