@@ -384,7 +384,57 @@ object Curation {
             SELECT MIN(doc_id) AS doc_id, h, CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM n GROUP BY h ORDER BY doc_id"""))
 
+  /** Deterministic negative sampling for contrastive training (the
+    * in-batch-negatives / triplet-mining prep step): for every anchor
+    * document, [[NegK]] pseudo-random candidate ids drawn hash-uniformly
+    * over the dense doc_id space ("neg_" salt — independent of every
+    * other selection stream per the module's shared-seed rule), self
+    * excluded, then CROSS-SOURCE rejection: a candidate from the
+    * anchor's own source is dropped (same-domain pairs are usually
+    * near-positives — C4-style source granularity). Rejection leaves a
+    * variable ≤ K negatives per anchor; membership stays a pure function
+    * of (doc_id, j), so the sample is re-runnable and the count audit is
+    * oracle-exact.
+    *
+    * Scale shape: candidate generation is MAP-ONLY (explode of K slots ×
+    * one pmod over the broadcast corpus size — no shuffle, no rand());
+    * resolving each candidate's source is ONE hash equi-join on the
+    * uniform neg_id key (no hot keys by construction); the id space is
+    * assumed dense 0..N−1 (the fixture's contract; a sparse corpus would
+    * first mint dense ids with `q_pack_sequences`' sharded numbering).
+    */
+  private val NegK = 4
+  private val qSampleNegatives = Q(
+    "q_sample_negatives",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val cand = docs
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"),
+          explode(expr(s"sequence(1, $NegK)")).as("j"), col("n"))
+        .withColumn("neg_id", expr(
+          s"pmod(${Llm.md5Hex32Spark("concat('neg_', CAST(doc_id AS STRING), '_', CAST(j AS STRING))")}, n)"))
+        .filter(col("neg_id") =!= col("doc_id"))
+      cand
+        .join(docs.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), Seq("neg_id"))
+        .filter(col("source") =!= col("neg_source"))
+        // j explodes as INT; the oracle's range() yields BIGINT (D6)
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          col("neg_id"), col("neg_source"))
+        .orderBy("doc_id", "j")
+    },
+    Some(s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+             c AS (SELECT d.doc_id, d.source, u.j,
+                    CAST((${Llm.md5Hex32Sql("'neg_' || CAST(d.doc_id AS VARCHAR) || '_' || CAST(u.j AS VARCHAR)")}) % n AS BIGINT) AS neg_id
+                   FROM documents d CROSS JOIN tot, unnest(range(1, $NegK + 1)) u(j))
+             SELECT c.doc_id, CAST(c.j AS BIGINT) AS j, c.neg_id, nd.source AS neg_source
+             FROM c JOIN documents nd ON c.neg_id = nd.doc_id
+             WHERE c.neg_id <> c.doc_id AND c.source <> nd.source
+             ORDER BY c.doc_id, c.j"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qSplitTrain, qPackSequences,
-    qSourceCap, qDedupIncremental)
+    qSourceCap, qDedupIncremental, qSampleNegatives)
 }

@@ -22,7 +22,9 @@ class PlanLintSpec extends SparkSpec {
     Set("q_join_cross", "q_text_tfidf", "q_sim_ivf",
       "q_text_langid_ngram", "q_sim_ann_lsh", "q_dedup_embed",
       // 1-row broadcast total joined onto already-aggregated skinny rows
-      "q_text_heavy_hitters", "q_text_commonness")
+      "q_text_heavy_hitters", "q_text_commonness",
+      // 1-row broadcast corpus count feeding the map-only candidate hash
+      "q_sample_negatives")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
