@@ -202,27 +202,37 @@ object AnnIndex {
     * would keep its stale delta files across runs and the append would
     * double them — the determinism double-run gate would catch exactly
     * that. A production deployment runs build once and append per batch;
-    * re-packing base+delta back into one generation is `q_etl_compact`'s
-    * job applied to this layout.
+    * re-packing base+delta back into one generation is
+    * [[qAnnIndexCompact]]'s job.
     */
+  /** The update lifecycle's artifact: base generation written static,
+    * delta generation APPENDED — a two-generation cell-partitioned
+    * table. Shared by `q_ann_index_update` (inventory of the appended
+    * state) and `q_ann_index_compact` (the re-pack job over it).
+    */
+  private def writeUpdArtifact(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val path = indexPath(dir) + "_upd"
+    // materialize-once: the two write actions below would otherwise
+    // each re-run the corpus scan + split hash, and the centroid
+    // aggregation is embedded in BOTH assignment plans via the
+    // broadcast — checkpointing sp and the 1-row cents frame leaves
+    // one corpus scan for the split and one for the sample
+    val sp = updSplit(s, dir).localCheckpoint(true)
+    val cents = baseCentArr(sp).localCheckpoint(true)
+    val base = assignCells(sp.filter(col("is_base")), cents)
+      .withColumn("gen", lit("base")).withColumn("cell_part", col("cell"))
+    val delta = assignCells(sp.filter(!col("is_base")), cents)
+      .withColumn("gen", lit("delta")).withColumn("cell_part", col("cell"))
+    Partitioned.writeStatic(base, path, 1 << 18, "cell_part")
+    Partitioned.append(delta, path, 1 << 18, "cell_part")
+    (path, base.schema)
+  }
+
   private val qAnnIndexUpdate = Q(
     "q_ann_index_update",
     (s, dir) => {
-      val path = indexPath(dir) + "_upd"
-      // materialize-once: the two write actions below would otherwise
-      // each re-run the corpus scan + split hash, and the centroid
-      // aggregation is embedded in BOTH assignment plans via the
-      // broadcast — checkpointing sp and the 1-row cents frame leaves
-      // one corpus scan for the split and one for the sample
-      val sp = updSplit(s, dir).localCheckpoint(true)
-      val cents = baseCentArr(sp).localCheckpoint(true)
-      val base = assignCells(sp.filter(col("is_base")), cents)
-        .withColumn("gen", lit("base")).withColumn("cell_part", col("cell"))
-      val delta = assignCells(sp.filter(!col("is_base")), cents)
-        .withColumn("gen", lit("delta")).withColumn("cell_part", col("cell"))
-      Partitioned.writeStatic(base, path, 1 << 18, "cell_part")
-      Partitioned.append(delta, path, 1 << 18, "cell_part")
-      s.read.schema(base.schema).parquet(path)
+      val (path, schema) = writeUpdArtifact(s, dir)
+      s.read.schema(schema).parquet(path)
         .groupBy("cell")
         .agg(sum(when(col("gen") === "base", 1L).otherwise(0L)).as("n_base"),
           sum(when(col("gen") === "delta", 1L).otherwise(0L)).as("n_delta"),
@@ -246,5 +256,50 @@ object AnnIndex {
                     CAST(SUM(vec_id) AS BIGINT) AS id_sum
              FROM asg WHERE arn = 1 GROUP BY c_id ORDER BY cell"""))
 
-  val all: Seq[Q] = Seq(qAnnIndexBuild, qAnnIndexServe, qAnnIndexUpdate)
+  /** Index compaction — the maintenance job an append-only layout needs
+    * periodically (`q_etl_compact`'s role applied to this table): one
+    * pass over the two-generation update artifact rewrites every cell's
+    * base+delta files into a single base generation with bounded file
+    * sizes, so the accumulated small delta files stop taxing the file
+    * listing and per-file open costs of every serve query. The declared
+    * output is the post-compaction inventory read back from the
+    * compacted artifact; its `n_delta` column is the PROOF of
+    * compaction — it must be identically zero (the oracle hard-codes
+    * it), while `n_vecs`/`id_sum` must equal the pre-compaction totals
+    * (same election CTEs as `q_ann_index_update`, summed across
+    * generations) — nothing lost, nothing duplicated, one generation.
+    */
+  private val qAnnIndexCompact = Q(
+    "q_ann_index_compact",
+    (s, dir) => {
+      val (upd, schema) = writeUpdArtifact(s, dir)
+      val cpath = indexPath(dir) + "_cmp"
+      val merged = s.read.schema(schema).parquet(upd)
+        .withColumn("gen", lit("base"))
+      Partitioned.writeStatic(merged, cpath, 1 << 18, "cell_part")
+      s.read.schema(schema).parquet(cpath)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("gen") === "delta", 1L).otherwise(0L)).as("n_delta"),
+          sum("vec_id").as("id_sum"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH ${Llm.vecsSql},
+             sp AS (SELECT vec_id, v, nrm,
+                      (${Llm.md5Hex32Sql("'annu_' || CAST(vec_id AS VARCHAR)")}) % 10 <> 0 AS is_base
+                    FROM n),
+             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM sp WHERE is_base),
+             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM sp CROSS JOIN prm
+                      WHERE is_base AND ${Llm.md5U01Sql("'annuc_' || CAST(vec_id AS VARCHAR)")} < thr),
+             asg AS (SELECT sp.vec_id, c_id,
+                       row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+                         ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id) AS arn
+                     FROM sp CROSS JOIN cent)
+             SELECT c_id AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                    CAST(0 AS BIGINT) AS n_delta,
+                    CAST(SUM(vec_id) AS BIGINT) AS id_sum
+             FROM asg WHERE arn = 1 GROUP BY c_id ORDER BY cell"""))
+
+  val all: Seq[Q] = Seq(qAnnIndexBuild, qAnnIndexServe, qAnnIndexUpdate,
+    qAnnIndexCompact)
 }
