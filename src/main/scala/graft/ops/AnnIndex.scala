@@ -65,12 +65,6 @@ object AnnIndex {
         expr("element_at(pc, 1).c_id").as("cell"),
         expr("transform(pc, p -> p.c_id)").as("probes"))
 
-  /** One row per corpus vector against the full-corpus IVF centroids —
-    * the build half of `q_ann_index_build`/`serve`.
-    */
-  private def buildIndexDf(s: SparkSession, dir: String): DataFrame =
-    assignCells(Llm.vecs(s, dir), Llm.ivfCentArr(s, dir))
-
   /** Build + persist, returning the on-disk path and the written
     * schema. The overwrite is STATIC (whole-path truncate, not
     * per-partition): the index is a pure function of the corpus, and a
@@ -85,37 +79,46 @@ object AnnIndex {
     */
   private[graft] def writeIndex(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val path = indexPath(dir)
-    val df = buildIndexDf(s, dir).withColumn("cell_part", col("cell"))
+    // ONE centroid aggregation feeds both the assignment broadcast and
+    // the persisted quantizer (the writeUpdArtifact materialize-once
+    // rule; without the checkpoint the _cents write below re-runs the
+    // whole corpus sample)
+    val cents = Llm.ivfCentArr(s, dir).localCheckpoint(true)
+    val df = assignCells(Llm.vecs(s, dir), cents).withColumn("cell_part", col("cell"))
     Partitioned.writeStatic(df, path, maxRecordsPerFile = 1 << 18, "cell_part")
     // the coarse quantizer is part of the index (Faiss persists it the
     // same way): without the centroid array on storage, a NEW query
     // vector could not be probe-assigned without the corpus — the
     // online-serve path ([[serveBatch]]) reads it back instead
-    Llm.ivfCentArr(s, dir).write.mode("overwrite").parquet(path + "_cents")
+    cents.write.mode("overwrite").parquet(path + "_cents")
     (path, df.schema)
   }
 
   /** Online serve: top-3 neighbors for a batch of NEW query vectors
     * (vec_id, v) computed from the persisted artifacts ALONE — probe
-    * assignment against the stored centroid array, candidates from the
-    * stored cell table, the shared `cellTopK` ranking contract. This is
-    * the foreachBatch body of a streaming ANN service (StreamingSpec
-    * wires it and proves batch-for-batch equality with
+    * assignment of the incoming vectors against the stored centroid
+    * array via the SAME [[assignCells]] spelling the build uses (one
+    * scoring contract, so build-time probes and serve-time probes
+    * cannot drift), candidates from the stored cell table, the shared
+    * `cellTopK` ranking. `schema` is the build's returned schema — the
+    * index read-back must not depend on inference (an empty-sample
+    * index directory has no files to infer from; the `_cents` artifact
+    * always holds its one aggregation row, so it may be read plainly).
+    * This is the foreachBatch body of a streaming ANN service
+    * (StreamingSpec wires it and proves batch-for-batch equality with
     * `q_ann_index_serve` for corpus queries); per-batch pure, so any
     * micro-batch segmentation gives the same union of answers.
     */
   private[graft] def serveBatch(s: SparkSession, queries: DataFrame,
-      path: String): DataFrame = {
+      path: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val cents = s.read.parquet(path + "_cents")
-    val qry = queries
+    val qv = queries
       .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
-      .crossJoin(broadcast(cents))
-      .filter(expr("size(cents) > 0"))
-      .withColumn("pc", expr(s"slice(${Llm.sortedCellsSpark}, 1, ${Llm.IvfProbes})"))
+    val qry = assignCells(qv, cents)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
-    val idx = s.read.parquet(path).select(col("vec_id").as("n_id"),
+        explode(col("probes")).as("cell"))
+    val idx = s.read.schema(schema).parquet(path).select(col("vec_id").as("n_id"),
       col("cell"), col("v").as("nv"), col("nrm").as("nn"))
     Llm.cellTopK(idx, qry)
   }
@@ -187,28 +190,18 @@ object AnnIndex {
       .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
   }
 
-  /** Incremental index maintenance — the batch-ingest half of the
-    * lifecycle: a new vector batch is assigned against the FROZEN base
-    * centroids and APPENDED into the persisted cell layout (new files in
-    * existing cell directories; base files never rewritten — the
-    * inverted-list append). The declared output is the per-cell
-    * (n_base, n_delta, id_sum) inventory read back from the merged
-    * artifact, proving both generations landed in one queryable table.
-    *
-    * The base generation is written with a STATIC overwrite (whole-path
-    * truncate) each run so the declared query stays a pure function of
-    * the corpus: with a dynamic overwrite, a cell that received only
-    * delta rows (possible when two centroids tie at 4dp-rounded cosine)
-    * would keep its stale delta files across runs and the append would
-    * double them — the determinism double-run gate would catch exactly
-    * that. A production deployment runs build once and append per batch;
-    * re-packing base+delta back into one generation is
-    * [[qAnnIndexCompact]]'s job.
-    */
   /** The update lifecycle's artifact: base generation written static,
     * delta generation APPENDED — a two-generation cell-partitioned
     * table. Shared by `q_ann_index_update` (inventory of the appended
     * state) and `q_ann_index_compact` (the re-pack job over it).
+    *
+    * The base generation is written with a STATIC overwrite (whole-path
+    * truncate) each run so the declared queries stay pure functions of
+    * the corpus: with a dynamic overwrite, a cell that received only
+    * delta rows (possible when two centroids tie at 4dp-rounded cosine)
+    * would keep its stale delta files across runs and the append would
+    * double them — the determinism double-run gate would catch exactly
+    * that.
     */
   private def writeUpdArtifact(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val path = indexPath(dir) + "_upd"
@@ -228,6 +221,17 @@ object AnnIndex {
     (path, base.schema)
   }
 
+  /** Incremental index maintenance — the batch-ingest half of the
+    * lifecycle: a new vector batch is assigned against the FROZEN base
+    * centroids and APPENDED into the persisted cell layout (new files in
+    * existing cell directories; base files never rewritten — the
+    * inverted-list append, [[writeUpdArtifact]]). The declared output is
+    * the per-cell (n_base, n_delta, id_sum) inventory read back from the
+    * merged artifact, proving both generations landed in one queryable
+    * table. A production deployment runs build once and append per
+    * batch; re-packing base+delta back into one generation is
+    * [[qAnnIndexCompact]]'s job.
+    */
   private val qAnnIndexUpdate = Q(
     "q_ann_index_update",
     (s, dir) => {

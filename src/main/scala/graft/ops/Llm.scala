@@ -1295,27 +1295,23 @@ object Llm {
     */
   private val FeatD = 64
 
-  /** Text→vector featurizer: hashed bag-of-tokens ("feature hashing",
-    * Weinberger et al., ICML 2009) into a fixed-[[FeatD]] signed-count
-    * vector — the doc↔vector bridge that closes the text side of the
-    * corpus onto the ANN/dedup vector operators. Every token lands in
-    * bucket md5h32("embb_"+token) mod d with sign from an INDEPENDENT
-    * hash bit (the shared-seed-leakage rule; the signed variant keeps
-    * collision noise zero-mean). Weights are pure BIGINT sums — exact,
+  /** Text→vector featurizer, shared hashing/aggregation stage — ONE
+    * Spark spelling (the [[featSparseSql]] oracle twin) of the
+    * token→(doc_id, dim, w) rule, so the declared sparse view
+    * ([[qTextFeaturize]]) and the dense ANN feed ([[featurizeVec]])
+    * cannot drift. Hashed bag-of-tokens ("feature hashing", Weinberger
+    * et al., ICML 2009) into a fixed-[[FeatD]] signed-count vector —
+    * the doc↔vector bridge that closes the text side of the corpus onto
+    * the ANN/dedup vector operators. Every token lands in bucket
+    * md5h32("embb_"+token) mod d with sign from an INDEPENDENT hash bit
+    * (the shared-seed-leakage rule; the signed variant keeps collision
+    * noise zero-mean). Weights are pure BIGINT sums — exact,
     * merge-order-free, engine-identical — per the q_text_commonness
-    * integer-sum determinism discipline. Output is the exploded sparse
-    * view (doc_id, dim, w), w ≠ 0: flat for the driver compare while
-    * fully determining the vector; [[featurizeVec]] assembles the dense
-    * Array[Double] form the ANN operators consume (InvariantsSpec proves the
-    * round-trip).
+    * integer-sum determinism discipline.
     *
     * Scale shape: explode → one map-side-combinable integer aggregation
     * keyed (doc_id, dim) — ≤ d rows per doc into the exchange, no joins,
     * no per-doc state beyond the running sums.
-    */
-  /** Shared hashing/aggregation stage — ONE Spark spelling (the
-    * [[featSparseSql]] twin) of the token→(doc_id, dim, w) rule, so the
-    * declared sparse view and the dense ANN feed cannot drift.
     */
   private def featSparse(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -1327,6 +1323,11 @@ object Llm {
       .groupBy("doc_id", "dim")
       .agg(sum("sgn").as("w"))
 
+  /** Declared sparse view of [[featSparse]]: (doc_id, dim, w), w ≠ 0 —
+    * flat for the driver compare while fully determining the vector;
+    * [[featurizeVec]] assembles the dense Array[Double] form the ANN
+    * operators consume (InvariantsSpec proves the round-trip).
+    */
   private val qTextFeaturize = Q(
     "q_text_featurize",
     (s, dir) => {

@@ -194,7 +194,7 @@ class StreamingSpec extends SparkSpec {
     // pure, so segmentation cannot change the union of answers.
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val (path, _) = graft.ops.AnnIndex.writeIndex(spark, sf)
+    val (path, schema) = graft.ops.AnnIndex.writeIndex(spark, sf)
     val emb = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -203,7 +203,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = mem.toDF().toDF("vec_id", "v").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        out ++= graft.ops.AnnIndex.serveBatch(spark, batch, path).collect(); ()
+        out ++= graft.ops.AnnIndex.serveBatch(spark, batch, path, schema).collect(); ()
       }
       .option("checkpointLocation", tmp("ckpt-annserve")).start()
     emb.grouped((emb.length / 3).max(1)).foreach { g =>
