@@ -50,6 +50,18 @@ class InvariantsSpec extends SparkSpec {
       "re-running q_ann_index_update must reproduce the identical inventory")
   }
 
+  test("index compaction preserves every indexed row, not just the inventory") {
+    // the oracle pins per-cell counts and id checksums; this pins the
+    // PAYLOAD — vectors, norms, probe lists must survive the re-pack
+    // unchanged, generation label aside. Running the compact query
+    // produces both artifacts (it rebuilds _upd before writing _cmp).
+    SparkEntry.queries("q_ann_index_compact")(spark, sf).collect()
+    val upd = spark.read.parquet(ops.AnnIndex.indexPath(sf) + "_upd").drop("gen")
+    val cmp = spark.read.parquet(ops.AnnIndex.indexPath(sf) + "_cmp").drop("gen")
+    assert(upd.exceptAll(cmp).isEmpty && cmp.exceptAll(upd).isEmpty,
+      "compacted artifact must hold exactly the pre-compaction rows")
+  }
+
   test("cdc merge idempotence: re-applying the changeset changes nothing") {
     // the MERGE INTO contract incremental pipelines rely on: applying
     // the same changeset to the already-merged state must be a no-op.
