@@ -44,6 +44,12 @@ package functions {
         new FunctionIdentifier("graft_pq_recon"),
         new ExpressionInfo(classOf[PqRecon].getCanonicalName, null, "graft_pq_recon"),
         GraftNative.pqReconBuilder))
+      ext.injectFunction((
+        new FunctionIdentifier("graft_cells"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.graftnative.CellsTopN].getCanonicalName,
+          null, "graft_cells"),
+        GraftNative.cellsBuilder))
       // whole-plan rewrite (SURVEY §4): bounded explode — see the rule's doc
       ext.injectOptimizerRule(_ => graft.plans.BoundedPosExplode)
     }

@@ -60,7 +60,7 @@ object AnnIndex {
   private def assignCells(vecsDf: DataFrame, cents: DataFrame): DataFrame =
     vecsDf.crossJoin(broadcast(cents))
       .filter(expr("size(cents) > 0"))
-      .withColumn("pc", expr(s"slice(${Llm.sortedCellsSpark}, 1, ${Llm.IvfProbes})"))
+      .withColumn("pc", expr(Llm.cellsSpark(s"${Llm.IvfProbes}")))
       .select(col("vec_id"), col("v"), col("nrm"),
         expr("element_at(pc, 1).c_id").as("cell"),
         expr("transform(pc, p -> p.c_id)").as("probes"))

@@ -810,19 +810,23 @@ object Llm {
         cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
                  WHERE ${md5U01Sql("CAST(vec_id AS VARCHAR)")} < thr)"""
 
-  /** A vector's cells as a struct array sorted by (cos desc, c_id asc):
-    * element 1 is the nearest cell, slice 1..nprobe the probe set. ONE
-    * spelling shared by `q_sim_ivf` and `q_vec_kmeans_step` — the index
-    * build and its refinement must SCORE identically (same rounding,
-    * same tie-break) or the kmeans step refines a different index than
-    * the one being probed.
+  /** A vector's best `n` cells as a struct array ordered by (cos desc,
+    * c_id asc): element 1 is the nearest cell, the full array the probe
+    * set. ONE spelling shared by the whole IVF family (`q_sim_ivf*`,
+    * `q_vec_kmeans_step`, `q_sim_doc_topk`, the AnnIndex lifecycle) —
+    * index build, refinement, and serve must SCORE identically (same
+    * rounding, same tie-break) or they probe a different index than the
+    * one that was built.
     */
-  private[ops] def sortedCellsSpark: String =
-    s"""array_sort(transform(cents, c -> named_struct(
-          'negcos', -round(graft_dot(v, c.cv) / (nrm * c.cn), 4),
-          'c_id', c.c_id)))"""
+  private[ops] def cellsSpark(n: String): String =
+    // the native CellsTopN expression (graftnative) — election-identical
+    // to the HOF spelling `slice(array_sort(transform(cents, ...)), 1, n)`
+    // it replaced (same sequential dot, Spark round(_,4) rule, (negcos,
+    // c_id) order), but the interpreter is entered once per ROW instead
+    // of once per (row × centroid) with a struct allocation each
+    s"graft_cells(v, nrm, cents, $n)"
 
-  /** Oracle twin of [[sortedCellsSpark]]: the ranked assignment CTE
+  /** Oracle twin of [[cellsSpark]]: the ranked assignment CTE
     * asg(vec_id, v, nrm, c_id, arn), arn = 1 the nearest cell. Assumes
     * `n` and `cent` in scope.
     */
@@ -886,7 +890,7 @@ object Llm {
         .filter(expr("size(cents) > 0"))
         // per-cell score struct sorts as (cos desc, c_id asc); the rounded
         // ccos matches the oracle's window ordering exactly
-        .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
         .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
         // materialized ONCE: idx and qry below both consume this frame,
         // and the n·k assignment dots are the query's dominant CPU stage
@@ -935,7 +939,7 @@ object Llm {
       val probed = e.crossJoin(broadcast(ivfCentArr(s, dir)))
         // empty-sample guard, same as q_sim_ivf
         .filter(expr("size(cents) > 0"))
-        .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
         .withColumn("cell", expr("element_at(pc, 1).c_id"))
         // the assigned cell's centroid vector, pulled out of the
         // broadcast array BEFORE the checkpoint so `cents` (k·d doubles)
@@ -997,7 +1001,7 @@ object Llm {
       _.crossJoin(broadcast(ivfCentArr(s, dir)))
         .filter(expr("size(cents) > 0"))
         .withColumn("cv0", expr(
-          s"element_at(filter(cents, c -> c.c_id = element_at($sortedCellsSpark, 1).c_id), 1).cv"))
+          s"element_at(filter(cents, c -> c.c_id = element_at(${cellsSpark("1")}, 1).c_id), 1).cv"))
         .select(col("vec_id").as("c_id"),
           expr("zip_with(v, cv0, (x, c) -> x - c)").as("cv"))
         .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cb"))
@@ -1056,7 +1060,7 @@ object Llm {
       val e = vecs(s, dir)
       val probed = e.crossJoin(broadcast(ivfCentArr(s, dir)))
         .filter(expr("size(cents) > 0"))
-        .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
         .withColumn("cell", expr("element_at(pc, 1).c_id"))
         // the assigned cell's centroid, pulled from the broadcast array
         // (same spelling as q_sim_ivfpq)
@@ -1143,7 +1147,7 @@ object Llm {
         // row (or throw under ANSI) while the oracle's CROSS JOIN with an
         // empty cent CTE returns zero rows
         .filter(expr("size(cents) > 0"))
-        .withColumn("cell", expr(s"element_at($sortedCellsSpark, 1).c_id"))
+        .withColumn("cell", expr(s"element_at(${cellsSpark("1")}, 1).c_id"))
         .select(col("vec_id"), col("cell"),
           expr("transform(v, x -> CAST(floor(x * 127) AS BIGINT))").as("qv"))
         .localCheckpoint(true) // two consumers; assignment computed once
@@ -1398,7 +1402,7 @@ object Llm {
         .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
       val probed = dv.crossJoin(broadcast(cents))
         .filter(expr("size(cents) > 0"))
-        .withColumn("pc", expr(s"slice($sortedCellsSpark, 1, $IvfProbes)"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
         .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
         .localCheckpoint(true)
       val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),

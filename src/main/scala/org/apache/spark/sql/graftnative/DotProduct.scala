@@ -138,6 +138,13 @@ object GraftNative {
     PqRecon(children(0), children(1), children(2), children(3))
   }
 
+  val cellsBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 4)
+      throw new IllegalArgumentException(
+        s"graft_cells expects 4 arguments (v, nrm, cents, n), got ${children.length}")
+    CellsTopN(children(0), children(1), children(2), children(3))
+  }
+
   /** Register the SQL names on an already-running session (extensions
     * only apply at session construction).
     */
@@ -148,6 +155,8 @@ object GraftNative {
       "graft_md5h32", md5h32Builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_recon", pqReconBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cells", cellsBuilder, "built-in")
   }
 }
 
@@ -257,6 +266,131 @@ object PqRecon {
       var j = 0
       while (j < sub) { out(off + j) = cb(best)(off + j); j += 1 }
       mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Probe-cell election in one native pass: for every centroid in `cents`
+  * (array of structs carrying c_id / cv / cn), score the 4dp-rounded
+  * cosine of `v` against it and return the best `n` cells as
+  * array<struct<negcos, c_id>> ordered by (negcos asc, c_id asc) — a
+  * drop-in replacement for the HOF spelling
+  * `slice(array_sort(transform(cents, ...)), 1, n)` that entered the
+  * interpreter once per (row × centroid) with a struct allocation each,
+  * plus a full k-struct sort per row. Here the interpreter is entered
+  * once per ROW; scoring is a primitive double loop and only the n
+  * winners allocate output structs.
+  *
+  * Election-identical to the HOF spelling by construction: the dot is
+  * the same strictly-sequential fold as [[DotProduct]] (null elements
+  * contribute 0), the rounding is Spark `round(_, 4)`'s own rule
+  * (pass NaN/Inf through, else BigDecimal.valueOf HALF_UP — the
+  * decimal-string rule; this is an ELECTION key only, the value never
+  * reaches declared output, so the PqRecon binary-rounding performance
+  * note does not apply at k ≈ √n call counts), and the comparator is
+  * (negcos, c_id) ascending with java's total double order (NaN last)
+  * except that −0.0 is normalized to 0.0 first, matching the SQL
+  * equality the DuckDB oracle applies at an exact-zero cosine tie.
+  */
+case class CellsTopN(v: Expression, nrm: Expression, cents: Expression, n: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(v, nrm, cents, n)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cells"
+  override def dataType: DataType = CellsTopN.outType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = v.dataType.isInstanceOf[ArrayType] &&
+      nrm.dataType == DoubleType &&
+      (cents.dataType match {
+        case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+          Seq("c_id", "cv", "cn").forall(st.fieldNames.contains)
+        case _ => false
+      }) &&
+      n.dataType == org.apache.spark.sql.types.IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_cells expects (array<double>, double, array<struct{c_id,cv,cn}>, int)")
+  }
+
+  @transient private lazy val centStruct = cents.dataType
+    .asInstanceOf[ArrayType].elementType
+    .asInstanceOf[org.apache.spark.sql.types.StructType]
+  @transient private lazy val cIdOrd = centStruct.fieldIndex("c_id")
+  @transient private lazy val cvOrd = centStruct.fieldIndex("cv")
+  @transient private lazy val cnOrd = centStruct.fieldIndex("cn")
+  @transient private lazy val numFields = centStruct.length
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vv = v.eval(input)
+    val nr = nrm.eval(input)
+    val ce = cents.eval(input)
+    val nn = n.eval(input)
+    if (vv == null || nr == null || ce == null || nn == null) null
+    else CellsTopN.compute(vv.asInstanceOf[ArrayData], nr.asInstanceOf[Double],
+      ce.asInstanceOf[ArrayData], nn.asInstanceOf[Int],
+      cIdOrd, cvOrd, cnOrd, numFields)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CellsTopN =
+    copy(v = newChildren(0), nrm = newChildren(1),
+      cents = newChildren(2), n = newChildren(3))
+}
+
+object CellsTopN {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("negcos", DoubleType, nullable = true),
+    StructField("c_id", LongType, nullable = true))))
+
+  def compute(v: ArrayData, nrm: Double, cents: ArrayData, n: Int,
+      cIdOrd: Int, cvOrd: Int, cnOrd: Int, numFields: Int): Any = {
+    val k = cents.numElements()
+    val neg = new Array[Double](k)
+    val ids = new Array[Long](k)
+    val vLen = v.numElements()
+    var i = 0
+    while (i < k) {
+      val row = cents.getStruct(i, numFields)
+      val cv = row.getArray(cvOrd)
+      val cn = row.getDouble(cnOrd)
+      // same strictly-sequential null-skipping fold as DotProduct
+      val m = math.min(vLen, cv.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        if (!v.isNullAt(j) && !cv.isNullAt(j)) s += v.getDouble(j) * cv.getDouble(j)
+        j += 1
+      }
+      val cos = s / (nrm * cn)
+      val d4 =
+        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+        else java.math.BigDecimal.valueOf(cos)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      var ng = -d4
+      if (ng == 0.0) ng = 0.0 // normalize -0.0 for the SQL-equality tie
+      neg(i) = ng
+      ids(i) = row.getLong(cIdOrd)
+      i += 1
+    }
+    val order = Array.range(0, k).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(neg(a), neg(b))
+      if (c != 0) c < 0 else ids(a) < ids(b)
+    }
+    val take = math.max(0, math.min(n, k))
+    val out = new Array[Any](take)
+    i = 0
+    while (i < take) {
+      val o = order(i)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](neg(o), ids(o)))
+      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
