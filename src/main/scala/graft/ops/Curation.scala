@@ -434,7 +434,64 @@ object Curation {
              WHERE c.neg_id <> c.doc_id AND c.source <> nd.source
              ORDER BY c.doc_id, c.j"""))
 
+  /** Per-source dataset card (the C4/RefinedWeb-style corpus scorecard
+    * every curation run publishes): document count, exact-duplicate
+    * rate, average length, and dominant language per source — the
+    * report that decides which sources get capped, cleaned, or dropped
+    * before mixing. All-integer outputs (D1): the dup rate is per-mille
+    * via integer division (no float ratio to drift), avg chars is an
+    * integer DIV, and the dominant language is the deterministic mode
+    * (count desc, lang asc).
+    *
+    * Scale shape: one map-combinable agg keyed (source, md5) collapses
+    * duplicates, then per-source integer sums; the language mode is the
+    * q_agg_mode pattern (count per (source, lang) → rank-limit window —
+    * WindowGroupLimit trims each map task to one candidate per source
+    * before the shuffle); everything joins on the low-cardinality
+    * source key, each side pre-aggregated to one row per source.
+    */
+  private val qSourceScorecard = Q(
+    "q_source_scorecard",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val perDup = docs
+        .groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("c"), sum("n_chars").as("ch"))
+      val base = perDup.groupBy("source")
+        .agg(sum("c").as("n_docs"), count(lit(1)).as("n_uniq"),
+          sum("ch").as("chars"))
+        .select(col("source"), col("n_docs"), col("n_uniq"),
+          expr("(n_docs - n_uniq) * 1000 DIV n_docs").as("dup_pm"),
+          expr("chars DIV n_docs").as("avg_chars"))
+      val wl = Window.partitionBy("source")
+        .orderBy(col("lc").desc, col("lang").asc)
+      val topLang = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("lc"))
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      base.join(topLang, Seq("source")).orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, md5(text) AS h, COUNT(*) AS c,
+                   CAST(SUM(n_chars) AS BIGINT) AS ch
+                  FROM documents GROUP BY source, md5(text)),
+            b AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_uniq,
+                   CAST(SUM(ch) AS BIGINT) AS chars
+                  FROM d GROUP BY source),
+            l AS (SELECT source, lang, COUNT(*) AS lc FROM documents
+                  GROUP BY source, lang),
+            t AS (SELECT source, lang AS top_lang,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY lc DESC, lang) AS rn FROM l)
+            SELECT b.source, n_docs, n_uniq,
+                   CAST((n_docs - n_uniq) * 1000 // n_docs AS BIGINT) AS dup_pm,
+                   CAST(chars // n_docs AS BIGINT) AS avg_chars,
+                   t.top_lang
+            FROM b JOIN t ON b.source = t.source AND t.rn = 1
+            ORDER BY b.source"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qSplitTrain, qPackSequences,
-    qSourceCap, qDedupIncremental, qSampleNegatives)
+    qSourceCap, qDedupIncremental, qSampleNegatives, qSourceScorecard)
 }
