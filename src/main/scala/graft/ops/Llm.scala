@@ -843,7 +843,7 @@ object Llm {
     * the ranking contract — rounding, tie-break, k — cannot drift
     * between the index variants.
     */
-  private[ops] def cellTopK(idx: DataFrame, qry: DataFrame): DataFrame = {
+  private[graft] def cellTopK(idx: DataFrame, qry: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosCol)
@@ -860,6 +860,44 @@ object Llm {
   private def probedQry(probed: DataFrame): DataFrame =
     probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
+
+  /** Occupancy cap for the cell equi-join: every cell whose load exceeds
+    * `target` is split into ceil(load/target) sub-cells; an index row
+    * picks its sub-cell by id hash, a query probes EVERY sub-cell of each
+    * probed cell. The candidate SET — hence the declared result and the
+    * oracle — is exactly the uncapped one (each neighbor lives in one
+    * (cell, sub), and a query probing its cell joins precisely that row);
+    * only the shuffle key gets finer, so a hot cell's pair-scoring spreads
+    * over ceil(load/target) reducers instead of funnelling through one
+    * straggler task. The same discipline every blocked family already has
+    * (LSH 256-cap buckets, df-capped shingles) applied to the IVF shape;
+    * `target` is an ABSOLUTE per-task bound — at 100 TB the natural cell
+    * load √n grows without bound, so a relative (×avg) cap would still
+    * let every reducer's work grow; a fixed target keeps per-task
+    * candidate volume flat and lets the cluster absorb growth as MORE
+    * tasks. Cost: one √n-row load aggregate, broadcast back onto both
+    * sides. Expects idx0(n_id, nv, nn, cell) and qry0(q_id, qv, qn, cell);
+    * returns the pair re-keyed by a struct(cell, sub) join key (cellTopK
+    * joins on whatever "cell" is).
+    */
+  private[graft] def capCells(idx0: DataFrame, qry0: DataFrame,
+      target: Int): (DataFrame, DataFrame) = {
+    val nsubs = idx0.groupBy("cell")
+      .agg(ceil(count(lit(1)).cast("double") / target).cast("long").as("nsub"))
+    val idx = idx0.join(broadcast(nsubs), "cell")
+      .select(struct(col("cell").as("c"),
+          expr("pmod(n_id, nsub)").as("s")).as("cell"),
+        col("n_id"), col("nv"), col("nn"))
+    val qry = qry0.join(broadcast(nsubs), "cell")
+      .select(col("q_id"), col("qv"), col("qn"), col("cell").as("c0"),
+        explode(expr("sequence(0L, nsub - 1)")).as("s"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        struct(col("c0").as("c"), col("s")).as("cell"))
+    (idx, qry)
+  }
+
+  /** Per-(cell,sub) occupancy target for the capped doc-ANN joins. */
+  private[graft] val CellTarget = 128
 
   /** Oracle twin of [[cellTopK]]: expects CTEs idx(n_id, nv, nn, cell)
     * and qry(q_id, qv, qn, cell) in scope.
@@ -1388,26 +1426,42 @@ object Llm {
     * fold-order sensitivity at all); only the final cosine division and
     * 4dp round involve float rules, both shared with the oracle.
     */
+  /** The doc-ANN's uncapped (index, query) frame pair — the `q_sim_ivf`
+    * shape over [[featurizeVec]]'s output: idx0(n_id, nv, nn, cell) one
+    * row per indexed document, qry0(q_id, qv, qn, cell) one row per
+    * (query, probed cell). Factored out so InvariantsSpec can prove
+    * [[capCells]] result-identical against the uncapped join on the same
+    * frames the declared query uses.
+    */
+  private[graft] def docIdxQry(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // dominant CPU is the featurizer aggregation; one materialization
+    // feeds the centroid sample, the index side, and the query side
+    val dv = featurizeVec(s, dir).filter(col("nrm") > 0).localCheckpoint(true)
+    val thr = dv.agg(count(lit(1)).as("n"))
+      .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
+    val cents = dv.crossJoin(broadcast(thr))
+      .filter(expr(md5U01Spark("concat('dctr_', CAST(vec_id AS STRING))")) < col("thr"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+    val probed = dv.crossJoin(broadcast(cents))
+      .filter(expr("size(cents) > 0"))
+      .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+      .localCheckpoint(true)
+    val idx0 = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+    (idx0, probedQry(probed))
+  }
+
   private val qSimDocTopk = Q(
     "q_sim_doc_topk",
     (s, dir) => {
-      // dominant CPU is the featurizer aggregation; one materialization
-      // feeds the centroid sample, the index side, and the query side
-      val dv = featurizeVec(s, dir).filter(col("nrm") > 0).localCheckpoint(true)
-      val thr = dv.agg(count(lit(1)).as("n"))
-        .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
-      val cents = dv.crossJoin(broadcast(thr))
-        .filter(expr(md5U01Spark("concat('dctr_', CAST(vec_id AS STRING))")) < col("thr"))
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-        .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
-      val probed = dv.crossJoin(broadcast(cents))
-        .filter(expr("size(cents) > 0"))
-        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
-        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
-        .localCheckpoint(true)
-      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
-        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
-      cellTopK(idx, probedQry(probed))
+      val (idx0, qry0) = docIdxQry(s, dir)
+      // occupancy-capped join keys (r6 measured 4.7× max/avg cell skew on
+      // this corpus — the straggler task at 100×); result-identical, see
+      // [[capCells]]
+      val (idx, qry) = capCells(idx0, qry0, CellTarget)
+      cellTopK(idx, qry)
     },
     Some(s"""WITH $featSparseSql,
              f AS (SELECT doc_id, dim, SUM(sgn) AS w FROM h GROUP BY doc_id, dim),

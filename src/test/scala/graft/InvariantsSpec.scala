@@ -350,6 +350,35 @@ class InvariantsSpec extends SparkSpec {
       f"PQ recall@3 = $pqRecall%.3f < 0.2 (random baseline ~0.08)")
   }
 
+  test("occupancy cap: capped doc-ANN join is result-identical and bounds sub-cell loads") {
+    // the capCells contract: splitting hot cells into sub-cells must not
+    // change the candidate set (each neighbor lives in exactly one
+    // (cell, sub); its queries probe precisely that row), and the
+    // resulting sub-cell loads must respect the occupancy target. Run
+    // with a tiny target (8) on sf0.01 so the split actually engages —
+    // the production CellTarget (128) leaves this fixture's cells
+    // untouched.
+    val dir = "/root/testdata/sf0.01"
+    val (idx0, qry0) = ops.Llm.docIdxQry(spark, dir)
+    val target = 8
+    val (idx, qry) = ops.Llm.capCells(idx0, qry0, target)
+    val capped = ops.Llm.cellTopK(idx, qry).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val uncapped = ops.Llm.cellTopK(idx0, qry0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(capped == uncapped,
+      s"capCells changed the result: +${(capped diff uncapped).take(3)} -${(uncapped diff capped).take(3)}")
+    val loads = idx.groupBy("cell").count().collect().map(_.getLong(1))
+    // pmod over near-sequential doc ids spreads a split cell's rows
+    // near-evenly; 2× headroom absorbs the residue of gaps from
+    // zero-norm-filtered docs
+    assert(loads.max <= 2L * target,
+      s"sub-cell load ${loads.max} exceeds 2x target $target")
+    // the cap must actually have engaged on this fixture (some sub > 0)
+    val split = idx.filter(expr("cell.s > 0")).count()
+    assert(split > 0, "expected at least one cell to split at target 8")
+  }
+
   test("chunking tiles every document: full coverage, correct overlap, no gaps") {
     val chunks = SparkEntry.queries("q_text_chunk")(spark, sf)
       .collect()
