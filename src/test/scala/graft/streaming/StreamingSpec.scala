@@ -221,6 +221,49 @@ class StreamingSpec extends SparkSpec {
       s"streamed serve must equal the batch serve (${out.size} vs ${batchTwin.length} rows)")
   }
 
+  test("streaming index append: micro-batched appends land the batch update artifact state") {
+    // the ingest half of the index lifecycle as a stream: incoming
+    // vectors arrive in micro-batches, each assigned against the FROZEN
+    // base centroids read back from storage and appended as new files
+    // into the existing cell directories. Appending is per-batch pure
+    // w.r.t. the final artifact (new files only, no rewrites), so 3
+    // micro-batches must land exactly the per-cell inventory the
+    // declared batch op (q_ann_index_update) reports.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (path, schema, incoming) = graft.ops.AnnIndex.writeUpdBase(spark, sf)
+    val inc = incoming.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    assert(inc.nonEmpty, "fixture must hold out an incoming batch")
+
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    val q = mem.toDF().toDF("vec_id", "v", "nrm").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.AnnIndex.appendBatch(spark, batch, path); ()
+      }
+      .option("checkpointLocation", tmp("ckpt-annappend")).start()
+    inc.grouped((inc.length / 3).max(1)).foreach { g =>
+      mem.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.read.schema(schema).parquet(path)
+      .groupBy("cell")
+      .agg(sum(when(col("gen") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("gen") === "delta", 1L).otherwise(0L)).as("n_delta"),
+        sum("vec_id").as("id_sum"))
+      .collect().map(key).toSet
+    // the declared batch op rebuilds its own artifact — run it AFTER
+    // reading the streamed inventory so the comparison is stream vs batch
+    val batchTwin = graft.SparkEntry.queries("q_ann_index_update")(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batchTwin,
+      s"streamed appends must land the batch artifact state (${streamed.size} vs ${batchTwin.size} cells)")
+    assert(streamed.exists(_._3 > 0), "some cell must hold delta rows")
+  }
+
   test("sessionize: 30-min gap closes a session; stats accumulate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
