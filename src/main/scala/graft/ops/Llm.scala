@@ -1524,6 +1524,111 @@ object Llm {
             FROM p GROUP BY left_sym, right_sym
             ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 20"""))
 
+  /** Merge-apply iterations for the BPE trainer. Three supersteps is
+    * enough to exercise the loop shape (pair → elect → apply → recount)
+    * without turning the declared query into a long chain; a production
+    * trainer runs the same loop to a vocab-size budget.
+    */
+  private val BpeIters = 3
+
+  /** BPE tokenizer TRAINING loop (Sennrich et al., ACL 2016) — what
+    * `q_text_bpe_step` is one iteration of: elect the top
+    * adjacent-symbol pair, APPLY the merge to the vocabulary, recount,
+    * [[BpeIters]] times; output one row per iteration (iter, merged
+    * pair, its count at election time). The driver sees only the elected
+    * scalar per superstep (the `q_dedup_cluster` driver-scalar loop
+    * rule); everything data-sized stays distributed.
+    *
+    * Scale shape — identical to the single step, per iteration: all
+    * counting runs over the WORD-COUNT table (corpus-sublinear), one
+    * map-combinable integer agg over ~vocab·len pair rows, and the merge
+    * apply is a map-only string replace over the vocab, re-materialized
+    * per superstep (localCheckpoint) so iteration t never re-runs
+    * iterations 1..t−1 from the corpus scan.
+    *
+    * Representation: each distinct word is its symbol sequence joined by
+    * the unit separator chr(31) (absent from the corpus alphabet — and
+    * even a collision would stay deterministic, both engines building
+    * the same string). Applying merge (l, r) is then literal
+    * replace(s, l+SEP+r, l+r): both engines scan left-to-right
+    * non-overlapping, which is exactly BPE's leftmost-first merge rule,
+    * and a merged symbol cannot cascade within its own iteration because
+    * the separator between its halves is gone. Words reduced to a single
+    * symbol stop producing pairs (the same sequence(1,0)-divergence
+    * guard as the single step, now on the symbol count).
+    */
+  private val qTextBpeIterate = Q(
+    "q_text_bpe_iterate",
+    (s, dir) => {
+      import s.implicits._
+      val SEP = "\u001f" // chr(31), the oracle separator spelling
+      def pairs(vc: DataFrame): DataFrame = vc
+        .withColumn("ss", split(col("sym_str"), java.util.regex.Pattern.quote(SEP)))
+        .filter(size(col("ss")) >= 2)
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, size(ss) - 1), i -> named_struct(
+             'l', element_at(ss, i), 'r', element_at(ss, i + 1)))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("c"))
+      var vc = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(concat_ws(SEP, expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym_str"),
+          col("wc"))
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var t = 1
+      var exhausted = false
+      while (t <= BpeIters && !exhausted) {
+        val top = pairs(vc).orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((t.toLong, l, r, c))
+          vc = vc.select(
+            regexp_replace(col("sym_str"),
+              lit(java.util.regex.Pattern.quote(l + SEP + r)),
+              lit(java.util.regex.Matcher.quoteReplacement(l + r))).as("sym_str"),
+            col("wc")).localCheckpoint(true)
+          t += 1
+        }
+      }
+      merges.result().toDF("iter", "left_sym", "right_sym", "pair_cnt")
+        .orderBy("iter")
+    },
+    Some(s"""WITH t AS (SELECT u.tok AS w
+                 FROM documents, unnest(string_split(text, ' ')) u(tok)
+                 WHERE length(u.tok) >= 2),
+             wcnt AS (SELECT w, COUNT(*) AS wc FROM t GROUP BY w),
+             vc0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                       i -> substr(w, CAST(i AS INT), 1)), chr(31)) AS s, wc FROM wcnt),
+             s1 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc0),
+             p1 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
+                    FROM s1, unnest(range(1, len(ss))) u(i)),
+             g1 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p1 GROUP BY l, r),
+             t1 AS (SELECT l, r, c FROM g1 ORDER BY c DESC, l, r LIMIT 1),
+             vc1 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
+                     FROM vc0 CROSS JOIN t1),
+             s2 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc1),
+             p2 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
+                    FROM s2, unnest(range(1, len(ss))) u(i)),
+             g2 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p2 GROUP BY l, r),
+             t2 AS (SELECT l, r, c FROM g2 ORDER BY c DESC, l, r LIMIT 1),
+             vc2 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
+                     FROM vc1 CROSS JOIN t2),
+             s3 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc2),
+             p3 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
+                    FROM s3, unnest(range(1, len(ss))) u(i)),
+             g3 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p3 GROUP BY l, r),
+             t3 AS (SELECT l, r, c FROM g3 ORDER BY c DESC, l, r LIMIT 1)
+             SELECT CAST(1 AS BIGINT) AS iter, l AS left_sym, r AS right_sym, c AS pair_cnt FROM t1
+             UNION ALL SELECT CAST(2 AS BIGINT), l, r, c FROM t2
+             UNION ALL SELECT CAST(3 AS BIGINT), l, r, c FROM t3
+             ORDER BY iter"""))
+
   private val qTextStats = Q(
     "q_text_stats",
     (s, dir) => {
@@ -2183,5 +2288,5 @@ object Llm {
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qSimPq, qVecKmeansStep, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qSimDocTopk, qMultimodalJoin)
+    qTextBpeStep, qTextBpeIterate, qSimDocTopk, qMultimodalJoin)
 }

@@ -379,6 +379,24 @@ class InvariantsSpec extends SparkSpec {
     assert(split > 0, "expected at least one cell to split at target 8")
   }
 
+  test("bpe iterate: iter 1 is the single step's top pair; elected counts never increase") {
+    // cross-op consistency: the trainer's first superstep must elect
+    // exactly what q_text_bpe_step reports as the #1 merge candidate.
+    // Monotonicity is a theorem of the merge: applying (l, r) removes
+    // c(l,r) pair occurrences and any pair it creates ((x, lr) / (lr, y))
+    // occurs at most c(l,r) times, so the next maximum cannot exceed the
+    // last elected count.
+    val it = SparkEntry.queries("q_text_bpe_iterate")(spark, sf).collect()
+    assert(it.length == 3, s"expected 3 supersteps, got ${it.length}")
+    val step = SparkEntry.queries("q_text_bpe_step")(spark, sf).collect().head
+    assert((it(0).getString(1), it(0).getString(2), it(0).getLong(3)) ==
+      ((step.getString(0), step.getString(1), step.getLong(2))),
+      s"iter-1 merge ${it(0)} must equal the single step's top row $step")
+    val cnts = it.map(_.getLong(3))
+    assert(cnts.sliding(2).forall(p => p(0) >= p(1)),
+      s"elected counts must be non-increasing: ${cnts.toSeq}")
+  }
+
   test("chunking tiles every document: full coverage, correct overlap, no gaps") {
     val chunks = SparkEntry.queries("q_text_chunk")(spark, sf)
       .collect()
