@@ -796,7 +796,7 @@ object Llm {
         md5U01Spark(s"concat('$saltPrefix', CAST(vec_id AS STRING))")) < col("thr")))
   }
 
-  private[ops] def ivfCentArr(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfCentArr(s: SparkSession, dir: String): DataFrame =
     hashSampledArr(s, dir, "", "CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))") {
       _.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
         .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
@@ -911,34 +911,40 @@ object Llm {
        SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
        ORDER BY q_id, rnk"""
 
+  /** The IVF search with an arbitrary coarse quantizer (any 1-row
+    * `cents` array frame): map-only broadcast assignment — the centroid
+    * array is one broadcast row and the top-probe selection is an in-row
+    * election, so the n·k score matrix never exists as rows and nothing
+    * shuffles until the skinny probe equi-join. The probed frame is
+    * materialized ONCE (idx and qry both consume it, and the n·k
+    * assignment dots are the dominant CPU stage). The empty-sample
+    * filter guards tiny corpora (P ≈ e^-√n of an empty hash sample):
+    * element_at(pc, 1) would error under ANSI where the oracle's cross
+    * join with an empty cent CTE returns zero rows. Factored out so
+    * InvariantsSpec can run the same search under sampled vs refined
+    * quantizers and measure the recall difference.
+    */
+  private[graft] def ivfTopkWith(s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
+    val probed = vecs(s, dir).crossJoin(broadcast(cents))
+      .filter(expr("size(cents) > 0"))
+      // per-cell score struct sorts as (cos desc, c_id asc); the rounded
+      // cos matches the oracle's window ordering exactly
+      .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+      .localCheckpoint(true)
+    val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+    // each (q, n) pair appears at most once: n has ONE index cell
+    cellTopK(idx, probedQry(probed))
+  }
+
   private val qSimIvf = Q(
     "q_sim_ivf",
-    (s, dir) => {
-      // IVF-style ANN: k ≈ √n coarse centroids ([[ivfCentArr]]). Every
-      // vector indexes into its nearest cell; each query probes its
-      // IvfProbes nearest cells. Assignment is MAP-ONLY: the centroid
-      // array is one broadcast row and the top-probe selection is an
-      // in-row array_sort — the n·k score matrix never exists as rows,
-      // so nothing shuffles until the skinny probe join.
-      val e = vecs(s, dir)
-      val probed = e.crossJoin(broadcast(ivfCentArr(s, dir)))
-        // empty-sample guard (P ≈ e^-√n, real for tiny corpora): without
-        // it element_at(pc, 1) below errors under ANSI where the
-        // oracle's cross join with an empty cent CTE returns zero rows
-        .filter(expr("size(cents) > 0"))
-        // per-cell score struct sorts as (cos desc, c_id asc); the rounded
-        // ccos matches the oracle's window ordering exactly
-        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
-        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
-        // materialized ONCE: idx and qry below both consume this frame,
-        // and the n·k assignment dots are the query's dominant CPU stage
-        // — without the checkpoint each side re-runs them from the scan
-        .localCheckpoint(true)
-      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
-        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
-      // each (q, n) pair appears at most once: n has ONE index cell
-      cellTopK(idx, probedQry(probed))
-    },
+    // IVF-style ANN: k ≈ √n coarse centroids ([[ivfCentArr]]); every
+    // vector indexes into its nearest cell, each query probes its
+    // IvfProbes nearest cells — the [[ivfTopkWith]] search under the
+    // hash-sampled quantizer.
+    (s, dir) => ivfTopkWith(s, dir, ivfCentArr(s, dir)),
     Some(s"""WITH $vecsSql,
              $ivfCentSql,
              $ivfAsgSql,
@@ -1216,6 +1222,125 @@ object Llm {
                       FROM a GROUP BY cell),
              f AS (SELECT cell, CAST(SUM((dim + 1) * aq) AS BIGINT) AS fp
                    FROM m GROUP BY cell)
+             SELECT memb.cell, n_members, f.fp
+             FROM memb JOIN f ON memb.cell = f.cell
+             ORDER BY memb.cell"""))
+
+  /** One Lloyd refinement round producing the NEXT coarse-quantizer
+    * array in the `cents` broadcast convention (c_id, cv, cn): assign
+    * every vector to its nearest current centroid (the shared
+    * [[cellsSpark]] scoring rule), recompute each cell's centroid as the
+    * per-dimension mean over int8-QUANTIZED components — integer sums
+    * then ONE floor division, so the refined centroid is bit-identical
+    * under any partial-merge order (the `q_vec_kmeans_step` determinism
+    * rule) — and dequantize back to doubles (aq/127). Cells whose mean
+    * collapses to the zero vector are dropped (a zero norm would poison
+    * the next round's cosine on both engines); cells that lose every
+    * member disappear naturally. The c_id keeps the seed vector's id, so
+    * refined and sampled quantizers stay comparable across rounds.
+    */
+  private[graft] def lloydRound(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .filter(expr("size(cents) > 0"))
+      .withColumn("cell", expr(s"element_at(${cellsSpark("1")}, 1).c_id"))
+      .select(col("cell"), posexplode(
+        expr("transform(v, x -> CAST(floor(x * 127) AS BIGINT))")).as(Seq("dim", "q")))
+      .groupBy("cell", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+      .withColumn("aq", expr("CAST(floor(sq / CAST(cnt AS DOUBLE)) AS BIGINT)"))
+      .groupBy("cell")
+      // struct sort orders by dim (first field): positional reassembly of
+      // the centroid vector without a second shuffle
+      .agg(sort_array(collect_list(struct(col("dim"), col("aq")))).as("da"))
+      .select(col("cell").as("c_id"),
+        expr("transform(da, p -> CAST(p.aq AS DOUBLE) / 127.0D)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+      .filter(col("cn") > 0)
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+
+  /** The quantizer after `rounds` Lloyd refinements, in the same 1-row
+    * broadcastable `cents` convention [[ivfCentArr]] produces — so an
+    * IVF index can consume trained-rather-than-sampled centroids with no
+    * other change (InvariantsSpec measures the recall lift).
+    */
+  private[graft] def refinedCentArr(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val e = vecs(s, dir).localCheckpoint(true)
+    var c = ivfCentArr(s, dir).localCheckpoint(true)
+    (1 to rounds).foreach { _ => c = lloydRound(e, c).localCheckpoint(true) }
+    c
+  }
+
+  /** K-means taken past the single step: two full Lloyd supersteps
+    * (assign → recompute means → assign again → recompute again), i.e.
+    * `q_vec_kmeans_step` iterated under the REFINED quantizer. The
+    * declared output is superstep 2's per-cell member count plus the
+    * position-weighted fingerprint of the twice-refined centroid — the
+    * same flat integer schema as the single step, so the oracle chains
+    * the two rounds as CTEs. Fixed round count keeps the query a pure
+    * deterministic function of the corpus (a convergence loop would be
+    * the `q_dedup_cluster` driver-scalar pattern; two rounds is where
+    * the fixture's assignments stop moving materially, and the refined
+    * centroids are what [[refinedCentArr]] hands the recall invariant).
+    *
+    * Scale shape per round — identical to the step: map-only broadcast
+    * assignment, one (cell, dim)-keyed integer agg (≤ k·d rows into the
+    * exchange after partial aggregation), one k-row reassembly. Rounds
+    * are sequential by nature; each materializes a 1-row centroid array.
+    */
+  private val qVecKmeansRefine = Q(
+    "q_vec_kmeans_refine",
+    (s, dir) => {
+      val e = vecs(s, dir).localCheckpoint(true) // consumed by both rounds
+      val cents1 = lloydRound(e, ivfCentArr(s, dir)).localCheckpoint(true)
+      val assigned = e.crossJoin(broadcast(cents1))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("cell", expr(s"element_at(${cellsSpark("1")}, 1).c_id"))
+        .select(col("vec_id"), col("cell"),
+          expr("transform(v, x -> CAST(floor(x * 127) AS BIGINT))").as("qv"))
+        .localCheckpoint(true) // two consumers; assignment computed once
+      val members = assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      val refined = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "q")))
+        .groupBy("cell", "dim")
+        .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("aq", expr("CAST(floor(sq / CAST(cnt AS DOUBLE)) AS BIGINT)"))
+        .groupBy("cell")
+        .agg(sum(expr("(dim + 1) * aq")).as("fp"))
+      members.join(refined, "cell")
+        .select("cell", "n_members", "fp")
+        .orderBy("cell")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             $ivfAsgSql,
+             a1 AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+             q1 AS (SELECT cell, CAST(u.i AS INT) AS dim,
+                     CAST(floor(v[CAST(u.i + 1 AS INT)] * 127) AS BIGINT) AS qv
+                    FROM a1, unnest(range(len(v))) u(i)),
+             g1 AS (SELECT cell, dim, SUM(qv) AS sq, COUNT(*) AS cnt
+                    FROM q1 GROUP BY cell, dim),
+             m1 AS (SELECT cell, dim,
+                     CAST(floor(sq / CAST(cnt AS DOUBLE)) AS BIGINT) AS aq FROM g1),
+             c1 AS (SELECT cell AS c_id, list(CAST(aq AS DOUBLE) / 127.0 ORDER BY dim) AS cv
+                    FROM m1 GROUP BY cell),
+             c1n AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn
+                     FROM c1 WHERE list_dot_product(cv, cv) > 0),
+             asg2 AS (SELECT n.vec_id, n.v, c_id,
+                       row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                         ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id) AS arn
+                      FROM n CROSS JOIN c1n),
+             a2 AS (SELECT vec_id, v, c_id AS cell FROM asg2 WHERE arn = 1),
+             q2 AS (SELECT cell, CAST(u.i AS INT) AS dim,
+                     CAST(floor(v[CAST(u.i + 1 AS INT)] * 127) AS BIGINT) AS qv
+                    FROM a2, unnest(range(len(v))) u(i)),
+             g2 AS (SELECT cell, dim, SUM(qv) AS sq, COUNT(*) AS cnt
+                    FROM q2 GROUP BY cell, dim),
+             m2 AS (SELECT cell, dim,
+                     CAST(floor(sq / CAST(cnt AS DOUBLE)) AS BIGINT) AS aq FROM g2),
+             memb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+                      FROM a2 GROUP BY cell),
+             f AS (SELECT cell, CAST(SUM((dim + 1) * aq) AS BIGINT) AS fp
+                   FROM m2 GROUP BY cell)
              SELECT memb.cell, n_members, f.fp
              FROM memb JOIN f ON memb.cell = f.cell
              ORDER BY memb.cell"""))
@@ -2285,7 +2410,8 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qSimPq, qVecKmeansStep, qVecQuantize,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qSimPq, qVecKmeansStep,
+    qVecKmeansRefine, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qSimDocTopk, qMultimodalJoin)
