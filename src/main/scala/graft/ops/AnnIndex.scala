@@ -67,8 +67,8 @@ object AnnIndex {
     * queries over an unchanged corpus skip the rebuild and pay only the
     * read path their names claim to measure.
     */
-  private def fingerprint(dir: String): String = {
-    val f = new java.io.File(dir, "embeddings.parquet")
+  private def fingerprint(dir: String, table: String = "embeddings.parquet"): String = {
+    val f = new java.io.File(dir, table)
     val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
       .map(p => s"${p.getName}:${p.length}:${p.lastModified}").sorted
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -427,6 +427,100 @@ object AnnIndex {
                     CAST(SUM(vec_id) AS BIGINT) AS id_sum
              FROM asg WHERE arn = 1 GROUP BY c_id ORDER BY cell"""))
 
+  /** IVF centroid sample over an arbitrary `vecs`-convention frame
+    * (thr = 1/√n, the [[Llm.ivfCentArr]] rule) under a caller-chosen
+    * salt — the coarse quantizer for indexes whose corpus is not the
+    * embeddings table (the chunk index featurizes documents).
+    */
+  private def centArrOf(vecsDf: DataFrame, salt: String): DataFrame = {
+    val thr = vecsDf.agg(count(lit(1)).as("n"))
+      .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
+    vecsDf.crossJoin(broadcast(thr))
+      .filter(expr(Llm.md5U01Spark(s"concat('$salt', CAST(vec_id AS STRING))")) < col("thr"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+  }
+
+  /** Build + persist the CHUNK index: `q_text_chunk`'s tiling,
+    * featurized per chunk ([[Llm.chunkVec]]), cell-partitioned under its
+    * own hash-sampled coarse quantizer (salt ragc_), with the quantizer
+    * persisted beside the cells exactly like the embeddings index. The
+    * freshness fingerprint keys on documents.parquet — the corpus this
+    * artifact actually derives from.
+    */
+  private[graft] def writeRagIndex(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val path = indexPath(dir) + "_rag"
+    val cv = Llm.chunkVec(s, dir).localCheckpoint(true)
+    val cents = centArrOf(cv, "ragc_").localCheckpoint(true)
+    val df = assignCells(cv, cents).withColumn("cell_part", col("cell"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path + ".marker"))
+    Partitioned.writeStatic(df, path, 1 << 18, "cell_part")
+    cents.write.mode("overwrite").parquet(path + "_cents")
+    commitMarker(path, fingerprint(dir, "documents.parquet"), df.schema)
+    (path, df.schema)
+  }
+
+  private def ensureRagIndex(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val path = indexPath(dir) + "_rag"
+    freshArtifact(path, fingerprint(dir, "documents.parquet")) match {
+      case Some(schema) => (path, schema)
+      case None => writeRagIndex(s, dir)
+    }
+  }
+
+  /** Chunk-level retrieval — the operator a RAG / near-dup pipeline
+    * actually runs at training-data scale, composed entirely from
+    * shipped pieces: `q_text_chunk`'s tiling → the shared featurizer →
+    * the AnnIndex persist lifecycle → the occupancy-capped `cellTopK`
+    * serve. Top-3 neighbor chunks per query chunk (corpus replay),
+    * computed from the persisted chunk index ALONE — the returned plan
+    * scans only the artifact (PlanLintSpec pins documents.parquet absent
+    * from the scan set), with the digest-guarded reuse making the
+    * steady-state cost the search tail. Chunk identity is the packed
+    * BIGINT cvid = doc_id·[[Llm.ChunkIdBase]] + chunk_id on both
+    * engines. Overlapping chunks of one document surfacing as each
+    * other's neighbors is correct retrieval behavior (they share 8 of
+    * 32 tokens), exactly what a near-dup auditor wants surfaced.
+    */
+  private val qRagChunkTopk = Q(
+    "q_rag_chunk_topk",
+    (s, dir) => {
+      val (path, schema) = ensureRagIndex(s, dir)
+      val ix = s.read.schema(schema).parquet(path)
+      val idx0 = ix.select(col("vec_id").as("n_id"), col("cell"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      val qry0 = ix.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(col("probes")).as("cell"))
+      val (idx, qry) = Llm.capCells(idx0, qry0, Llm.CellTarget)
+      Llm.cellTopK(idx, qry)
+    },
+    Some(s"""WITH ${Llm.chunkedSql},
+             ctok AS (SELECT doc_id * ${Llm.ChunkIdBase} + chunk_id AS cvid, u.tok AS tok
+                      FROM y, unnest(t[CAST(start_tok AS INT):CAST(start_tok + n_tok_chunk - 1 AS INT)]) u(tok)),
+             h AS (SELECT cvid,
+                    CAST((${Llm.md5Hex32Sql("'embb_' || tok")}) % ${Llm.FeatD} AS BIGINT) AS dim,
+                    CASE WHEN (${Llm.md5Hex32Sql("'embs_' || tok")}) % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+                   FROM ctok),
+             f AS (SELECT cvid, dim, SUM(sgn) AS w FROM h GROUP BY cvid, dim),
+             ids AS (SELECT DISTINCT cvid FROM f),
+             grid AS (SELECT ids.cvid, u.d FROM ids, unnest(range(${Llm.FeatD})) u(d)),
+             dw AS (SELECT g.cvid, g.d, CAST(coalesce(f.w, 0) AS DOUBLE) AS x
+                    FROM grid g LEFT JOIN f ON f.cvid = g.cvid AND f.dim = g.d),
+             dv AS (SELECT cvid AS vec_id, list(x ORDER BY d) AS v
+                    FROM dw GROUP BY cvid),
+             n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dv
+                   WHERE list_dot_product(v, v) > 0),
+             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM n),
+             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
+                      WHERE ${Llm.md5U01Sql("'ragc_' || CAST(vec_id AS VARCHAR)")} < thr),
+             ${Llm.ivfAsgSql},
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= ${Llm.IvfProbes}),
+             ${Llm.cellTopKSql}"""))
+
   val all: Seq[Q] = Seq(qAnnIndexBuild, qAnnIndexServe, qAnnIndexUpdate,
-    qAnnIndexCompact)
+    qAnnIndexCompact, qRagChunkTopk)
 }

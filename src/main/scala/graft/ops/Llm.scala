@@ -1460,7 +1460,7 @@ object Llm {
   /** Featurizer dimensionality — matches the embeddings fixture's d=64
     * so featurized documents feed the existing ANN family unchanged.
     */
-  private val FeatD = 64
+  private[graft] val FeatD = 64
 
   /** Text→vector featurizer, shared hashing/aggregation stage — ONE
     * Spark spelling (the [[featSparseSql]] oracle twin) of the
@@ -1480,15 +1480,35 @@ object Llm {
     * keyed (doc_id, dim) — ≤ d rows per doc into the exchange, no joins,
     * no per-doc state beyond the running sums.
     */
-  private def featSparse(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
-        expr(s"pmod(${md5Hex32Spark("concat('embb_', tok)")}, $FeatD)").as("dim"),
-        expr(s"CASE WHEN pmod(${md5Hex32Spark("concat('embs_', tok)")}, 2) = 0 " +
-          "THEN 1L ELSE -1L END").as("sgn"))
-      .groupBy("doc_id", "dim")
+  /** ONE hashing spelling for every featurizer (documents, chunks):
+    * token → signed hash bucket, aggregated to (id, dim, w). The salt
+    * pair embb_/embs_ hashes the TOKEN alone, so any tokenized unit
+    * featurizes identically — which is what makes chunk vectors and
+    * document vectors live in the same space.
+    */
+  private def hashFeat(tok: DataFrame, idCol: String): DataFrame =
+    tok.select(col(idCol),
+      expr(s"pmod(${md5Hex32Spark("concat('embb_', tok)")}, $FeatD)").as("dim"),
+      expr(s"CASE WHEN pmod(${md5Hex32Spark("concat('embs_', tok)")}, 2) = 0 " +
+        "THEN 1L ELSE -1L END").as("sgn"))
+      .groupBy(col(idCol), col("dim"))
       .agg(sum("sgn").as("w"))
+
+  /** Dense (vec_id, v, nrm) assembly of a sparse (id, dim, w) frame —
+    * map-only from the sparse aggregation (map_from_entries + a sequence
+    * fill; no second shuffle). Shared by [[featurizeVec]] and
+    * [[chunkVec]].
+    */
+  private def denseVec(sparse: DataFrame, idCol: String): DataFrame =
+    sparse.groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform(sequence(0, ${FeatD - 1}), d -> CAST(coalesce(m[d], 0L) AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
+
+  private def featSparse(s: SparkSession, dir: String): DataFrame =
+    hashFeat(Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")), "doc_id")
 
   /** Declared sparse view of [[featSparse]]: (doc_id, dim, w), w ≠ 0 —
     * flat for the driver compare while fully determining the vector;
@@ -1529,12 +1549,42 @@ object Llm {
     * (map_from_entries + a sequence fill; no second shuffle).
     */
   private[graft] def featurizeVec(s: SparkSession, dir: String): DataFrame =
-    featSparse(s, dir)
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
-      .select(col("doc_id").as("vec_id"),
-        expr(s"transform(sequence(0, ${FeatD - 1}), d -> CAST(coalesce(m[d], 0L) AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
+    denseVec(featSparse(s, dir), "doc_id")
+
+  /** Multiplier packing (doc_id, chunk_id) into one BIGINT chunk-vector
+    * id: cvid = doc_id·10⁶ + chunk_id. The chunker emits ≤ ~(max doc
+    * tokens)/24 chunks per document — 10⁶ is orders of magnitude above
+    * any real document's chunk count, and the SAME formula lives in the
+    * oracle, so the packing is part of the declared contract.
+    */
+  private[graft] val ChunkIdBase = 1000000L
+
+  /** Chunk-granularity featurized vectors: the `q_text_chunk` tiling
+    * re-derived with its TOKENS kept (the declared chunk op only carries
+    * a content hash), each chunk pushed through the shared featurizer
+    * spelling ([[hashFeat]]/[[denseVec]]) under the packed [[ChunkIdBase]]
+    * id. Output is the `vecs` convention (vec_id, v, nrm), zero-norm
+    * chunks excluded — so chunks drop into the whole ANN family (index
+    * build, capCells, cellTopK) with no new machinery, the same claim
+    * `featurizeVec` makes for documents.
+    */
+  private[graft] def chunkVec(s: SparkSession, dir: String): DataFrame = {
+    val C = 32
+    val stride = 24 // C - overlap(8), the q_text_chunk tiling
+    val ct = Tables(s, dir, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n_tokens <= $C THEN CAST(1 AS BIGINT) ELSE (n_tokens - $C + ${stride - 1}) DIV $stride + 1 END"))
+      .select(col("doc_id"), col("t"), col("n_tokens"),
+        explode(expr("sequence(0, CAST(n_chunks - 1 AS INT))")).as("cid"))
+      .withColumn("chunk_id", col("cid").cast("long"))
+      .withColumn("start_tok", expr(s"chunk_id * $stride + 1"))
+      .withColumn("n_tok_chunk", expr(s"least(CAST($C AS BIGINT), n_tokens - start_tok + 1)"))
+      .select((col("doc_id") * lit(ChunkIdBase) + col("chunk_id")).as("cvid"),
+        explode(expr("slice(t, CAST(start_tok AS INT), CAST(n_tok_chunk AS INT))")).as("tok"))
+    denseVec(hashFeat(ct, "cvid"), "cvid").filter(col("nrm") > 0)
+  }
 
   /** The text↔vector loop closed end-to-end: IVF-ANN top-3 over the
     * FEATURIZED document vectors — documents in, neighbor documents out,

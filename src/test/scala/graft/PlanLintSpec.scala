@@ -76,6 +76,20 @@ class PlanLintSpec extends SparkSpec {
       s"serve plan must not scan embeddings.parquet:\n${files.mkString("\n")}")
   }
 
+  test("q_rag_chunk_topk serves from the persisted chunk index — documents absent from the scan set") {
+    // the capstone's lifecycle claim: chunking + featurizing happen at
+    // build time; the returned serve plan must read the chunk-index
+    // artifact only. A documents.parquet scan in the serve plan would
+    // mean the composition collapsed back into an inline rebuild.
+    val df = SparkEntry.queries("q_rag_chunk_topk")(spark, sf)
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty, "serve plan must scan the persisted chunk index")
+    assert(files.forall(_.contains("graft_ann_index_")),
+      s"serve scans must all target the index artifact, got:\n${files.mkString("\n")}")
+    assert(!files.exists(_.contains("documents")),
+      s"serve plan must not scan documents.parquet:\n${files.mkString("\n")}")
+  }
+
   test("ann index probe of one cell prunes to that cell's partition directory") {
     // the inverted-list claim of the cell-partitioned layout: a probe
     // restricted to one cell must prune at planning time, reading one
