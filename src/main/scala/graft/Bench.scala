@@ -83,6 +83,17 @@ object Bench {
     val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"min-of-3-passes","queries":$qs,"runs":$runsJson,"sf":$sfNum$failedJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // bench_queries.json holds only the CURRENT run; round-over-round
+    // per-query regression checks need history, so every run also APPENDS
+    // one line (label, sf, total, per-query mins) to bench_history.json —
+    // machine-diffable without archaeology through prose notes.
+    val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL",
+      java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.json"),
+      s"""{"label":"$label","sf":$sfNum,"n_queries":${results.size},"total":${f2(total)},"queries":$qs}\n"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"queries_file":"bench_queries.json"$failedJson}""")
   }

@@ -251,13 +251,20 @@ object PqRecon {
           }
           // Binary-double half-up rounding — DuckDB ROUND's own family
           // (it rounds the binary double, not the decimal rendering), so
-          // the argmin election aligns with the oracle by construction;
-          // divergence is confined to exact .00005-boundary 1-ulp cases,
-          // the documented accepted risk class. Deliberately NOT
-          // BigDecimal: allocation-free, because this line runs m·k
-          // times per row (32·128 = 4096) and the BigDecimal spelling
-          // measurably dominated the whole query (5.1 s → see PLANS.md).
-          val d4 = Math.floor(s * 10000.0 + 0.5) / 10000.0
+          // the argmin election aligns with the oracle by construction.
+          // Spelled as an EXACT remainder compare rather than
+          // floor(y + 0.5): fl(y − floor(y)) is exact for y < 2^52, so
+          // the half test cannot suffer the addition-carry artifact
+          // where y + 0.5 rounds up across the boundary (e.g. frac(y) =
+          // 0.49999999999999994 electing a different codeword than C
+          // round()). s ≥ 0 here, so half-up equals C round()'s
+          // half-away-from-zero. Deliberately NOT BigDecimal:
+          // allocation-free, because this line runs m·k times per row
+          // (32·128 = 4096) and the BigDecimal spelling measurably
+          // dominated the whole query (5.1 s → see PLANS.md).
+          val y = s * 10000.0
+          val fl = Math.floor(y)
+          val d4 = (if (y - fl >= 0.5) fl + 1.0 else fl) / 10000.0
           if (d4 < bestD) { bestD = d4; best = c }
         }
         c += 1
@@ -304,17 +311,28 @@ case class CellsTopN(v: Expression, nrm: Expression, cents: Expression, n: Expre
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    val ok = v.dataType.isInstanceOf[ArrayType] &&
+    // field TYPES are checked, not just names: compute() calls
+    // getLong/getDouble/getArray on the struct ordinals, so an
+    // array<float> vector or an int c_id would otherwise surface as a
+    // runtime ClassCastException (or silent garbage) instead of an
+    // analysis-time failure
+    def dArr(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true // containsNull-agnostic
+      case _ => false
+    }
+    val ok = dArr(v.dataType) &&
       nrm.dataType == DoubleType &&
       (cents.dataType match {
         case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
-          Seq("c_id", "cv", "cn").forall(st.fieldNames.contains)
+          st.fieldNames.contains("c_id") && st("c_id").dataType == LongType &&
+            st.fieldNames.contains("cv") && dArr(st("cv").dataType) &&
+            st.fieldNames.contains("cn") && st("cn").dataType == DoubleType
         case _ => false
       }) &&
       n.dataType == org.apache.spark.sql.types.IntegerType
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_cells expects (array<double>, double, array<struct{c_id,cv,cn}>, int)")
+      "graft_cells expects (array<double>, double, array<struct{c_id:bigint,cv:array<double>,cn:double}>, int)")
   }
 
   @transient private lazy val centStruct = cents.dataType
