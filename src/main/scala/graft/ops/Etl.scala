@@ -643,8 +643,68 @@ object Etl {
             SELECT user_id, event_id, ts_us, event_type, src FROM w
             WHERE rn = 1 AND op <> 'delete' ORDER BY user_id"""))
 
+  /** Slowly-changing-dimension Type-2 build — the OTHER half of the CDC
+    * story next to [[qEtlMerge]]: where MERGE keeps only the latest state
+    * per key, SCD2 keeps the full attribute HISTORY as validity
+    * intervals. Tracked attribute: each user's event_type; consecutive
+    * events with the same type collapse into one version row
+    * (island detection via lag-change flag → running-sum version id),
+    * versions carry [valid_from_us, valid_to_us) with NULL valid_to on
+    * the open (current) version.
+    *
+    * Scale shape: ONE hash exchange on user_id feeds every step — the
+    * lag/running-sum windows, the per-version aggregation, and the
+    * valid_to lead all partition by the same key, so Catalyst plans a
+    * single Exchange and per-group streaming state (no global sort, no
+    * second shuffle; the (user_id, version) groupBy is a prefix-keyed
+    * refinement of the same partitioning). Per-group state is O(1).
+    * DuckDB D6 note: window/aggregate SUM and COUNT are HUGEINT there —
+    * both engines cast version/n_events to BIGINT explicitly.
+    */
+  private val qEtlScd2 = Q(
+    "q_etl_scd2",
+    (s, dir) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wVer = Window.partitionBy("user_id").orderBy("version")
+      Tables.events(s, dir)
+        .select("user_id", "event_id", "ts_us", "event_type")
+        .withColumn("chg", expr(
+          "CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) " +
+            "IS DISTINCT FROM event_type THEN 1 ELSE 0 END"))
+        .withColumn("version", sum("chg").over(wSeq).cast("long"))
+        .groupBy("user_id", "version", "event_type")
+        .agg(min("ts_us").as("valid_from_us"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us", lead("valid_from_us", 1).over(wVer))
+        .withColumn("is_current",
+          expr("CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END").cast("long"))
+        .select("user_id", "version", "event_type", "valid_from_us",
+          "valid_to_us", "n_events", "is_current")
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+                  FROM events),
+            c AS (SELECT *, CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+                  FROM e),
+            v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS BIGINT) AS version
+                  FROM c),
+            g AS (SELECT user_id, version, event_type,
+                   MIN(ts_us) AS valid_from_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+                  FROM v GROUP BY user_id, version, event_type),
+            t AS (SELECT *, lead(valid_from_us) OVER (PARTITION BY user_id
+                    ORDER BY version) AS valid_to_us
+                  FROM g)
+            SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+                   n_events,
+                   CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_current
+            FROM t ORDER BY user_id, version"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
-    qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qStreamTumbling,
-    qStreamSliding, qStreamSession)
+    qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
+    qStreamTumbling, qStreamSliding, qStreamSession)
 }

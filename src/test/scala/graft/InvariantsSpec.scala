@@ -101,6 +101,38 @@ class InvariantsSpec extends SparkSpec {
       "every key whose latest change is an upsert must be present")
   }
 
+  test("scd2: intervals tile each user's history with one open current version") {
+    val hist = SparkEntry.queries("q_etl_scd2")(spark, sf).cache()
+    try {
+      // exactly one open (is_current) version per user, and it is the last
+      val cur = hist.groupBy("user_id")
+        .agg(sum("is_current").as("n_cur"),
+          max("version").as("v_max"),
+          max(when(col("is_current") === 1, col("version"))).as("v_cur"))
+      assert(cur.filter(col("n_cur") =!= 1 || col("v_cur") =!= col("v_max")).isEmpty,
+        "each user must have exactly one current version and it must be the last")
+      // intervals are contiguous: valid_to of version v == valid_from of v+1
+      val w = Window.partitionBy("user_id").orderBy("version")
+      val gaps = hist
+        .withColumn("next_from", lead("valid_from_us", 1).over(w))
+        .filter(col("next_from").isNotNull &&
+          col("valid_to_us") =!= col("next_from"))
+      assert(gaps.isEmpty, "closed intervals must abut the next version exactly")
+      // adjacent versions changed attribute — no run was split
+      val dup = hist
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull && col("prev_type") === col("event_type"))
+      assert(dup.isEmpty, "consecutive versions of one user must differ in event_type")
+      // conservation: version n_events sum back to the user's event count
+      val fromHist = hist.groupBy("user_id").agg(sum("n_events").as("n"))
+      val fromEvents = Tables.events(spark, sf).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      assert(fromHist.join(fromEvents, Seq("user_id"))
+        .filter(fromHist("n") =!= fromEvents("n")).isEmpty,
+        "per-version event counts must conserve the user's total")
+    } finally hist.unpersist()
+  }
+
   test("window-vs-group consistency: final running sum == group sum") {
     val orders = Tables(spark, sf, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
