@@ -1732,77 +1732,158 @@ object Llm {
     * symbol stop producing pairs (the same sequence(1,0)-divergence
     * guard as the single step, now on the symbol count).
     */
+  /** The chr(31) symbol separator — see the representation note above;
+    * ONE spelling shared by the trainer loop and the tokenizer apply so
+    * the two cannot drift.
+    */
+  private val BpeSep = "\u001f"
+
+  /** The trained merge list — the [[BpeIters]]-superstep election loop
+    * factored out of the declared iterate query so the tokenizer APPLY
+    * (`q_text_bpe_apply`) consumes the identical training run. Only the
+    * elected (l, r, cnt) scalars ever reach the driver.
+    */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    def pairs(vc: DataFrame): DataFrame = vc
+      .withColumn("ss", split(col("sym_str"), java.util.regex.Pattern.quote(BpeSep)))
+      .filter(size(col("ss")) >= 2)
+      .select(col("wc"), explode(expr(
+        """transform(sequence(1, size(ss) - 1), i -> named_struct(
+           'l', element_at(ss, i), 'r', element_at(ss, i + 1)))""")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wc").as("c"))
+    var vc = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat_ws(BpeSep, expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym_str"),
+        col("wc"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var t = 1
+    var exhausted = false
+    while (t <= BpeIters && !exhausted) {
+      val top = pairs(vc).orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((t.toLong, l, r, c))
+        vc = vc.select(bpeApplyMerge(col("sym_str"), l, r).as("sym_str"),
+          col("wc")).localCheckpoint(true)
+        t += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply one merge (l, r) to a separator-joined symbol string: literal
+    * replace(s, l+SEP+r, l+r) — leftmost-first non-overlapping in both
+    * engines, which is BPE's merge rule.
+    */
+  private def bpeApplyMerge(symStr: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column =
+    regexp_replace(symStr,
+      lit(java.util.regex.Pattern.quote(l + BpeSep + r)),
+      lit(java.util.regex.Matcher.quoteReplacement(l + r)))
+
   private val qTextBpeIterate = Q(
     "q_text_bpe_iterate",
     (s, dir) => {
       import s.implicits._
-      val SEP = "\u001f" // chr(31), the oracle separator spelling
-      def pairs(vc: DataFrame): DataFrame = vc
-        .withColumn("ss", split(col("sym_str"), java.util.regex.Pattern.quote(SEP)))
-        .filter(size(col("ss")) >= 2)
-        .select(col("wc"), explode(expr(
-          """transform(sequence(1, size(ss) - 1), i -> named_struct(
-             'l', element_at(ss, i), 'r', element_at(ss, i + 1)))""")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("wc").as("c"))
-      var vc = Tables(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .select(concat_ws(SEP, expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym_str"),
-          col("wc"))
-        .localCheckpoint(true)
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      var t = 1
-      var exhausted = false
-      while (t <= BpeIters && !exhausted) {
-        val top = pairs(vc).orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((t.toLong, l, r, c))
-          vc = vc.select(
-            regexp_replace(col("sym_str"),
-              lit(java.util.regex.Pattern.quote(l + SEP + r)),
-              lit(java.util.regex.Matcher.quoteReplacement(l + r))).as("sym_str"),
-            col("wc")).localCheckpoint(true)
-          t += 1
-        }
-      }
-      merges.result().toDF("iter", "left_sym", "right_sym", "pair_cnt")
+      bpeMerges(s, dir).toDF("iter", "left_sym", "right_sym", "pair_cnt")
         .orderBy("iter")
     },
-    Some(s"""WITH t AS (SELECT u.tok AS w
-                 FROM documents, unnest(string_split(text, ' ')) u(tok)
-                 WHERE length(u.tok) >= 2),
-             wcnt AS (SELECT w, COUNT(*) AS wc FROM t GROUP BY w),
-             vc0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
-                       i -> substr(w, CAST(i AS INT), 1)), chr(31)) AS s, wc FROM wcnt),
-             s1 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc0),
-             p1 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
-                    FROM s1, unnest(range(1, len(ss))) u(i)),
-             g1 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p1 GROUP BY l, r),
-             t1 AS (SELECT l, r, c FROM g1 ORDER BY c DESC, l, r LIMIT 1),
-             vc1 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
-                     FROM vc0 CROSS JOIN t1),
-             s2 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc1),
-             p2 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
-                    FROM s2, unnest(range(1, len(ss))) u(i)),
-             g2 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p2 GROUP BY l, r),
-             t2 AS (SELECT l, r, c FROM g2 ORDER BY c DESC, l, r LIMIT 1),
-             vc2 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
-                     FROM vc1 CROSS JOIN t2),
-             s3 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc2),
-             p3 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
-                    FROM s3, unnest(range(1, len(ss))) u(i)),
-             g3 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p3 GROUP BY l, r),
-             t3 AS (SELECT l, r, c FROM g3 ORDER BY c DESC, l, r LIMIT 1)
+    Some(s"""WITH $bpeTrainSql
              SELECT CAST(1 AS BIGINT) AS iter, l AS left_sym, r AS right_sym, c AS pair_cnt FROM t1
              UNION ALL SELECT CAST(2 AS BIGINT), l, r, c FROM t2
              UNION ALL SELECT CAST(3 AS BIGINT), l, r, c FROM t3
              ORDER BY iter"""))
+
+  /** Oracle twin of [[bpeMerges]]: the 3-superstep election chain as CTEs
+    * — t1/t2/t3 the elected merges (l, r, c), vc0..vc2 the vocab states.
+    * Shared by the iterate and apply oracles so the training run cannot
+    * drift between them.
+    */
+  private def bpeTrainSql: String =
+    """t AS (SELECT u.tok AS w
+             FROM documents, unnest(string_split(text, ' ')) u(tok)
+             WHERE length(u.tok) >= 2),
+       wcnt AS (SELECT w, COUNT(*) AS wc FROM t GROUP BY w),
+       vc0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> substr(w, CAST(i AS INT), 1)), chr(31)) AS s, wc FROM wcnt),
+       s1 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc0),
+       p1 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
+              FROM s1, unnest(range(1, len(ss))) u(i)),
+       g1 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p1 GROUP BY l, r),
+       t1 AS (SELECT l, r, c FROM g1 ORDER BY c DESC, l, r LIMIT 1),
+       vc1 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
+               FROM vc0 CROSS JOIN t1),
+       s2 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc1),
+       p2 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
+              FROM s2, unnest(range(1, len(ss))) u(i)),
+       g2 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p2 GROUP BY l, r),
+       t2 AS (SELECT l, r, c FROM g2 ORDER BY c DESC, l, r LIMIT 1),
+       vc2 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
+               FROM vc1 CROSS JOIN t2),
+       s3 AS (SELECT string_split(s, chr(31)) AS ss, wc FROM vc2),
+       p3 AS (SELECT ss[CAST(i AS INT)] AS l, ss[CAST(i AS INT) + 1] AS r, wc
+              FROM s3, unnest(range(1, len(ss))) u(i)),
+       g3 AS (SELECT l, r, CAST(SUM(wc) AS BIGINT) AS c FROM p3 GROUP BY l, r),
+       t3 AS (SELECT l, r, c FROM g3 ORDER BY c DESC, l, r LIMIT 1)"""
+
+  /** BPE tokenizer APPLY — the consumer side of the trainer: tokenize the
+    * WHOLE corpus (length-1 words included — the ≥2 filter is a trainer
+    * concern, pair counting only) with the [[bpeMerges]]-trained merge
+    * list and report the resulting token frequency table (top 30 by
+    * weighted count, full deterministic order). This is the operator a
+    * pipeline actually runs per-document at scale; like training, it runs
+    * over the WORD-COUNT table — tokenizing each DISTINCT word once and
+    * weighting by its count, so the cost is vocab-sized
+    * (corpus-sublinear), then map-only chained literal replaces (one per
+    * merge, narrow — no shuffle between merges) and one map-combinable
+    * integer agg over the exploded symbols.
+    */
+  private val qTextBpeApply = Q(
+    "q_text_bpe_apply",
+    (s, dir) => {
+      val merges = bpeMerges(s, dir)
+      val vc0 = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(concat_ws(BpeSep, expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym_str"),
+          col("wc"))
+      val tokenized = merges.foldLeft(vc0) { case (vc, (_, l, r, _)) =>
+        vc.select(bpeApplyMerge(col("sym_str"), l, r).as("sym_str"), col("wc"))
+      }
+      tokenized
+        .select(explode(split(col("sym_str"),
+          java.util.regex.Pattern.quote(BpeSep))).as("token"), col("wc"))
+        .groupBy("token").agg(sum("wc").as("token_cnt"))
+        .orderBy(col("token_cnt").desc, col("token"))
+        .limit(30)
+    },
+    Some(s"""WITH $bpeTrainSql,
+             aw AS (SELECT u.tok AS w
+                    FROM documents, unnest(string_split(text, ' ')) u(tok)
+                    WHERE length(u.tok) >= 1),
+             awc AS (SELECT w, COUNT(*) AS wc FROM aw GROUP BY w),
+             av0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                       i -> substr(w, CAST(i AS INT), 1)), chr(31)) AS s, wc FROM awc),
+             av1 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
+                     FROM av0 CROSS JOIN t1),
+             av2 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
+                     FROM av1 CROSS JOIN t2),
+             av3 AS (SELECT replace(s, l || chr(31) || r, l || r) AS s, wc
+                     FROM av2 CROSS JOIN t3),
+             tok AS (SELECT u.t AS token, wc
+                     FROM av3, unnest(string_split(s, chr(31))) u(t))
+             SELECT token, CAST(SUM(wc) AS BIGINT) AS token_cnt
+             FROM tok GROUP BY token
+             ORDER BY token_cnt DESC, token LIMIT 30"""))
 
   private val qTextStats = Q(
     "q_text_stats",
@@ -2464,5 +2545,5 @@ object Llm {
     qVecKmeansRefine, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qSimDocTopk, qMultimodalJoin)
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qSimDocTopk, qMultimodalJoin)
 }
