@@ -954,6 +954,107 @@ object Llm {
                      FROM asg WHERE arn <= $IvfProbes),
              $cellTopKSql"""))
 
+  /** Query-sample size for the recall evaluation. FIXED, not √n: the
+    * exact-scan side costs m·n dots, so a constant m keeps index QA
+    * LINEAR in corpus size (a √n sample would make it n^1.5 — the same
+    * curve the brute-force baseline is kept weak to demonstrate). 64
+    * queries bounds the recall estimate's standard error ≈ 1/√(3·64) ≈
+    * 0.07 regardless of corpus size.
+    */
+  private val RecallEvalQueries = 64
+
+  /** Index quality assurance as a DECLARED operator — the continuous-eval
+    * job a production vector pipeline runs beside its index builds:
+    * recall@3 of the `q_sim_ivf` search contract against the exact top-3,
+    * measured on a [[RecallEvalQueries]]-target hash-sampled query set
+    * (salt "rc_", independent of every other sampling salt per the
+    * shared-seed-leakage rule). InvariantsSpec holds the recall FLOORS;
+    * this op is the machine-readable scorecard (one all-integer row:
+    * queries, exact pairs, hits, recall in basis points — integer
+    * division, no float ratio).
+    *
+    * Scale shape: the sampled queries broadcast (m rows); the exact side
+    * is one corpus scan with m dots per row, shuffling only skinny
+    * (q_id, n_id, cos) rows into the per-query top-3 window; the ANN side
+    * is the shared IVF spelling with the QUERY frame pre-filtered to the
+    * sample — the index side stays full, exactly what serving measures.
+    * Everything after is a broadcast-key LEFT JOIN and one 1-row agg.
+    */
+  private val qSimRecallEval = Q(
+    "q_sim_recall_eval",
+    (s, dir) => {
+      val vs = vecs(s, dir)
+      val qthr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+        .select(expr(s"CAST($RecallEvalQueries AS DOUBLE) / CAST(n AS DOUBLE)").as("thr"))
+      val qs = vs.crossJoin(broadcast(qthr))
+        .filter(expr(md5U01Spark("concat('rc_', CAST(vec_id AS STRING))")) < col("thr"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wq = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val exact = vs
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+        .crossJoin(broadcast(qs))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos") // drop arrays before the shuffle
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "n_id")
+      val probed = vs.crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+        .localCheckpoint(true)
+      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+      val qry = probedQry(probed)
+        .join(broadcast(qs.select("q_id")), Seq("q_id"))
+      val ann = cellTopK(idx, qry).select("q_id", "n_id")
+      exact
+        .join(broadcast(ann.withColumn("hit", lit(1L))), Seq("q_id", "n_id"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum("hit"), lit(0L)).as("n_hits"))
+        .withColumn("recall_bp", expr(
+          "CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) ELSE (n_hits * 10000) DIV n_pairs END"))
+    },
+    Some(s"""WITH $vecsSql,
+             qprm AS (SELECT CAST($RecallEvalQueries AS DOUBLE) / COUNT(*) AS qthr
+                      FROM embeddings),
+             qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+                    FROM n CROSS JOIN qprm
+                    WHERE ${md5U01Sql("'rc_' || CAST(vec_id AS VARCHAR)")} < qthr),
+             ex0 AS (SELECT q_id, n.vec_id AS n_id,
+                      ROUND(list_dot_product(qv, n.v) / (qn * n.nrm), 4) AS cos
+                     FROM qs, n WHERE q_id <> n.vec_id),
+             exr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, n_id) AS rnk FROM ex0),
+             ex AS (SELECT q_id, n_id FROM exr WHERE rnk <= 3),
+             $ivfCentSql,
+             $ivfAsgSql,
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qry AS (SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, c_id AS cell
+                     FROM asg a JOIN (SELECT DISTINCT q_id FROM qs) s
+                       ON a.vec_id = s.q_id
+                     WHERE arn <= $IvfProbes),
+             p AS (SELECT q_id, n_id,
+                    ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
+             r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS rnk FROM p),
+             ann AS (SELECT q_id, n_id FROM r WHERE rnk <= 3),
+             j AS (SELECT ex.q_id, ex.n_id,
+                    CASE WHEN ann.n_id IS NULL THEN 0 ELSE 1 END AS hit
+                   FROM ex LEFT JOIN ann
+                     ON ex.q_id = ann.q_id AND ex.n_id = ann.n_id)
+             SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+                    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                    CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hits,
+                    CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                         ELSE (COALESCE(SUM(hit), 0) * 10000) // COUNT(*) END
+                      AS BIGINT) AS recall_bp
+             FROM j"""))
+
   /** IVF-PQ-style compressed ANN — the `q_sim_ivf` coarse index with the
     * `q_vec_quantize` int8 machinery applied to the RESIDUAL v − centroid
     * (product quantization in its d×1-subspace form with a fixed uniform
@@ -2541,7 +2642,7 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimIvfPq, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
