@@ -491,7 +491,74 @@ object Curation {
             FROM b JOIN t ON b.source = t.source AND t.rn = 1
             ORDER BY b.source"""))
 
+  /** The hard-negative cosine band: candidates below [[HardHi]] are not
+    * positives/near-duplicates (the embedding-dedup territory starts
+    * above it), candidates at or above [[HardLo]] are similar enough to
+    * be informative. Top-[[HardK]] per anchor within the band.
+    */
+  private val HardLo = 0.3
+  private val HardHi = 0.85
+  private val HardK = 2
+
+  /** ANN-DRIVEN hard-negative mining — the contrastive-training
+    * complement of [[qSampleNegatives]]'s hash-uniform draw: for each
+    * anchor vector, the top-[[HardK]] most-similar candidates whose
+    * rounded cosine falls in the [[HardLo]], [[HardHi]]) band — similar
+    * enough to be informative gradients, below the near-duplicate
+    * territory that would make them false negatives. This is the miner
+    * an embedding-model pipeline (DPR/SimCSE-style) runs against its own
+    * index between epochs.
+    *
+    * Scale shape: candidate generation IS the shared `q_sim_ivf` probe
+    * spelling (broadcast √n centroid array, map-only assignment, cell
+    * equi-join — never all-pairs), and the band filter runs BEFORE the
+    * per-anchor window, so only in-band skinny (q_id, n_id, cos) rows
+    * reach the top-k shuffle. Anchors whose probed cells hold no in-band
+    * candidate simply emit nothing — exactly the production behavior
+    * (re-mine after the next index build).
+    */
+  private val qSampleHardNegatives = Q(
+    "q_sample_hard_negatives",
+    (s, dir) => {
+      val probed = Llm.vecs(s, dir)
+        .crossJoin(broadcast(Llm.ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(Llm.cellsSpark(s"${Llm.IvfProbes}")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+        .localCheckpoint(true)
+      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+      val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(
+          graft.functions.graft_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+        .filter(col("cos") >= HardLo && col("cos") < HardHi)
+        .select("q_id", "n_id", "cos")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= HardK)
+        .select(col("q_id"), col("rnk"), col("n_id").as("neg_id"), col("cos"))
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH ${Llm.vecsSql},
+             ${Llm.ivfCentSql},
+             ${Llm.ivfAsgSql},
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= ${Llm.IvfProbes}),
+             p AS (SELECT q_id, n_id,
+                    ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
+             b AS (SELECT * FROM p WHERE cos >= $HardLo AND cos < $HardHi),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM b)
+             SELECT q_id, rnk, n_id AS neg_id, cos FROM r
+             WHERE rnk <= $HardK ORDER BY q_id, rnk"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qSplitTrain, qPackSequences,
-    qSourceCap, qDedupIncremental, qSampleNegatives, qSourceScorecard)
+    qSourceCap, qDedupIncremental, qSampleNegatives, qSampleHardNegatives,
+    qSourceScorecard)
 }
