@@ -1837,14 +1837,14 @@ object Llm {
     * ONE spelling shared by the trainer loop and the tokenizer apply so
     * the two cannot drift.
     */
-  private val BpeSep = "\u001f"
+  private[graft] val BpeSep = "\u001f"
 
   /** The trained merge list — the [[BpeIters]]-superstep election loop
     * factored out of the declared iterate query so the tokenizer APPLY
     * (`q_text_bpe_apply`) consumes the identical training run. Only the
     * elected (l, r, cnt) scalars ever reach the driver.
     */
-  private def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+  private[graft] def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
     def pairs(vc: DataFrame): DataFrame = vc
       .withColumn("ss", split(col("sym_str"), java.util.regex.Pattern.quote(BpeSep)))
       .filter(size(col("ss")) >= 2)
@@ -1883,7 +1883,7 @@ object Llm {
     * replace(s, l+SEP+r, l+r) — leftmost-first non-overlapping in both
     * engines, which is BPE's merge rule.
     */
-  private def bpeApplyMerge(symStr: org.apache.spark.sql.Column,
+  private[graft] def bpeApplyMerge(symStr: org.apache.spark.sql.Column,
       l: String, r: String): org.apache.spark.sql.Column =
     regexp_replace(symStr,
       lit(java.util.regex.Pattern.quote(l + BpeSep + r)),

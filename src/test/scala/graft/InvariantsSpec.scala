@@ -133,6 +133,65 @@ class InvariantsSpec extends SparkSpec {
     } finally hist.unpersist()
   }
 
+  test("recall eval: scorecard arithmetic is internally consistent") {
+    val row = SparkEntry.queries("q_sim_recall_eval")(spark, sf).collect()(0)
+    val (nq, np, nh, bp) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nq > 0, "the hash sample must elect some queries on the fixture")
+    assert(np <= 3 * nq && np > 0, "exact pairs must be <= 3 per query")
+    assert(nh >= 0 && nh <= np, "hits are a subset of exact pairs")
+    assert(bp == nh * 10000 / np, "recall_bp must be the integer-division ratio")
+    // the sampled-query recall must sit in the band the full-corpus IVF
+    // recall floors already pin (sampled quantizer, 4 probes)
+    assert(bp > 1000, s"recall_bp=$bp — IVF recall collapsed on the fixture")
+  }
+
+  test("hard negatives: banded, capped, and strictly below near-dup territory") {
+    val hn = SparkEntry.queries("q_sample_hard_negatives")(spark, sf).cache()
+    try {
+      assert(hn.count() > 0, "fixture must yield in-band candidates")
+      assert(hn.filter(col("cos") < 0.3 || col("cos") >= 0.85).isEmpty,
+        "every mined negative's cosine must lie in [0.3, 0.85)")
+      assert(hn.filter(col("q_id") === col("neg_id")).isEmpty, "no self pairs")
+      assert(hn.groupBy("q_id").count().filter(col("count") > 2).isEmpty,
+        "at most 2 negatives per anchor")
+      // false-negative guard: no mined negative may be a near-duplicate
+      // pair (the q_dedup_embed surface, cos >= 0.9 there)
+      val dups = SparkEntry.queries("q_dedup_embed")(spark, sf)
+        .filter(col("cos") >= 0.85)
+        .select(col("d1").as("q_id"), col("d2").as("neg_id"))
+      assert(hn.join(dups, Seq("q_id", "neg_id")).isEmpty,
+        "a hard negative must never be a near-duplicate pair")
+    } finally hn.unpersist()
+  }
+
+  test("bpe apply: token lengths conserve the corpus characters") {
+    // tokenizing is a PARTITION of each word's characters: summing
+    // len(token) * count over the full (un-limited) token table must
+    // reproduce the corpus character total exactly, merges or not.
+    val docs = Tables(spark, sf, "documents")
+    val chars = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    val vc0 = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat_ws(ops.Llm.BpeSep, expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym_str"),
+        col("wc"))
+    val applied = ops.Llm.bpeMerges(spark, sf).foldLeft(vc0) {
+      case (vc, (_, l, r, _)) =>
+        vc.select(ops.Llm.bpeApplyMerge(col("sym_str"), l, r).as("sym_str"), col("wc"))
+    }
+    val tokChars = applied
+      .select(explode(split(col("sym_str"),
+        java.util.regex.Pattern.quote(ops.Llm.BpeSep))).as("token"), col("wc"))
+      .agg(sum(length(col("token")) * col("wc"))).collect()(0).getLong(0)
+    assert(tokChars == chars,
+      s"token chars $tokChars must equal corpus word chars $chars")
+  }
+
   test("window-vs-group consistency: final running sum == group sum") {
     val orders = Tables(spark, sf, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

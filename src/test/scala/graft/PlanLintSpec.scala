@@ -24,7 +24,11 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcast total joined onto already-aggregated skinny rows
       "q_text_heavy_hitters", "q_text_commonness",
       // 1-row broadcast corpus count feeding the map-only candidate hash
-      "q_sample_negatives")
+      "q_sample_negatives",
+      // the exact-eval side is BY DESIGN a broadcast-m-queries × corpus
+      // scan (fixed m = 64 target keeps it linear in n); the ANN side's
+      // cell equi-join is asserted separately below
+      "q_sim_recall_eval")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
@@ -51,7 +55,8 @@ class PlanLintSpec extends SparkSpec {
         .findFirstIn(plan).isDefined,
         s"$name must equi-join on the (band, sig) bucket key:\n$plan")
     }
-    Seq("q_sim_ivf", "q_sim_ivfpq", "q_sim_pq").foreach { name =>
+    Seq("q_sim_ivf", "q_sim_ivfpq", "q_sim_pq", "q_sample_hard_negatives",
+        "q_sim_recall_eval").foreach { name =>
       val ivf = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
