@@ -10,7 +10,7 @@ object SparkEntry {
     ops.Relational.all ++ ops.Filters.all ++ ops.Joins.all ++
       ops.Aggregates.all ++ ops.Windows.all ++ ops.SortsSets.all ++
       ops.Scalars.all ++ ops.Etl.all ++ ops.Llm.all ++ ops.Curation.all ++
-      ops.Multimodal.all ++ ops.AnnIndex.all
+      ops.Multimodal.all ++ ops.AnnIndex.all ++ ops.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -192,6 +192,32 @@ class InvariantsSpec extends SparkSpec {
       s"token chars $tokChars must equal corpus word chars $chars")
   }
 
+  test("pagerank: teleport floor holds and top nodes are real graph nodes") {
+    val top = SparkEntry.queries("q_graph_pagerank")(spark, sf).cache()
+    try {
+      assert(top.count() == 20, "top-20 contract")
+      // every rank carries at least the teleport mass (0.15 of init)
+      assert(top.filter(col("rank_micro") < 150000000L).isEmpty,
+        "no node may fall below the teleport floor")
+      // ranks actually separated from the uniform start — iteration ran
+      val mm = top.agg(max("rank_micro").as("hi"), min("rank_micro").as("lo"))
+        .collect()(0)
+      assert(mm.getLong(0) > mm.getLong(1),
+        "three supersteps must separate the top ranks")
+      // node keys resolve against their dimension tables
+      val custKeys = top.filter(col("node_type") === "customer")
+        .select(col("node_key").as("c_custkey"))
+      assert(custKeys.except(
+        Tables(spark, sf, "customer").select("c_custkey")).isEmpty,
+        "customer node keys must exist in customer")
+      val suppKeys = top.filter(col("node_type") === "supplier")
+        .select(col("node_key").as("s_suppkey"))
+      assert(suppKeys.except(
+        Tables(spark, sf, "supplier").select("s_suppkey")).isEmpty,
+        "supplier node keys must exist in supplier")
+    } finally top.unpersist()
+  }
+
   test("window-vs-group consistency: final running sum == group sum") {
     val orders = Tables(spark, sf, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
