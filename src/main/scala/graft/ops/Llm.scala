@@ -2639,11 +2639,59 @@ object Llm {
                     CAST(MIN(cos_e4) AS BIGINT) AS min_cos_e4
              FROM c GROUP BY label ORDER BY label"""))
 
+  /** Output dimensionality of the random projection — 64 → 16 is the 4×
+    * memory rung; JL error at p = 16 is coarse, which is exactly why the
+    * recall floor lives in InvariantsSpec rather than folklore.
+    */
+  private val ProjDims = 16
+
+  /** Johnson–Lindenstrauss random projection — the dimensionality-
+    * reduction rung of the vector-memory ladder (before quantization:
+    * project 64 → [[ProjDims]], THEN quantize/index the short vectors).
+    * The projection matrix is [[planeWeightSpark]]'s engine-portable
+    * hash-derived weights under the independent "prj_" salt — like the
+    * LSH hyperplanes, the matrix is DATA (bit-identical in both
+    * engines), not engine state, and is built once as a broadcast 1-row
+    * frame (ProjDims·d·8 bytes) rather than re-hashed per row.
+    *
+    * Scale shape: map-only — one broadcast cross join, [[ProjDims]]
+    * native sequential dots per vector ([[graft.functions.graft_dot]],
+    * the same left-to-right fold DuckDB's list_dot_product runs, so the
+    * rounded doubles hash-match), no shuffle but the display sort.
+    * Output is flat (vec_id, dim, y) rows per the driver-compare rule.
+    */
+  private val qVecProject = Q(
+    "q_vec_project",
+    (s, dir) => {
+      val planes = Tables(s, dir, "embeddings")
+        .agg(max(size(col("embedding"))).as("d"))
+        .select(expr(
+          s"""transform(sequence(0, ${ProjDims - 1}), j ->
+                transform(sequence(0, d - 1), i ->
+                  ${planeWeightSpark("concat('prj_', CAST(j AS STRING))", "i")}))""").as("pl"))
+      vecs(s, dir).crossJoin(broadcast(planes))
+        .select(col("vec_id"), posexplode(expr(
+          "transform(pl, p -> round(graft_dot(v, p), 4))")).as(Seq("dim", "y")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+        .orderBy("vec_id", "dim")
+    },
+    Some(s"""WITH $vecsSql,
+             dd AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+             pl AS (SELECT list_transform(range($ProjDims), j ->
+                      list_transform(range(d), i ->
+                        ${planeWeightSql("'prj_' || CAST(j AS VARCHAR)", "i")})) AS pl
+                    FROM dd),
+             pr AS (SELECT vec_id, u.j AS dim,
+                     ROUND(list_dot_product(v, pl[CAST(u.j AS INT) + 1]), 4) AS y
+                    FROM n CROSS JOIN pl, unnest(range($ProjDims)) u(j))
+             SELECT vec_id, CAST(dim AS BIGINT) AS dim, y FROM pr
+             ORDER BY vec_id, dim"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
-    qVecKmeansRefine, qVecQuantize,
+    qVecKmeansRefine, qVecQuantize, qVecProject,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qSimDocTopk, qMultimodalJoin)

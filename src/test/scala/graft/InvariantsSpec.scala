@@ -192,6 +192,25 @@ class InvariantsSpec extends SparkSpec {
       s"token chars $tokChars must equal corpus word chars $chars")
   }
 
+  test("random projection: JL norm concentration holds on average") {
+    // weights are uniform[-1,1) (variance 1/3), so E||Pv||^2 = p/3 * ||v||^2;
+    // the per-vector ratio concentrates with relative std ~ sqrt(2/p) = 35%
+    // and its corpus MEAN within a few percent — a wrong salt, a dropped
+    // dimension, or a broken fold shows up as a gross violation.
+    val proj = SparkEntry.queries("q_vec_project")(spark, sf)
+      .groupBy("vec_id").agg(sum(col("y") * col("y")).as("p2"))
+    val orig = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr("graft_dot(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+          "transform(embedding, x -> CAST(x AS DOUBLE)))").as("n2"))
+    val mean = proj.join(orig, "vec_id")
+      .filter(col("n2") > 0)
+      .select(avg(col("p2") / (col("n2") * (16.0 / 3.0))).as("m"))
+      .collect()(0).getDouble(0)
+    assert(mean > 0.85 && mean < 1.15,
+      s"mean JL norm ratio $mean outside [0.85, 1.15] — projection broken")
+  }
+
   test("pagerank: teleport floor holds and top nodes are real graph nodes") {
     val top = SparkEntry.queries("q_graph_pagerank")(spark, sf).cache()
     try {
