@@ -115,5 +115,130 @@ object Graph {
              FROM r3
              ORDER BY rank_micro DESC, node_type, node_key LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(qGraphPagerank)
+  /** Per-node out-edge budget for the k-NN sparsification below. 16 keeps
+    * the oriented wedge fan-out ≤ C(16,2)=120 per pivot node at ANY corpus
+    * size — the knob that makes triangle counting corpus-linear.
+    */
+  private val TriKnn = 16
+
+  /** Node-id packing for the (degree, id) total order: okey = deg·10⁹ + id.
+    * Valid while ids < 10⁹ (partkeys are ≤ 2·10⁶ at sf1) and deg < 9·10⁹/10⁹
+    * — both hold by construction after the TriKnn cap bounds deg ≤ 2·TriKnn.
+    */
+  private val OkeyBase = 1000000000L
+
+  /** Triangle counting over the part co-purchase graph (parts appearing in
+    * the same order), with the two disciplines that make the op survive a
+    * dense or skewed graph at 100 TB:
+    *
+    *  1. k-NN SPARSIFICATION — co-occurrence weights are computed per pair
+    *     (bounded self-join: each order contributes C(#parts-in-order, 2)
+    *     pairs, ~6 for TPC-H-shaped orders), then each node keeps only its
+    *     TriKnn strongest edges (weight desc, partner asc — deterministic).
+    *     An edge survives if EITHER endpoint kept it, so the sparse graph
+    *     has degree ≤ 2·TriKnn regardless of how popular a part is. This is
+    *     the standard similarity-graph construction for clustering /
+    *     community detection at scale — without it the co-purchase graph of
+    *     a dense catalog approaches a clique and triangle counting is Θ(n³).
+    *  2. DEGREE ORIENTATION — every surviving edge is directed from the
+    *     (degree, id)-smaller endpoint to the larger (packed as one BIGINT
+    *     okey so the comparison is a single integer <). Each triangle
+    *     {x ≺ y ≺ z} is then found EXACTLY once, as wedge (x→y, x→z)
+    *     closed by edge y→z, and the wedge fan-out per pivot is bounded by
+    *     the out-degree — the compact-forward algorithm that keeps hub
+    *     nodes from exploding the join.
+    *
+    * Output: top-20 parts by triangle participation (each triangle credits
+    * all three corners) — the clustering-coefficient numerator, all-integer
+    * (D1), tie-broken by part id. Shape at scale: three hash joins on
+    * skinny integer frames + one window capped at TriKnn rows per node; no
+    * driver-side state.
+    */
+  private val qGraphTriangles = Q(
+    "q_graph_triangles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val co = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      // pair co-occurrence weights; a.p < b.p canonicalizes the pair
+      val w = co.as("a").join(co.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      // per-node strongest TriKnn edges, either direction
+      val half = w.select(col("pa").as("node"), col("pb").as("peer"), col("w"))
+        .unionByName(w.select(col("pb").as("node"), col("pa").as("peer"), col("w")))
+      val kept = half
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("w").desc, col("peer"))))
+        .filter(col("rn") <= TriKnn)
+      // canonical undirected sparse edge set (a < b by id)
+      val edges = kept.select(least(col("node"), col("peer")).as("a"),
+          greatest(col("node"), col("peer")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      // degree-oriented edges: src ≺ dst under okey = deg·OkeyBase + id
+      val ann = edges
+        .join(deg.select(col("n").as("a"), (col("deg") * OkeyBase + col("a")).as("ka")), "a")
+        .join(deg.select(col("n").as("b"), (col("deg") * OkeyBase + col("b")).as("kb")), "b")
+      val ori = ann.select(
+          when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+          when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+          when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+        .localCheckpoint(true)
+      // wedges at the ≺-min corner, closed by the oriented (y,z) edge
+      val tri = ori.as("e1").join(ori.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+        .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+        .join(ori.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+      tri.select(col("x").as("node"))
+        .unionByName(tri.select(col("y").as("node")))
+        .unionByName(tri.select(col("z").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+        .orderBy(col("tri_cnt").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("p_partkey"), col("tri_cnt"))
+    },
+    Some(s"""WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             w AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w
+                   FROM co a JOIN co b ON a.ok = b.ok AND a.p < b.p
+                   GROUP BY a.p, b.p),
+             half AS (SELECT pa AS node, pb AS peer, w FROM w
+                      UNION ALL
+                      SELECT pb AS node, pa AS peer, w FROM w),
+             kept AS (SELECT node, peer FROM (
+                        SELECT node, peer,
+                               ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY w DESC, peer) AS rn
+                        FROM half) WHERE rn <= $TriKnn),
+             edges AS (SELECT DISTINCT LEAST(node, peer) AS a,
+                              GREATEST(node, peer) AS b FROM kept),
+             deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                       SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges)
+                     GROUP BY n),
+             ori AS (SELECT CASE WHEN da.deg * $OkeyBase + e.a < db.deg * $OkeyBase + e.b
+                                 THEN e.a ELSE e.b END AS src,
+                            CASE WHEN da.deg * $OkeyBase + e.a < db.deg * $OkeyBase + e.b
+                                 THEN e.b ELSE e.a END AS dst,
+                            CASE WHEN da.deg * $OkeyBase + e.a < db.deg * $OkeyBase + e.b
+                                 THEN db.deg * $OkeyBase + e.b
+                                 ELSE da.deg * $OkeyBase + e.a END AS kdst
+                     FROM edges e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+             tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                     FROM ori e1 JOIN ori e2
+                       ON e1.src = e2.src AND e1.kdst < e2.kdst
+                     WHERE EXISTS (SELECT 1 FROM ori e3
+                                   WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+             corners AS (SELECT x AS node FROM tri
+                         UNION ALL SELECT y FROM tri
+                         UNION ALL SELECT z FROM tri)
+             SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+             FROM corners GROUP BY node
+             ORDER BY tri_cnt DESC, node LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles)
 }
