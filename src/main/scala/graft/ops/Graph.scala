@@ -115,17 +115,15 @@ object Graph {
              FROM r3
              ORDER BY rank_micro DESC, node_type, node_key LIMIT 20"""))
 
-  /** Per-node out-edge budget for the k-NN sparsification below. 16 keeps
-    * the oriented wedge fan-out ≤ C(16,2)=120 per pivot node at ANY corpus
-    * size — the knob that makes triangle counting corpus-linear.
+  /** Per-node out-edge budget for the k-NN sparsification below. Each node
+    * KEEPS ≤ TriKnn edges, so |E| ≤ n·TriKnn and average degree ≤ 2·TriKnn
+    * (OR-survival means a popular node's IN-degree is not individually
+    * bounded — many peers may keep edges into a hub — but degree
+    * orientation below bounds the wedge work by out-degree ≤ O(√|E|)
+    * regardless). This is the knob that makes triangle counting
+    * corpus-linear in |E|.
     */
   private val TriKnn = 16
-
-  /** Node-id packing for the (degree, id) total order: okey = deg·10⁹ + id.
-    * Valid while ids < 10⁹ (partkeys are ≤ 2·10⁶ at sf1) and deg < 9·10⁹/10⁹
-    * — both hold by construction after the TriKnn cap bounds deg ≤ 2·TriKnn.
-    */
-  private val OkeyBase = 1000000000L
 
   /** Triangle counting over the part co-purchase graph (parts appearing in
     * the same order), with the two disciplines that make the op survive a
@@ -135,18 +133,23 @@ object Graph {
     *     (bounded self-join: each order contributes C(#parts-in-order, 2)
     *     pairs, ~6 for TPC-H-shaped orders), then each node keeps only its
     *     TriKnn strongest edges (weight desc, partner asc — deterministic).
-    *     An edge survives if EITHER endpoint kept it, so the sparse graph
-    *     has degree ≤ 2·TriKnn regardless of how popular a part is. This is
-    *     the standard similarity-graph construction for clustering /
+    *     An edge survives if EITHER endpoint kept it, so |E| ≤ n·TriKnn and
+    *     the AVERAGE degree is ≤ 2·TriKnn (a hub's in-degree from peers
+    *     that kept it is not individually bounded, but the edge COUNT is —
+    *     which is what the join volumes below depend on). This is the
+    *     standard similarity-graph construction for clustering /
     *     community detection at scale — without it the co-purchase graph of
     *     a dense catalog approaches a clique and triangle counting is Θ(n³).
     *  2. DEGREE ORIENTATION — every surviving edge is directed from the
-    *     (degree, id)-smaller endpoint to the larger (packed as one BIGINT
-    *     okey so the comparison is a single integer <). Each triangle
+    *     (degree, id)-lexicographically-smaller endpoint to the larger
+    *     (compared as the PAIR (deg, id), never packed into one integer —
+    *     a packed key silently collides once ids outgrow the base, and at
+    *     the 100 TB scale this op targets, ids do). Each triangle
     *     {x ≺ y ≺ z} is then found EXACTLY once, as wedge (x→y, x→z)
     *     closed by edge y→z, and the wedge fan-out per pivot is bounded by
-    *     the out-degree — the compact-forward algorithm that keeps hub
-    *     nodes from exploding the join.
+    *     the out-degree under degree orientation, O(√|E|) — the
+    *     compact-forward algorithm that keeps hub nodes from exploding
+    *     the join.
     *
     * Output: top-20 parts by triangle participation (each triangle credits
     * all three corners) — the clustering-coefficient numerator, all-integer
@@ -181,18 +184,24 @@ object Graph {
         .localCheckpoint(true)
       val deg = edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      // degree-oriented edges: src ≺ dst under okey = deg·OkeyBase + id
+      // degree-oriented edges: src ≺ dst under the lexicographic pair
+      // (deg, id) — compared two-level, never packed into one BIGINT
       val ann = edges
-        .join(deg.select(col("n").as("a"), (col("deg") * OkeyBase + col("a")).as("ka")), "a")
-        .join(deg.select(col("n").as("b"), (col("deg") * OkeyBase + col("b")).as("kb")), "b")
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      val aLtB = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
       val ori = ann.select(
-          when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
-          when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
-          when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+          when(aLtB, col("a")).otherwise(col("b")).as("src"),
+          when(aLtB, col("b")).otherwise(col("a")).as("dst"),
+          when(aLtB, col("db")).otherwise(col("da")).as("ddst"))
         .localCheckpoint(true)
-      // wedges at the ≺-min corner, closed by the oriented (y,z) edge
+      // wedges at the ≺-min corner, closed by the oriented (y,z) edge;
+      // the two out-neighbors are ordered by the same (deg, id) pair
+      val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
+        (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
       val tri = ori.as("e1").join(ori.as("e2"),
-          col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+          col("e1.src") === col("e2.src") && wedgeLt)
         .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
         .join(ori.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
       tri.select(col("x").as("node"))
@@ -220,17 +229,17 @@ object Graph {
              deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
                        SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges)
                      GROUP BY n),
-             ori AS (SELECT CASE WHEN da.deg * $OkeyBase + e.a < db.deg * $OkeyBase + e.b
+             ori AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
                                  THEN e.a ELSE e.b END AS src,
-                            CASE WHEN da.deg * $OkeyBase + e.a < db.deg * $OkeyBase + e.b
+                            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
                                  THEN e.b ELSE e.a END AS dst,
-                            CASE WHEN da.deg * $OkeyBase + e.a < db.deg * $OkeyBase + e.b
-                                 THEN db.deg * $OkeyBase + e.b
-                                 ELSE da.deg * $OkeyBase + e.a END AS kdst
+                            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                                 THEN db.deg ELSE da.deg END AS ddst
                      FROM edges e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
              tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
                      FROM ori e1 JOIN ori e2
-                       ON e1.src = e2.src AND e1.kdst < e2.kdst
+                       ON e1.src = e2.src
+                      AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
                      WHERE EXISTS (SELECT 1 FROM ori e3
                                    WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
              corners AS (SELECT x AS node FROM tri

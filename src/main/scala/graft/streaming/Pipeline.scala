@@ -43,13 +43,16 @@ object Pipeline {
     */
   def fileReplay(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("events-replay")
     java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
     val schema = spark.read.parquet(src.toString).schema
+    // Same schema-adaptive ts bridge as the batch loader (Tables.tsUsExpr)
+    // so stream and batch twins agree under every fixture vintage.
     spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("ts_ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts_us", graft.Tables.tsUsExpr(schema("ts").dataType))
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
   }
 
   /** §0.1 step 4 — config-driven routing, identical to the batch query

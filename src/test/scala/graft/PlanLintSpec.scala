@@ -25,6 +25,9 @@ class PlanLintSpec extends SparkSpec {
       "q_text_heavy_hitters", "q_text_commonness",
       // 1-row broadcast corpus count feeding the map-only candidate hash
       "q_sample_negatives",
+      // 1-row broadcast (max-dims scalar → plane frame) feeding the
+      // map-only JL projection; no per-pair join exists in the query
+      "q_vec_project",
       // the exact-eval side is BY DESIGN a broadcast-m-queries × corpus
       // scan (fixed m = 64 target keeps it linear in n); the ANN side's
       // cell equi-join is asserted separately below

@@ -407,8 +407,8 @@ class StreamingSpec extends SparkSpec {
     }
     def stream() = spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", 1).parquet(replayDir)
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("ts_ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts_us", graft.Tables.tsUsExpr(src.schema("ts").dataType))
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
     stage(0, "a"); stage(1, "b")
     val q1 = Pipeline.firehose(stream(), out, failEvery = 7L)
       .option("checkpointLocation", ckpt).start()
