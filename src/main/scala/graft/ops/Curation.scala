@@ -167,6 +167,83 @@ object Curation {
                    / CAST(MIN(n_docs) AS DOUBLE) * 10000) / 10000 AS keep_rate
             FROM d GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------- token-budget fill
+
+  /** Per-language token budget as a fraction of the language's own token
+    * mass: budget = ceil(lang_tokens / MixTbDiv) — a 20% "temperature
+    * cut" formulated per language so no cross-language float enters.
+    */
+  private val MixTbDiv = 5
+
+  /** Token-budget-capped mixture assembly — the step that turns "train on
+    * a 100 B-token mix" into a concrete document set: documents are laid
+    * out in salted-hash order (the seedless pseudo-shuffle every selection
+    * op here uses, salt "mixtb"), and each language keeps documents while
+    * the running token total BEFORE the document is under the language's
+    * budget — so the last kept document may overshoot by part of itself,
+    * greedy-fill semantics, and membership is a pure function of the
+    * corpus. Output is the per-language audit row (budget, docs kept,
+    * tokens kept, kept-id checksum), the contract a mixture manifest pins.
+    *
+    * Scale shape: the running total is the SAME two-phase sharded prefix
+    * sum as q_pack_sequences, keyed per language — within-(lang, shard)
+    * window + broadcast per-shard offsets (one row per (lang, shard),
+    * never a per-language global sort); budgets come from a tiny census
+    * broadcast back. Token counting is the whitespace spelling shared
+    * with q_text_quality. One wide shuffle (the window) + map-combinable
+    * final agg.
+    */
+  private[graft] def tokenBudgetFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+      .withColumn("u", expr(u32Spark("mixtb")))
+      .withColumn("shard", expr(s"u DIV $HashShardDiv"))
+      .localCheckpoint(true)
+    val budgets = t.groupBy("lang").agg(sum("n_tok").as("tot"))
+      .withColumn("budget", expr(s"(tot + ${MixTbDiv - 1}) DIV $MixTbDiv"))
+      .select("lang", "budget")
+    val wLoc = Window.partitionBy("lang", "shard").orderBy("u", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets frame = one row per (lang, shard); the per-lang window runs
+    // over those ~32 rows per language, not the data
+    val wOff = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("lang", "shard").agg(sum("n_tok").as("_st"))
+      .withColumn("off", coalesce(sum("_st").over(wOff), lit(0L)))
+      .select("lang", "shard", "off")
+    t.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("before", col("off") + coalesce(sum("n_tok").over(wLoc), lit(0L)))
+      .join(broadcast(budgets), "lang")
+      .filter(col("before") < col("budget"))
+      .groupBy("lang", "budget")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("doc_id").as("id_sum"))
+      .select("lang", "budget", "n_docs", "n_tokens", "id_sum")
+      .orderBy("lang")
+  }
+
+  private val qMixTokenBudget = Q(
+    "q_mix_token_budget",
+    (s, dir) => tokenBudgetFrom(Tables(s, dir, "documents")),
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   ${u32Sql("mixtb")} AS u
+                  FROM documents),
+            b AS (SELECT lang,
+                   CAST((SUM(n_tok) + ${MixTbDiv - 1}) // $MixTbDiv AS BIGINT) AS budget
+                  FROM t GROUP BY lang),
+            p AS (SELECT doc_id, lang, n_tok,
+                   COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+                     ORDER BY u, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+                  FROM t)
+            SELECT p.lang, b.budget, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM p JOIN b ON p.lang = b.lang
+            WHERE p.pre < b.budget
+            GROUP BY p.lang, b.budget ORDER BY p.lang"""))
+
   // -------------------------------------------------------- train/val/test
 
   /** Deterministic stratified train/val/test split (80/10/10 by salted
@@ -558,7 +635,7 @@ object Curation {
              WHERE rnk <= $HardK ORDER BY q_id, rnk"""))
 
   val all: Seq[Q] = Seq(
-    qDecontaminate, qSampleMixture, qSplitTrain, qPackSequences,
-    qSourceCap, qDedupIncremental, qSampleNegatives, qSampleHardNegatives,
-    qSourceScorecard)
+    qDecontaminate, qSampleMixture, qMixTokenBudget, qSplitTrain,
+    qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
+    qSampleHardNegatives, qSourceScorecard)
 }

@@ -157,31 +157,57 @@ object Graph {
     * skinny integer frames + one window capped at TriKnn rows per node; no
     * driver-side state.
     */
+  /** The TriKnn-sparsified part co-purchase graph as a canonical
+    * undirected edge set (a < b by id), shared by triangle counting and
+    * label propagation — one similarity-graph construction, two analytics.
+    */
+  private[graft] def sparseEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val co = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    // pair co-occurrence weights; a.p < b.p canonicalizes the pair
+    val w = co.as("a").join(co.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    // per-node strongest TriKnn edges, either direction
+    val half = w.select(col("pa").as("node"), col("pb").as("peer"), col("w"))
+      .unionByName(w.select(col("pb").as("node"), col("pa").as("peer"), col("w")))
+    val kept = half
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("node").orderBy(col("w").desc, col("peer"))))
+      .filter(col("rn") <= TriKnn)
+    kept.select(least(col("node"), col("peer")).as("a"),
+        greatest(col("node"), col("peer")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** The same construction as DuckDB CTEs (`co`/`w`/`half`/`kept`/`edges`),
+    * interpolated into both graph oracles so the two engines cannot drift.
+    */
+  private def sparseEdgesSql: String =
+    s"""co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+             w AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w
+                   FROM co a JOIN co b ON a.ok = b.ok AND a.p < b.p
+                   GROUP BY a.p, b.p),
+             half AS (SELECT pa AS node, pb AS peer, w FROM w
+                      UNION ALL
+                      SELECT pb AS node, pa AS peer, w FROM w),
+             kept AS (SELECT node, peer FROM (
+                        SELECT node, peer,
+                               ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY w DESC, peer) AS rn
+                        FROM half) WHERE rn <= $TriKnn),
+             edges AS (SELECT DISTINCT LEAST(node, peer) AS a,
+                              GREATEST(node, peer) AS b FROM kept)"""
+
   private val qGraphTriangles = Q(
     "q_graph_triangles",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val co = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      // pair co-occurrence weights; a.p < b.p canonicalizes the pair
-      val w = co.as("a").join(co.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint(true)
-      // per-node strongest TriKnn edges, either direction
-      val half = w.select(col("pa").as("node"), col("pb").as("peer"), col("w"))
-        .unionByName(w.select(col("pb").as("node"), col("pa").as("peer"), col("w")))
-      val kept = half
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("w").desc, col("peer"))))
-        .filter(col("rn") <= TriKnn)
-      // canonical undirected sparse edge set (a < b by id)
-      val edges = kept.select(least(col("node"), col("peer")).as("a"),
-          greatest(col("node"), col("peer")).as("b"))
-        .distinct()
-        .localCheckpoint(true)
+      val edges = sparseEdges(s, dir)
       val deg = edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       // degree-oriented edges: src ≺ dst under the lexicographic pair
@@ -212,20 +238,7 @@ object Graph {
         .limit(20)
         .select(col("node").as("p_partkey"), col("tri_cnt"))
     },
-    Some(s"""WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-             w AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w
-                   FROM co a JOIN co b ON a.ok = b.ok AND a.p < b.p
-                   GROUP BY a.p, b.p),
-             half AS (SELECT pa AS node, pb AS peer, w FROM w
-                      UNION ALL
-                      SELECT pb AS node, pa AS peer, w FROM w),
-             kept AS (SELECT node, peer FROM (
-                        SELECT node, peer,
-                               ROW_NUMBER() OVER (PARTITION BY node
-                                 ORDER BY w DESC, peer) AS rn
-                        FROM half) WHERE rn <= $TriKnn),
-             edges AS (SELECT DISTINCT LEAST(node, peer) AS a,
-                              GREATEST(node, peer) AS b FROM kept),
+    Some(s"""WITH $sparseEdgesSql,
              deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
                        SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges)
                      GROUP BY n),
@@ -249,5 +262,94 @@ object Graph {
              FROM corners GROUP BY node
              ORDER BY tri_cnt DESC, node LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles)
+  /** Fixed superstep count for seeded label propagation — labels reach
+    * everything within LpIters hops of a seed while the oracle stays a
+    * finite CTE chain (the q_graph_pagerank discipline).
+    */
+  private val LpIters = 3
+
+  /** 1-in-LpSeedMod nodes are hash-elected community seeds ("lps_" salt,
+    * independent of every other selection stream per the §2.14 rule).
+    */
+  private val LpSeedMod = 32
+
+  /** SEEDED label propagation over the shared TriKnn-sparsified
+    * co-purchase graph: a hash-elected 1-in-[[LpSeedMod]] of nodes start
+    * as seeds carrying their own id; each superstep an UNLABELED node
+    * adopts the minimum label among its labeled neighbors, and a labeled
+    * node keeps its label (first-arrival-wins). After [[LpIters]] rounds
+    * every node holds the min-id seed at minimal hop distance ≤ LpIters —
+    * a hop-space Voronoi assignment ("which cluster seed does this item
+    * belong to"), the deterministic form of community assignment a
+    * curation pipeline actually uses (plain unseeded min-flood is NOT it:
+    * on this small-diameter similarity graph the global min id floods
+    * everything in 3 hops and the answer degenerates to one community —
+    * measured at sf0.01 before this design). Output: top-20 communities
+    * by size (community = seed id, n_members, member id checksum) plus
+    * the `-1` row counting still-unreached nodes — all-integer (D1),
+    * deterministic order.
+    *
+    * Scale shape: adjacency materialized ONCE (2·|E| skinny integer
+    * rows); each superstep is ONE equi-join of the label frame onto it,
+    * ONE map-combinable MIN agg, and ONE node-keyed LEFT join folding
+    * kept labels back — the q_graph_pagerank Pregel-on-shuffle cost
+    * model, localCheckpoint truncating lineage per round, driver sees
+    * only the loop counter. The fixed round count (vs ConnectedComponents'
+    * convergence loop) is what keeps the result DuckDB-expressible.
+    */
+  private val qGraphLabelProp = Q(
+    "q_graph_label_prop",
+    (s, dir) => {
+      val edges = sparseEdges(s, dir)
+      val nodes = edges.select(col("a").as("n"))
+        .unionByName(edges.select(col("b").as("n")))
+        .distinct()
+      val adj = edges.select(col("a").as("n"), col("b").as("nbr"))
+        .unionByName(edges.select(col("b").as("n"), col("a").as("nbr")))
+        .localCheckpoint(true)
+      val seedHash = Llm.md5Hex32Spark("concat('lps_', CAST(n AS STRING))")
+      var lab = nodes.select(col("n"),
+          expr(s"CASE WHEN pmod($seedHash, $LpSeedMod) = 0 THEN n END").as("lab"))
+        .localCheckpoint(true)
+      for (_ <- 1 to LpIters) {
+        val nbrMin = adj
+          .join(lab.select(col("n").as("nbr"), col("lab").as("nl")), "nbr")
+          .filter(col("nl").isNotNull)
+          .groupBy("n").agg(min("nl").as("nm"))
+        lab = lab.join(nbrMin, Seq("n"), "left")
+          .select(col("n"), coalesce(col("lab"), col("nm")).as("lab"))
+          .localCheckpoint(true)
+      }
+      lab.groupBy(coalesce(col("lab"), lit(-1L)).as("community"))
+        .agg(count(lit(1)).as("n_members"), sum("n").as("id_sum"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(20)
+    },
+    Some(s"""WITH $sparseEdgesSql,
+             nodes AS (SELECT DISTINCT n FROM (
+                         SELECT a AS n FROM edges
+                         UNION ALL SELECT b AS n FROM edges) u),
+             adj AS (SELECT a AS n, b AS nbr FROM edges
+                     UNION ALL SELECT b AS n, a AS nbr FROM edges),
+             l0 AS (SELECT n, CASE WHEN ${Llm.md5Hex32Sql("'lps_' || CAST(n AS VARCHAR)")} % $LpSeedMod = 0
+                              THEN n END AS lab FROM nodes),
+             l1 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l0 l
+                    LEFT JOIN (SELECT adj.n, MIN(l0.lab) AS nm FROM adj
+                               JOIN l0 ON adj.nbr = l0.n GROUP BY adj.n) m
+                      ON l.n = m.n),
+             l2 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l1 l
+                    LEFT JOIN (SELECT adj.n, MIN(l1.lab) AS nm FROM adj
+                               JOIN l1 ON adj.nbr = l1.n GROUP BY adj.n) m
+                      ON l.n = m.n),
+             l3 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l2 l
+                    LEFT JOIN (SELECT adj.n, MIN(l2.lab) AS nm FROM adj
+                               JOIN l2 ON adj.nbr = l2.n GROUP BY adj.n) m
+                      ON l.n = m.n)
+             SELECT COALESCE(lab, -1) AS community,
+                    CAST(COUNT(*) AS BIGINT) AS n_members,
+                    CAST(SUM(n) AS BIGINT) AS id_sum
+             FROM l3 GROUP BY COALESCE(lab, -1)
+             ORDER BY n_members DESC, community LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles, qGraphLabelProp)
 }

@@ -237,6 +237,49 @@ class InvariantsSpec extends SparkSpec {
     } finally top.unpersist()
   }
 
+  test("label_prop: communities are hash-elected seeds and sizes are sane") {
+    val out = SparkEntry.queries("q_graph_label_prop")(spark, sf).cache()
+    try {
+      assert(out.count() >= 1 && out.count() <= 20, "top-20 contract")
+      // every community id except the unreached bucket (-1) must satisfy
+      // the seed election rule — a non-seed label can never be flooded
+      val badSeed = out.filter(col("community") =!= -1L).filter(
+        expr("pmod(graft_md5h32(concat('lps_', CAST(community AS STRING))), 32) <> 0"))
+      assert(badSeed.isEmpty, "non-seed community label leaked into output")
+      // sizes positive, and id_sum of a community is at least its size
+      // minus the -1 bucket's possible zero ids (ids are non-negative)
+      assert(out.filter(col("n_members") < 1L).isEmpty, "empty community")
+      // deterministic ordering: sizes non-increasing down the top-20
+      val sizes = out.orderBy(col("n_members").desc, col("community"))
+        .select("n_members").collect().map(_.getLong(0))
+      assert(sizes.sameElements(out.select("n_members").collect().map(_.getLong(0))),
+        "output must be ordered by size desc, community asc")
+    } finally out.unpersist()
+  }
+
+  test("token budget: greedy fill reaches the budget and overshoots < one doc") {
+    val out = SparkEntry.queries("q_mix_token_budget")(spark, sf).cache()
+    try {
+      val docs = Tables(spark, sf, "documents")
+        .select(col("lang"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+      val census = docs.groupBy("lang")
+        .agg(sum("n_tok").as("tot"), max("n_tok").as("max_tok"))
+      val j = out.join(census, "lang").cache()
+      try {
+        // budget is exactly ceil(tot / 5) — the declared rule
+        assert(j.filter(col("budget") =!= expr("(tot + 4) DIV 5")).isEmpty,
+          "budget must equal ceil(lang tokens / 5)")
+        // greedy fill: kept tokens reach the budget...
+        assert(j.filter(col("n_tokens") < col("budget")).isEmpty,
+          "kept tokens must reach the budget (budget <= total by construction)")
+        // ...and overshoot by strictly less than one (the last) document
+        assert(j.filter(col("n_tokens") >= col("budget") + col("max_tok")).isEmpty,
+          "overshoot must be bounded by the largest single document")
+      } finally j.unpersist()
+    } finally out.unpersist()
+  }
+
   test("window-vs-group consistency: final running sum == group sum") {
     val orders = Tables(spark, sf, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
