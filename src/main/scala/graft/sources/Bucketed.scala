@@ -14,18 +14,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  /** Persist `df` bucketed+sorted on `key` as a managed table. */
-  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+  /** Persist `df` bucketed+sorted on `key` as a managed table, or as an
+    * external table at `path` (so callers outside a warehouse-configured
+    * session keep their data under an explicit location).
+    */
+  def write(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    path.fold(w.saveAsTable(table))(p => w.option("path", p).saveAsTable(table))
+  }
 
   /** Equi-join two tables previously written with the same bucket spec on
-    * their respective keys.
+    * their respective keys. The merge hint pins SortMergeJoin: a
+    * broadcast pick (which a small side at a small SF invites) would
+    * bypass the bucketed layout entirely — the point here IS the
+    * co-located large-large join, and at the scale this layout targets
+    * neither side broadcasts anyway.
     */
   def join(spark: SparkSession, left: String, right: String,
       leftKey: String, rightKey: String): DataFrame = {
-    val l = spark.table(left)
+    val l = spark.table(left).hint("merge")
     val r = spark.table(right)
     l.join(r, l(leftKey) === r(rightKey))
   }

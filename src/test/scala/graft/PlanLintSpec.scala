@@ -115,6 +115,24 @@ class PlanLintSpec extends SparkSpec {
       "cell_part predicate must prune the scan to a single partition")
   }
 
+  test("q_join_bucket_colocated joins shuffle-free over the bucketed scans") {
+    // the co-location claim: after both sides are persisted bucketed on
+    // their join keys, the SortMergeJoin must consume the bucketed scans
+    // directly — an Exchange on either join key would mean the layout
+    // guarantee silently lapsed (bucket spec mismatch, bucketing read
+    // disabled, or a refactor dropped the table round-trip). The skinny
+    // post-join per-customer aggregation is the ONLY shuffle allowed.
+    val df = SparkEntry.queries("q_join_bucket_colocated")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""Exchange hashpartitioning\((l_orderkey|o_orderkey)""".r
+      .findFirstIn(plan).isEmpty,
+      s"bucketed join must not re-shuffle on the join key:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"bucketed join must plan as a non-broadcast equi-join:\n$plan")
+    assert(df.inputFiles.exists(_.contains("graft_bucketed_")),
+      "join must read the persisted bucketed tables")
+  }
+
   test("etl numbering windows shuffle by (route, shard), not route alone") {
     // the two-phase numbering claim: the big sort/window exchange must
     // partition by the hour shard too — a route-only hashpartitioning
