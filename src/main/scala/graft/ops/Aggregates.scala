@@ -543,11 +543,60 @@ object Aggregates {
              CAST(MAX(max_qty) AS DOUBLE) AS max_qty
             FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Pearson correlation computed the D2-portable way: Spark's `corr()`
+    * (and DuckDB's) streams FLOAT moments whose partial-merge order is
+    * nondeterministic — un-oracle-able. Instead the five moments are
+    * EXACT BIGINT sums over integerized values (quantities are integral
+    * by fixture construction; prices rounded to whole currency units —
+    * at sf0.1 Σy² ≈ 6.6·10¹⁵ stays under 2⁵³, so even the final
+    * double conversion is exact; beyond that the conversion rounds
+    * identically in both engines, IEEE round-to-nearest), and the
+    * textbook formula runs ONCE per group on the merged scalars — one
+    * map-combinable integer aggregation, deterministic under any
+    * partitioning, floor-truncated at 6dp (engine ROUND rules differ at
+    * .5; floor does not).
+    */
+  private val qAggCorr = Q(
+    "q_agg_corr",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+      li.groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("corr6", expr(
+          "floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) " +
+            "* 1000000) / 1000000"))
+        .select("flag", "n", "corr6")
+        .orderBy("flag")
+    },
+    Some("""WITH t AS (SELECT l_returnflag AS flag,
+              CAST(floor(l_quantity) AS BIGINT) AS x,
+              CAST(round(l_extendedprice) AS BIGINT) AS y
+             FROM lineitem),
+            m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+                  FROM t GROUP BY flag)
+            SELECT flag, n,
+             floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 1000000) / 1000000 AS corr6
+            FROM m ORDER BY flag"""))
+
   val all: Seq[Q] = Seq(
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
     qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
-    qAggRetention, qAggIncremental)
+    qAggRetention, qAggIncremental, qAggCorr)
 }

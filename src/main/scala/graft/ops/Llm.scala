@@ -81,7 +81,7 @@ object Llm {
     * Fixture band buckets only exceed the cap for one sf0.1 SimHash band
     * (312→303 pairs), where both engines agree.
     */
-  private val BandBucketCap = 256
+  private[graft] val BandBucketCap = 256
 
   /** Occupancy cap for q_dedup_editdist's sorted-neighborhood prefix
     * blocks — same discipline as [[BandBucketCap]].
@@ -392,18 +392,19 @@ object Llm {
     * two's complement — harmless: band extraction masks after the shift
     * and xor/bit_count are bit-pattern ops in both engines.
     */
-  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(s, dir, "documents")
-      // explicit count — see shingles(): AQE would coalesce a
-      // column-only repartition of 0.6 MB back to one partition
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-    tok.select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("j"))
+  /** 64-bit SimHash fold over an already-hashed token frame (columns:
+    * keys..., `h` = md5 hex of the token): per-bit ±1 vote + sign fold.
+    * The ONE signature spelling, shared by the text dedup family and the
+    * multimodal frame-fingerprint ("phash") search so the two can never
+    * drift.
+    */
+  private[graft] def simhash64Over(hashed: DataFrame, keys: Seq[String]): DataFrame =
+    hashed.select(keys.map(col) :+ col("h") :+
+        explode(expr("sequence(0, 63)")).as("j"): _*)
       .withColumn("w", expr(simhashSpark))
-      .groupBy("doc_id", "j")
+      .groupBy((keys :+ "j").map(col): _*)
       .agg(sum("w").as("s"))
-      .groupBy("doc_id")
+      .groupBy(keys.map(col): _*)
       // bit 63 spelled as Long.MinValue, not 1<<63: DuckDB raises an
       // overflow error on the shift (Spark wraps); the subtraction form
       // is exact and legal in both engines
@@ -411,6 +412,15 @@ object Llm {
         "CASE WHEN s > 0 THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1 " +
           "ELSE shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) END) ELSE 0 END"))
         .as("simhash"))
+
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      // explicit count — see shingles(): AQE would coalesce a
+      // column-only repartition of 0.6 MB back to one partition
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    simhash64Over(tok.select("doc_id", "h"), Seq("doc_id"))
   }
 
   private val simhashSigsSql =

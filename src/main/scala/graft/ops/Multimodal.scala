@@ -164,5 +164,84 @@ object Multimodal {
              CAST(SUM(keep_id) AS BIGINT) AS kept_id_sum
             FROM g GROUP BY format ORDER BY format"""))
 
-  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalDedup)
+  /** Perceptual-hash-style NEAR-dup over the binary payloads — the "same
+    * video re-encoded / truncated" story exact content dedup can't see:
+    * each asset's sampled frames (the q_multimodal_frames tiling, all
+    * formats) are folded into one 64-bit SimHash fingerprint
+    * ([[Llm.simhash64Over]] — the text family's spelling, applied to
+    * frame hashes instead of token hashes; a REAL pHash would drop in at
+    * the frame-hash step exactly as a real decoder drops into
+    * [[decodeStub]]), then near pairs are found by the banded search:
+    * 4×16-bit bands, format-scoped, occupancy-capped, full Hamming ≤ 3
+    * verify. Because the fingerprint sees only SAMPLED frames, two
+    * assets differing outside the sampled blocks still collide — the
+    * compression-robustness property sampling buys at 100 TB of video.
+    *
+    * Scale shape: frame sampling bounds rows at 5/asset; the signature
+    * fold is two map-combinable integer aggs; candidates come from a
+    * (format, band-slot, band) equi-join with the [[Llm.BandBucketCap]]
+    * occupancy discipline — never an all-pairs comparison.
+    */
+  private val qMultimodalPhash = Q(
+    "q_multimodal_phash",
+    (s, dir) => {
+      val fr = frameSample(assets(s, dir), stride = 4, maxFrames = 5)
+        .select(col("doc_id"), col("format"), col("frame"))
+        .withColumn("h", md5(col("frame").cast("binary")))
+      val sig = Llm.simhash64Over(
+        fr.select("doc_id", "format", "h"), Seq("doc_id", "format"))
+      val bands = Llm.dropHotKeys(
+        sig.select(col("doc_id"), col("format"), col("simhash"),
+            explode(expr("sequence(0, 3)")).as("k"))
+          .withColumn("band", expr("(simhash >> CAST(k * 16 AS INT)) & 65535")),
+        Seq("format", "k", "band"), Llm.BandBucketCap)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.format") === col("b.format") && col("a.k") === col("b.k") &&
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.format").as("format"), col("a.doc_id").as("d1"),
+          col("b.doc_id").as("d2"), col("a.simhash").as("s1"),
+          col("b.simhash").as("s2"))
+        .distinct()
+      cand.withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select("format", "d1", "d2", "hamming")
+        .orderBy("format", "d1", "d2")
+    },
+    Some("""WITH a AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
+              hex(CAST(text AS BLOB)) AS hx
+             FROM documents),
+            fr AS (SELECT doc_id, format,
+                    substr(hx, CAST(i * 64 + 1 AS INT), 16) AS frame
+                   FROM a, unnest(range(0, least(length(hx) // 64, 5))) u(i)),
+            bt AS (SELECT doc_id, format, j,
+                    SUM((((instr('0123456789abcdef', substr(md5(frame), CAST(j // 4 AS INT) + 1, 1)) - 1)
+                         >> CAST(3 - j % 4 AS INT)) & 1) * 2 - 1) AS s
+                   FROM fr CROSS JOIN range(0, 64) r(j) GROUP BY doc_id, format, j),
+            sig AS (SELECT doc_id, format,
+                     CAST(SUM(CASE WHEN s > 0
+                          THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                                ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END)
+                          ELSE 0 END) AS BIGINT) AS simhash
+                    FROM bt GROUP BY doc_id, format),
+            bands0 AS (SELECT doc_id, format, simhash, k,
+                        (simhash >> CAST(k * 16 AS INT)) & 65535 AS band
+                       FROM sig CROSS JOIN range(0, 4) r(k)),
+            hotb AS (SELECT format, k, band FROM bands0 GROUP BY format, k, band
+                     HAVING COUNT(*) > 256),
+            bands AS (SELECT * FROM bands0 b WHERE NOT EXISTS
+                       (SELECT 1 FROM hotb h
+                        WHERE h.format = b.format AND h.k = b.k AND h.band = b.band)),
+            cand AS (SELECT DISTINCT a2.format, a2.doc_id AS d1, b2.doc_id AS d2,
+                       a2.simhash AS s1, b2.simhash AS s2
+                     FROM bands a2 JOIN bands b2
+                       ON a2.format = b2.format AND a2.k = b2.k
+                      AND a2.band = b2.band AND a2.doc_id < b2.doc_id)
+            SELECT format, d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+            ORDER BY format, d1, d2"""))
+
+  val all: Seq[Q] = Seq(
+    qMultimodalMeta, qMultimodalFrames, qMultimodalDedup, qMultimodalPhash)
 }
