@@ -703,8 +703,65 @@ object Etl {
                      AS is_current
             FROM t ORDER BY user_id, version"""))
 
+  /** Schema evolution across producer generations — the ETL reality every
+    * long-lived pipeline hits: an old producer wrote (doc_id, lang), a new
+    * one added (source, n_chars). The corpus hash-splits into the two
+    * generations, each written as REAL parquet with its own schema
+    * (static overwrite under a corpus-fingerprint tmp path — the same
+    * single-writer artifact convention as the ANN index), then read back
+    * through ONE `mergeSchema` scan whose unified schema fills the old
+    * generation's missing columns with NULL. Output is the per-column
+    * fill-rate audit (n_rows, n_filled) the oracle computes independently
+    * from the base table — so what's pinned is the MERGED READ's NULL
+    * semantics, not just the writes.
+    *
+    * Scale shape: two column-pruned writes + one merged scan + a single
+    * map-combinable count aggregation (the per-column counts ride one
+    * agg row; `stack` unpivots 4 scalars, not data). Schema merging cost
+    * is per-FILE footer reconciliation, driver-side metadata only.
+    */
+  private val qEtlSchemaEvolve = Q(
+    "q_etl_schema_evolve",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val fp = {
+        val f = new java.io.File(dir, "documents.parquet")
+        val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}").sorted
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(parts.mkString("|").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evolve_$fp"
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen1", s"$base/gen2")
+      merged
+        .agg(count(lit(1)).as("n"),
+          count("doc_id").as("c_doc_id"), count("lang").as("c_lang"),
+          count("n_chars").as("c_n_chars"), count("source").as("c_source"))
+        .selectExpr("n AS n_rows",
+          "stack(4, 'doc_id', c_doc_id, 'lang', c_lang, " +
+            "'n_chars', c_n_chars, 'source', c_source) AS (col_name, n_filled)")
+        .select("col_name", "n_rows", "n_filled")
+        .orderBy("col_name")
+    },
+    Some("""WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+             FROM documents)
+            SELECT col_name, n AS n_rows, n_filled FROM (
+              SELECT 'doc_id' AS col_name, n, n AS n_filled FROM c
+              UNION ALL SELECT 'lang', n, n FROM c
+              UNION ALL SELECT 'n_chars', n, n_odd FROM c
+              UNION ALL SELECT 'source', n, n_odd FROM c) u
+            ORDER BY col_name"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
-    qStreamTumbling, qStreamSliding, qStreamSession)
+    qEtlSchemaEvolve, qStreamTumbling, qStreamSliding, qStreamSession)
 }
