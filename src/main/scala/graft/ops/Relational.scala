@@ -182,7 +182,50 @@ object Relational {
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
             ORDER BY user_id, ts_us, event_id"""))
 
+  /** Partition pruning DECLARED as a query — the scan-side half of the
+    * table-layout story (`sources.Partitioned`; `q_join_bucket_colocated`
+    * is the join-side half): the corpus is persisted Hive-partitioned by
+    * language (low-cardinality directory column, content-fingerprint tmp
+    * path — existence of the fingerprint-keyed path IS the freshness
+    * proof, since a regenerated corpus changes the path; single-writer
+    * per corpus like every artifact here), then ONE language is queried
+    * back. The planner prunes to that language's directory at compile
+    * time — PlanLintSpec pins `prunesTo(1 of 5)` — so at 100 TB the
+    * query reads ~1/|langs| of the table and lists one directory. The
+    * audit row (count, id checksum, chars sum) is pinned by an oracle
+    * computed independently from the base table: what the partitioned
+    * round-trip must preserve, not just what the scan planned.
+    */
+  private val qScanPartitionPrune = Q(
+    "q_scan_partition_prune",
+    (s, dir) => {
+      val fp = {
+        val f = new java.io.File(dir, "documents.parquet")
+        val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}").sorted
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(parts.mkString("|").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      }
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_docs_bylang_$fp"
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        graft.sources.Partitioned.writeStatic(
+          Tables(s, dir, "documents").select("doc_id", "n_chars", "lang"),
+          path, 1 << 20, "lang")
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum("n_chars").as("chars_sum"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+            CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+            FROM documents WHERE lang = 'en'
+            GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] =
-    Seq(qScanProject, qScanSample, qScanStratified, qAggQ1, qAggCollect,
-      qWinLagLead)
+    Seq(qScanProject, qScanSample, qScanStratified, qScanPartitionPrune,
+      qAggQ1, qAggCollect, qWinLagLead)
 }

@@ -65,11 +65,19 @@ object Partitioned {
   /** True iff `df`'s scan prunes partitions down to `expected` of
     * `total` — i.e. the partition filter is applied at planning time, not
     * per-row. The proof used by the spec and available for ad-hoc audits.
+    * Descends through `AdaptiveSparkPlanExec`: AQE wraps the physical
+    * plan in an adaptive root whose scans `TreeNode.collect` cannot see
+    * (it has no children in the tree sense), so a naive collect reports
+    * "no scans" for any AQE-planned frame.
     */
   def prunesTo(df: DataFrame, expected: Int, total: Int): Boolean = {
-    val scans = df.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => s } ++
+        p.collect { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => allScans(a.executedPlan))
+    val scans = allScans(df.queryExecution.executedPlan)
     scans.nonEmpty && scans.forall { s =>
       s.metadata.get("PartitionFilters").exists(_.nonEmpty) &&
         s.selectedPartitions.partitionCount == expected &&

@@ -133,6 +133,16 @@ class PlanLintSpec extends SparkSpec {
       "join must read the persisted bucketed tables")
   }
 
+  test("q_scan_partition_prune prunes to the one queried language directory") {
+    // the layout claim: filtering on the partition column must prune at
+    // planning time to 1 of the 5 language directories — a scan that
+    // lists all partitions and filters rows would read |langs|× the data
+    // at any scale.
+    val df = SparkEntry.queries("q_scan_partition_prune")(spark, sf)
+    assert(graft.sources.Partitioned.prunesTo(df, 1, 5),
+      "lang predicate must prune the partitioned scan to one directory")
+  }
+
   test("etl numbering windows shuffle by (route, shard), not route alone") {
     // the two-phase numbering claim: the big sort/window exchange must
     // partition by the hour shard too — a route-only hashpartitioning
