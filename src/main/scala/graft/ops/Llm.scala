@@ -964,6 +964,68 @@ object Llm {
                      FROM asg WHERE arn <= $IvfProbes),
              $cellTopKSql"""))
 
+  /** IVF-style MAX-INNER-PRODUCT search — the metric a recommender /
+    * retrieval-scoring pipeline ranks by (Faiss `METRIC_INNER_PRODUCT`),
+    * genuinely different from cosine: a long vector beats a
+    * well-aligned short one, so the top-k CANNOT be derived from
+    * `q_sim_ivf`'s output. Same index machinery, different scoring: k ≈
+    * √n hash-sampled centroids under the independent "mip_" salt,
+    * assignment and ranking both by ROUNDED RAW DOT PRODUCT — spelled
+    * through the SAME `graft_cells`/`cellTopK` election by feeding unit
+    * norms (ip = dot/(1·1)), so the family's one tie-break/rounding
+    * contract covers this metric too instead of forking a second
+    * spelling. Output (q_id, rnk, n_id, ip) top-3 per query.
+    *
+    * Scale shape: identical to q_sim_ivf — one broadcast centroid row,
+    * map-only in-row election, skinny probe equi-join, per-query window.
+    */
+  private val qSimMips = Q(
+    "q_sim_mips",
+    (s, dir) => {
+      val cents = hashSampledArr(s, dir, "mip_",
+        "CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))") {
+        _.select(col("vec_id").as("c_id"), col("v").as("cv"), lit(1.0).as("cn"))
+          .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+      }
+      val probed = vecs(s, dir).crossJoin(broadcast(cents))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("one", lit(1.0))
+        .withColumn("pc", expr(s"graft_cells(v, one, cents, $IvfProbes)"))
+        .select(col("vec_id"), col("v"), col("pc"))
+        .localCheckpoint(true)
+      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        expr("element_at(pc, 1).c_id").as("cell"))
+      val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
+      val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("n_id"))
+      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("ip", round(graft.functions.graft_dot(col("qv"), col("nv")), 4))
+        .select("q_id", "n_id", "ip")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "rnk", "n_id", "ip")
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH $vecsSql,
+             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM embeddings),
+             cent AS (SELECT vec_id AS c_id, v AS cv FROM n CROSS JOIN prm
+                      WHERE ${md5U01Sql("'mip_' || CAST(vec_id AS VARCHAR)")} < thr),
+             asg AS (SELECT n.vec_id, n.v, c_id,
+                      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                        ROUND(list_dot_product(v, cv), 4) DESC, c_id) AS arn
+                     FROM n CROSS JOIN cent),
+             idx AS (SELECT vec_id AS n_id, v AS nv, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+                     FROM asg WHERE arn <= $IvfProbes),
+             p AS (SELECT q_id, n_id,
+                    ROUND(list_dot_product(qv, nv), 4) AS ip
+                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY ip DESC, n_id) AS BIGINT) AS rnk FROM p)
+             SELECT q_id, rnk, n_id, ip FROM r WHERE rnk <= 3
+             ORDER BY q_id, rnk"""))
+
   /** Query-sample size for the recall evaluation. FIXED, not √n: the
     * exact-scan side costs m·n dots, so a constant m keeps index QA
     * LINEAR in corpus size (a √n sample would make it n^1.5 — the same
@@ -2700,7 +2762,7 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimMips, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,

@@ -19,7 +19,7 @@ class PlanLintSpec extends SparkSpec {
     // before the eager localCheckpoint, so the returned plan never shows
     // them — keeping them un-exempted means a refactor that drops the
     // checkpoint (exposing a real NLJ over the vectors) fails the lint.
-    Set("q_join_cross", "q_text_tfidf", "q_sim_ivf",
+    Set("q_join_cross", "q_text_tfidf", "q_sim_ivf", "q_sim_mips",
       "q_text_langid_ngram", "q_sim_ann_lsh", "q_dedup_embed",
       // 1-row broadcast total joined onto already-aggregated skinny rows
       "q_text_heavy_hitters", "q_text_commonness",
@@ -58,8 +58,8 @@ class PlanLintSpec extends SparkSpec {
         .findFirstIn(plan).isDefined,
         s"$name must equi-join on the (band, sig) bucket key:\n$plan")
     }
-    Seq("q_sim_ivf", "q_sim_ivfpq", "q_sim_pq", "q_sample_hard_negatives",
-        "q_sim_recall_eval").foreach { name =>
+    Seq("q_sim_ivf", "q_sim_mips", "q_sim_ivfpq", "q_sim_pq",
+        "q_sample_hard_negatives", "q_sim_recall_eval").foreach { name =>
       val ivf = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
