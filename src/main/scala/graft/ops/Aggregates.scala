@@ -592,11 +592,49 @@ object Aggregates {
                    * 1000000) / 1000000 AS corr6
             FROM m ORDER BY flag"""))
 
+  /** Exponential time-decay scoring (one-week half-life) in EXACT integer
+    * arithmetic — the recency-weighted engagement feature every ranking /
+    * user-model pipeline computes, made oracle-able: the float form
+    * (Σ v·2^(−age/τ)) can't cross-engine hash-match (D1), so values are
+    * integerized to micro-units and the half-life weight is applied as an
+    * arithmetic right shift by whole weeks of age (floor division by 2^k
+    * — exact, order-independent, map-combinable). The reference day is
+    * the corpus max timestamp (1-row broadcast, the scalar-subquery
+    * pattern), so the query is a pure function of the corpus. Top-20
+    * users by decayed engagement; values are nonnegative by fixture
+    * construction, keeping shift and floor-division semantics identical
+    * across engines.
+    */
+  private val qAggDecay = Q(
+    "q_agg_decay",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          expr("shiftright(CAST(floor(value * 1000000) AS BIGINT), " +
+            "CAST(datediff(ref_day, to_date(ts)) div 7 AS INT))").as("decayed"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("decayed").as("decayed_micro"))
+        .orderBy(col("decayed_micro").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH ref AS (SELECT CAST(MAX(ts) AS DATE) AS ref_day FROM events),
+             d AS (SELECT user_id,
+                     CAST(floor(value * 1000000) AS BIGINT) //
+                       (CAST(1 AS BIGINT) <<
+                        (date_diff('day', CAST(ts AS DATE), ref_day) // 7)) AS decayed
+                   FROM events, ref)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(decayed) AS BIGINT) AS decayed_micro
+            FROM d GROUP BY user_id
+            ORDER BY decayed_micro DESC, user_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
     qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
-    qAggRetention, qAggIncremental, qAggCorr)
+    qAggRetention, qAggIncremental, qAggCorr, qAggDecay)
 }

@@ -760,8 +760,55 @@ object Etl {
               UNION ALL SELECT 'source', n, n_odd FROM c) u
             ORDER BY col_name"""))
 
+  /** Calendar-spine gap fill — the dense-time-series contract every
+    * downstream aggregation/forecast job assumes ("a row per
+    * (series, day), zeros where nothing happened") and Spark has no
+    * built-in for. The scale discipline: the BIG side (events) collapses
+    * to per-(type, day) partials FIRST (map-combinable), the spine is
+    * |types| × |days| — metadata-sized however large the fact table is —
+    * built from a broadcast 1-row global [min, max] span, and the
+    * LEFT join runs spine-against-partials, never spine-against-facts.
+    * Value sums are integerized (floor cents) per D1 so zero-filled and
+    * observed rows hash identically cross-engine.
+    */
+  private val qEtlGapfill = Q(
+    "q_etl_gapfill",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("value_cents"))
+      val span = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+               FROM events GROUP BY 1, 2),
+             span AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+                      FROM events),
+             spine AS (SELECT t.event_type, CAST(u.day AS DATE) AS day
+                       FROM (SELECT DISTINCT event_type FROM events) t,
+                            (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                             FROM span) u)
+            SELECT s.event_type, s.day,
+              COALESCE(d.n, 0) AS n, COALESCE(d.value_cents, 0) AS value_cents
+            FROM spine s LEFT JOIN daily d
+              ON s.event_type = d.event_type AND s.day = d.day
+            ORDER BY s.event_type, s.day"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
-    qEtlSchemaEvolve, qStreamTumbling, qStreamSliding, qStreamSession)
+    qEtlSchemaEvolve, qEtlGapfill, qStreamTumbling, qStreamSliding,
+    qStreamSession)
 }

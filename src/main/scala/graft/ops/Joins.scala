@@ -363,8 +363,75 @@ object Joins {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** INTERVAL × INTERVAL overlap self-join executed as a week-BINNED
+    * equi-join — the temporal range join Spark has no native operator for
+    * (q_join_theta_range covers the scalar-band case; this is the
+    * two-sided-interval case every "concurrent shipments / overlapping
+    * sessions" workload needs). Framing: each high-quantity lineitem is a
+    * shipment "in transit" for [shipdate, shipdate + 3..9 days]
+    * (duration varies by line number, so intervals genuinely differ);
+    * find, per supplier, every pair of its shipments whose transit
+    * windows overlap.
+    *
+    * The naive formulation is a per-supplier O(n²) nested-loop over the
+    * overlap predicate. Instead both sides explode each interval into the
+    * integer WEEKS it covers (≤ 2-3 rows for a ≤ 9-day interval) and the
+    * join becomes a hash join on (supplier, week) with the exact overlap
+    * predicate as a residual filter. A pair overlapping across several
+    * shared weeks would match once per week, so the canonical
+    * de-duplication keeps only the bucket containing the OVERLAP START
+    * (`greatest(a.start, b.start) div 7` — a week both sides provably
+    * cover): each qualifying pair survives exactly once, no
+    * post-join `distinct` needed. Pair space shrinks from Σ n_supp² to
+    * Σ per-(supplier, week) products — the formulation that survives
+    * 100 TB, where a supplier's history is long but its per-week transit
+    * density is bounded. Output: per-supplier pair count + total
+    * overlapping days, all-integer (D1).
+    */
+  private val qJoinIntervalOverlap = Q(
+    "q_join_interval_overlap",
+    (s, dir) => {
+      val t = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45.0)
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("iid"),
+          col("l_suppkey").as("supp"),
+          datediff(col("l_shipdate"), lit("1990-01-01")).as("sd"),
+          (datediff(col("l_shipdate"), lit("1990-01-01"))
+            + col("l_linenumber") % 7 + 3).as("ed"))
+      val e = t.withColumn("wk", explode(expr("sequence(sd div 7, ed div 7)")))
+      val a = e.select(col("iid").as("a_iid"), col("supp"),
+        col("sd").as("a_sd"), col("ed").as("a_ed"), col("wk"))
+      val b = e.select(col("iid").as("b_iid"), col("supp").as("b_supp"),
+        col("sd").as("b_sd"), col("ed").as("b_ed"), col("wk").as("b_wk"))
+      a.join(b,
+          col("supp") === col("b_supp") && col("wk") === col("b_wk") &&
+          col("a_iid") < col("b_iid") &&
+          col("a_sd") <= col("b_ed") && col("b_sd") <= col("a_ed") &&
+          expr("greatest(a_sd, b_sd) div 7") === col("wk"))
+        .groupBy("supp")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(least(a_ed, b_ed) - greatest(a_sd, b_sd) + 1 AS BIGINT)"))
+            .as("overlap_days"))
+        .orderBy("supp")
+    },
+    Some("""WITH t AS (SELECT l_orderkey * 8 + l_linenumber AS iid,
+                 l_suppkey AS supp,
+                 date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS sd,
+                 date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE))
+                   + l_linenumber % 7 + 3 AS ed
+               FROM lineitem WHERE l_quantity >= 45.0)
+            SELECT a.supp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(LEAST(a.ed, b.ed) - GREATEST(a.sd, b.sd) + 1) AS BIGINT)
+                AS overlap_days
+            FROM t a JOIN t b
+              ON a.supp = b.supp AND a.iid < b.iid
+             AND a.sd <= b.ed AND b.sd <= a.ed
+            GROUP BY a.supp ORDER BY a.supp"""))
+
   val all: Seq[Q] = Seq(
     qJoinInnerBroadcast, qJoinInnerShuffle, qJoinLeftOuter, qJoinFullOuter,
     qJoinLeftSemi, qJoinLeftAnti, qJoinCross, qJoinThetaRange, qJoinAsof,
-    qJoinStar, qJoinNullSafe, qJoinSkewSalted, qJoinBucketColocated)
+    qJoinStar, qJoinNullSafe, qJoinSkewSalted, qJoinBucketColocated,
+    qJoinIntervalOverlap)
 }

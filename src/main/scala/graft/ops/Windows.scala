@@ -217,7 +217,102 @@ object Windows {
              FROM sx GROUP BY user_id, sess_seq
              ORDER BY user_id, sess_seq"""))
 
+  /** Sweep-line interval concurrency — the scale-correct ANSWER to
+    * "how many intervals are open at once" that q_join_interval_overlap's
+    * pair join deliberately is not: every transit interval
+    * [shipdate, shipdate + 3..9 days] contributes a +1 boundary at its
+    * start day and a −1 at end+1, boundaries are pre-aggregated per
+    * (supplier, day) (map-combinable — the window input shrinks to
+    * distinct active days), and one running sum per supplier ordered by
+    * day IS the end-of-day concurrency curve. Peak concurrency and its
+    * first day then fall out of a per-partition max. Cost: one shuffle
+    * on supplier + one sorted window — linear in boundaries, NO pair
+    * space at all, which is why a 100 TB history with million-pair
+    * overlap cardinality still sweeps in one pass. Day-granular framing
+    * (deltas keyed to whole days, running sum over the pre-aggregated
+    * per-day deltas) also makes the curve tie-free: within a day there
+    * is no boundary order to disagree on, so the result is
+    * engine-exact (D1). Output: per-supplier peak + first peak day,
+    * all-integer.
+    */
+  private val qWinIntervalSweep = Q(
+    "q_win_interval_sweep",
+    (s, dir) => {
+      val t = Tables(s, dir, "lineitem").select(
+        col("l_suppkey").as("supp"),
+        datediff(col("l_shipdate"), lit("1990-01-01")).as("sd"),
+        (datediff(col("l_shipdate"), lit("1990-01-01"))
+          + col("l_linenumber") % 7 + 3).as("ed"))
+      val deltas = t.select(col("supp"), col("sd").as("day"), lit(1).as("delta"))
+        .unionByName(t.select(col("supp"), (col("ed") + 1).as("day"), lit(-1).as("delta")))
+        .groupBy("supp", "day").agg(sum("delta").as("delta"))
+      val wRun = Window.partitionBy("supp").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("conc", sum("delta").over(wRun))
+        .withColumn("peak", max("conc").over(Window.partitionBy("supp")))
+        .filter(col("conc") === col("peak"))
+        .groupBy("supp")
+        .agg(max("conc").as("peak"), min("day").cast("long").as("peak_day"))
+        .orderBy("supp")
+    },
+    Some("""WITH t AS (SELECT l_suppkey AS supp,
+                 date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS sd,
+                 date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE))
+                   + l_linenumber % 7 + 3 AS ed
+               FROM lineitem),
+             d AS (SELECT supp, day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+                     SELECT supp, sd AS day, 1 AS delta FROM t
+                     UNION ALL SELECT supp, ed + 1 AS day, -1 AS delta FROM t) u
+                   GROUP BY supp, day),
+             c AS (SELECT supp, day, CAST(SUM(delta) OVER (PARTITION BY supp
+                     ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+                   FROM d),
+             p AS (SELECT supp, day, conc,
+                     MAX(conc) OVER (PARTITION BY supp) AS peak FROM c)
+            SELECT supp, CAST(MAX(conc) AS BIGINT) AS peak,
+              CAST(MIN(day) AS BIGINT) AS peak_day
+            FROM p WHERE conc = peak GROUP BY supp ORDER BY supp"""))
+
+  /** Distribution-position analytics (`cume_dist`/`percent_rank`) in
+    * INTEGER basis points — the built-ins return doubles, which cannot
+    * cross-engine hash-match (D1), so the op computes the same quantities
+    * from their defining integer counts: cume_bp = ⌊10⁴ · |rows ≤ v| / n⌋
+    * via a RANGE-framed count (ties included, order-independent), and
+    * prank_bp = ⌊10⁴ · (rank−1) / (n−1)⌋. rank is cast long BEFORE the
+    * ×10⁴ — at warehouse scale a partition outgrows Int×10⁴ long before
+    * it outgrows BIGINT. One shuffle on the partition key serves all
+    * three windows (Catalyst collapses same-partition windows into one
+    * sort); output is row-per-order, keyed unique by o_orderkey.
+    */
+  private val qWinCumeDist = Q(
+    "q_win_cume_dist",
+    (s, dir) => {
+      val wN = Window.partitionBy("o_orderpriority")
+      val wLe = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRk = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      Tables(s, dir, "orders")
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("cle", count(lit(1)).over(wLe))
+        .withColumn("rk", rank().over(wRk).cast("long"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          expr("cle * 10000 div n").as("cume_bp"),
+          expr("(rk - 1) * 10000 div (n - 1)").as("prank_bp"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+               COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE UNBOUNDED PRECEDING) AS cle,
+               rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rk
+             FROM orders)
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+              CAST(cle * 10000 // n AS BIGINT) AS cume_bp,
+              CAST((rk - 1) * 10000 // (n - 1) AS BIGINT) AS prank_bp
+            FROM x ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
-    qWinNthValue, qWinDedupLatest, qWinSessionize)
+    qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
+    qWinCumeDist)
 }
