@@ -351,5 +351,64 @@ object Graph {
              FROM l3 GROUP BY COALESCE(lab, -1)
              ORDER BY n_members DESC, community LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles, qGraphLabelProp)
+  /** Neighborhood-Jaccard edge scoring over the sparsified co-purchase
+    * graph — the link-prediction / graph-near-dup primitive ("how much do
+    * this edge's endpoints share their neighborhoods"): for every kept
+    * edge (a, b), common = |N(a) ∩ N(b)| counted by the WEDGE join
+    * (adjacency probed from both endpoints, equi-joined on the shared
+    * neighbor — set intersection as a hash join, never materializing
+    * per-node neighbor arrays), and jac_bp = ⌊10⁴·common / (deg_a +
+    * deg_b − common)⌋ all-integer (D1; denominator ≥ 2 because a and b
+    * are in each other's union by edge existence). Top-20 edges by
+    * similarity, (a, b) tie-break.
+    *
+    * Scale shape: the k-NN cap bounds |E| ≤ n·16, the wedge join's
+    * per-edge probe fan-out is deg(a) ≤ cap-bounded average, and every
+    * stage is an equi-join or map-combinable count on skinny integer
+    * frames — the q_graph_triangles cost model applied to per-edge
+    * scoring instead of closure counting.
+    */
+  private val qGraphJaccardNbr = Q(
+    "q_graph_jaccard_nbr",
+    (s, dir) => {
+      val edges = sparseEdges(s, dir)
+      val adj = edges.select(col("a").as("n"), col("b").as("nbr"))
+        .unionByName(edges.select(col("b").as("n"), col("a").as("nbr")))
+        .localCheckpoint(true) // three consumers: degree, both wedge probes
+      val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+      val common = edges
+        .join(adj.select(col("n").as("a"), col("nbr").as("x")), "a")
+        .join(adj.select(col("n").as("b"), col("nbr").as("x")), Seq("b", "x"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      edges.join(common, Seq("a", "b"), "left")
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"),
+          coalesce(col("common"), lit(0L)).as("common"), col("da"), col("db"),
+          expr("coalesce(common, CAST(0 AS BIGINT)) * 10000 div " +
+            "(da + db - coalesce(common, CAST(0 AS BIGINT)))").as("jac_bp"))
+        .orderBy(col("jac_bp").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""WITH $sparseEdgesSql,
+             adj AS (SELECT a AS n, b AS nbr FROM edges
+                     UNION ALL SELECT b AS n, a AS nbr FROM edges),
+             deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY n),
+             cm AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS common
+                    FROM edges e
+                    JOIN adj x1 ON x1.n = e.a
+                    JOIN adj x2 ON x2.n = e.b AND x2.nbr = x1.nbr
+                    GROUP BY e.a, e.b)
+            SELECT e.a, e.b, COALESCE(cm.common, 0) AS common,
+              d1.deg AS da, d2.deg AS db,
+              COALESCE(cm.common, 0) * 10000 //
+                (d1.deg + d2.deg - COALESCE(cm.common, 0)) AS jac_bp
+            FROM edges e
+            LEFT JOIN cm ON e.a = cm.a AND e.b = cm.b
+            JOIN deg d1 ON d1.n = e.a
+            JOIN deg d2 ON d2.n = e.b
+            ORDER BY jac_bp DESC, e.a, e.b LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles, qGraphLabelProp,
+    qGraphJaccardNbr)
 }

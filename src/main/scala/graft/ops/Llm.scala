@@ -2759,6 +2759,61 @@ object Llm {
              SELECT vec_id, CAST(dim AS BIGINT) AS dim, y FROM pr
              ORDER BY vec_id, dim"""))
 
+  /** Bigram language-model scoring — the n-gram-LM quality filter (the
+    * KenLM-perplexity stand-in every corpus-filtering recipe runs) in
+    * exact integer arithmetic: a float log-prob can't cross-engine
+    * hash-match (D1), so the score is the basis-point fraction of a
+    * doc's bigrams found in the corpus top-[[LmTopV]] bigram table —
+    * monotone in the same "does this read like the corpus" signal, and
+    * engine-exact. Bigrams come from a MAP-ONLY array transform on the
+    * split token array (`q_text_commonness`' whitespace spelling) — no
+    * per-token window, no positional self-join; the LM table is
+    * (cnt desc, bigram) total-ordered before the LIMIT so the cut is
+    * deterministic in both engines, then broadcast back as a semi-side
+    * marker. Scale shape: explode → one agg for the LM, one broadcast
+    * left join + one map-combinable agg for scoring; nothing driver-side.
+    */
+  private val LmTopV = 1000
+
+  private val qTextLmScore = Q(
+    "q_text_lm_score",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val bg = docs.select(col("doc_id"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))"))
+          .as("bg"))
+        .localCheckpoint(true) // two consumers: LM table + scoring
+      val top = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg")).limit(LmTopV)
+        .select(col("bg"), lit(1L).as("hit"))
+      val scored = bg.join(broadcast(top), Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_top"))
+      docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_top"), lit(0L)).as("n_top"),
+          expr("CASE WHEN coalesce(n_bigrams, CAST(0 AS BIGINT)) = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_top * 10000 div n_bigrams END").as("lm_bp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             b AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg
+                   FROM d, unnest(range(1, len(l))) AS u(i)),
+             top AS (SELECT bg, CAST(1 AS BIGINT) AS hit FROM (
+                       SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg
+                       ORDER BY cnt DESC, bg LIMIT $LmTopV)),
+             sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                      CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_top
+                    FROM b LEFT JOIN top USING (bg) GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+              COALESCE(sc.n_top, 0) AS n_top,
+              CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE sc.n_top * 10000 // sc.n_bigrams END AS lm_bp
+            FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
@@ -2766,5 +2821,5 @@ object Llm {
     qVecKmeansRefine, qVecQuantize, qVecProject,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qSimDocTopk, qMultimodalJoin)
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk, qMultimodalJoin)
 }
