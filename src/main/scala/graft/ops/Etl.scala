@@ -806,9 +806,66 @@ object Etl {
               ON s.event_type = d.event_type AND s.day = d.day
             ORDER BY s.event_type, s.day"""))
 
+  /** Snapshot table diff — the data-regression report every pipeline runs
+    * between two generations of the same table before promoting one
+    * ("what changed since yesterday's build"): rows classified
+    * added / removed / changed / unchanged by a keyed FULL OUTER join,
+    * folded to one audit row per class (count + id checksum). The two
+    * generations are deterministic hash-derivations of events (1-in-13
+    * keys absent from the old snapshot = added, 1-in-10 dropped from the
+    * new = removed, 1-in-7 values shifted = changed), so the query stays
+    * a pure function of the corpus. Values compared in integer cents
+    * (D1). Scale shape: ONE equi-join on the primary key (co-bucketed
+    * generations make it exchange-free, the q_join_bucket_colocated
+    * layout) + a map-combinable 4-group aggregation; output is fixed-size
+    * however large the table.
+    */
+  private val qEtlTableDiff = Q(
+    "q_etl_table_diff",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val a = ev
+        .filter(expr(s"pmod(${Llm.md5Hex32Spark("concat('tda_', CAST(event_id AS STRING))")}, 13) != 0"))
+        .select(col("event_id").as("id_a"), col("cents").as("cents_a"))
+      val b = ev
+        .filter(expr(s"pmod(${Llm.md5Hex32Spark("concat('tdd_', CAST(event_id AS STRING))")}, 10) != 0"))
+        .select(col("event_id").as("id_b"),
+          expr(s"cents + CASE WHEN pmod(${Llm.md5Hex32Spark("concat('tdc_', CAST(event_id AS STRING))")}, 7) = 0 " +
+            "THEN 100 ELSE 0 END").as("cents_b"))
+      a.join(b, col("id_a") === col("id_b"), "full_outer")
+        .select(
+          when(col("id_a").isNull, "added")
+            .when(col("id_b").isNull, "removed")
+            .when(col("cents_a") =!= col("cents_b"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("id_a"), col("id_b")).as("id"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+        .orderBy("status")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+                         FROM events),
+             a AS (SELECT event_id AS id_a, cents AS cents_a FROM ev
+                   WHERE ${Llm.md5Hex32Sql("'tda_' || CAST(event_id AS VARCHAR)")} % 13 != 0),
+             b AS (SELECT event_id AS id_b,
+                     cents + CASE WHEN ${Llm.md5Hex32Sql("'tdc_' || CAST(event_id AS VARCHAR)")} % 7 = 0
+                             THEN 100 ELSE 0 END AS cents_b
+                   FROM ev
+                   WHERE ${Llm.md5Hex32Sql("'tdd_' || CAST(event_id AS VARCHAR)")} % 10 != 0),
+             j AS (SELECT CASE WHEN id_a IS NULL THEN 'added'
+                               WHEN id_b IS NULL THEN 'removed'
+                               WHEN cents_a != cents_b THEN 'changed'
+                               ELSE 'unchanged' END AS status,
+                     COALESCE(id_a, id_b) AS id
+                   FROM a FULL OUTER JOIN b ON id_a = id_b)
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(id) AS BIGINT) AS id_sum
+            FROM j GROUP BY status ORDER BY status"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
-    qEtlSchemaEvolve, qEtlGapfill, qStreamTumbling, qStreamSliding,
-    qStreamSession)
+    qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qStreamTumbling,
+    qStreamSliding, qStreamSession)
 }

@@ -2552,6 +2552,49 @@ object Llm {
                               FROM documents)))
             ORDER BY doc_id"""))
 
+  /** Cross-document n-gram span audit — the memorization / boilerplate
+    * report (Lee et al. 2022's "deduplicating training data" substring
+    * finding, at span granularity): the corpus's most-duplicated 8-token
+    * spans, with how many docs carry each and the earliest carrier.
+    * Distinct from doc-/chunk-level dedup: it FINDS the repeated material
+    * itself (license headers, navigation chrome, quoted passages) that
+    * survives document-level dedup because its carriers differ elsewhere.
+    *
+    * Spans are built MAP-ONLY from the split token array (`transform`
+    * over a 1-based index sequence + `slice`/`concat_ws` — no positional
+    * self-join); docs shorter than 8 tokens are filtered BEFORE
+    * `sequence(1, n−7)` (Spark's sequence descends for stop < start —
+    * the q_text_bpe_step divergence guard). One hash aggregation keyed by
+    * span then carries (distinct-doc count, occurrence count, min doc) —
+    * a span repeated a million times combines map-side; nothing driver
+    * bound. Top-20 by (n_docs, n_occ, span) — string tie-break is total.
+    */
+  private val qDedupNgramSpan = Q(
+    "q_dedup_ngram_span",
+    (s, dir) => {
+      val g = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+          .as("gram"))
+      g.groupBy("gram")
+        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+          min("doc_id").as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+        .limit(20)
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             g AS (SELECT doc_id, array_to_string(l[i:i+7], ' ') AS gram
+                   FROM d, unnest(range(1, len(l) - 6)) AS u(i)
+                   WHERE len(l) >= 8)
+            SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_occ,
+              CAST(MIN(doc_id) AS BIGINT) AS min_doc
+            FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 20"""))
+
   /** Asymmetric shingle containment C(A,B) = |A∩B| / |A| — catches a doc
     * embedded inside a larger one, which symmetric Jaccard structurally
     * misses (a 100-shingle doc fully contained in a 10,000-shingle doc has
@@ -2816,7 +2859,7 @@ object Llm {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
-    qDedupSimhashPairs, qDedupEmbed, qPipelineFilter,
+    qDedupSimhashPairs, qDedupEmbed, qDedupNgramSpan, qPipelineFilter,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimMips, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,

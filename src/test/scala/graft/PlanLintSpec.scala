@@ -23,6 +23,12 @@ class PlanLintSpec extends SparkSpec {
       "q_text_langid_ngram", "q_sim_ann_lsh", "q_dedup_embed",
       // 1-row broadcast total joined onto already-aggregated skinny rows
       "q_text_heavy_hitters", "q_text_commonness",
+      // 1-row broadcast reference day (max ts) fanned onto the fact scan;
+      // the decay itself is map-only + one keyed agg
+      "q_agg_decay",
+      // 1-row broadcast global [min,max] span fanned onto the distinct
+      // type list to build the metadata-sized calendar spine
+      "q_etl_gapfill",
       // 1-row broadcast corpus count feeding the map-only candidate hash
       "q_sample_negatives",
       // 1-row broadcast (max-dims scalar → plane frame) feeding the
