@@ -354,31 +354,49 @@ object Graph {
   /** Neighborhood-Jaccard edge scoring over the sparsified co-purchase
     * graph — the link-prediction / graph-near-dup primitive ("how much do
     * this edge's endpoints share their neighborhoods"): for every kept
-    * edge (a, b), common = |N(a) ∩ N(b)| counted by the WEDGE join
-    * (adjacency probed from both endpoints, equi-joined on the shared
-    * neighbor — set intersection as a hash join, never materializing
-    * per-node neighbor arrays), and jac_bp = ⌊10⁴·common / (deg_a +
-    * deg_b − common)⌋ all-integer (D1; denominator ≥ 2 because a and b
-    * are in each other's union by edge existence). Top-20 edges by
-    * similarity, (a, b) tie-break.
+    * edge (a, b), common = |N(a) ∩ N(b)| and jac_bp = ⌊10⁴·common /
+    * (deg_a + deg_b − common)⌋ all-integer (D1; denominator ≥ 2 because
+    * a and b are in each other's union by edge existence). Top-20 edges
+    * by similarity, (a, b) tie-break.
     *
-    * Scale shape: the k-NN cap bounds |E| ≤ n·16, the wedge join's
-    * per-edge probe fan-out is deg(a) ≤ cap-bounded average, and every
-    * stage is an equi-join or map-combinable count on skinny integer
-    * frames — the q_graph_triangles cost model applied to per-edge
-    * scoring instead of closure counting.
+    * Scale shape: common(a, b) is EXACTLY the number of triangles
+    * through edge (a, b), so the counts ride the same degree-ORIENTED
+    * wedge enumeration as `q_graph_triangles` — fan-out bounded by
+    * out-degree under orientation, O(√|E|) — with each found triangle
+    * exploded onto its three canonical edges and counted per edge. The
+    * naive alternative (probe adjacency from one endpoint, equi-join on
+    * the shared neighbor) pays Σ_edges deg(endpoint), which a hub's
+    * UNBOUNDED in-degree blows up — measured 29 s vs ~6 s for the
+    * oriented form on the same fixture, and the gap widens with skew.
     */
   private val qGraphJaccardNbr = Q(
     "q_graph_jaccard_nbr",
     (s, dir) => {
       val edges = sparseEdges(s, dir)
-      val adj = edges.select(col("a").as("n"), col("b").as("nbr"))
-        .unionByName(edges.select(col("b").as("n"), col("a").as("nbr")))
-        .localCheckpoint(true) // three consumers: degree, both wedge probes
-      val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
-      val common = edges
-        .join(adj.select(col("n").as("a"), col("nbr").as("x")), "a")
-        .join(adj.select(col("n").as("b"), col("nbr").as("x")), Seq("b", "x"))
+      val deg = edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val ann = edges
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      val aLtB = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val ori = ann.select(
+          when(aLtB, col("a")).otherwise(col("b")).as("src"),
+          when(aLtB, col("b")).otherwise(col("a")).as("dst"),
+          when(aLtB, col("db")).otherwise(col("da")).as("ddst"))
+        .localCheckpoint(true)
+      val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
+        (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+      val tri = ori.as("e1").join(ori.as("e2"),
+          col("e1.src") === col("e2.src") && wedgeLt)
+        .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+        .join(ori.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+      val common = tri.select(explode(array(
+          struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")),
+          struct(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")),
+          struct(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b"))))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("common"))
       edges.join(common, Seq("a", "b"), "left")
         .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
@@ -391,14 +409,27 @@ object Graph {
         .limit(20)
     },
     Some(s"""WITH $sparseEdgesSql,
-             adj AS (SELECT a AS n, b AS nbr FROM edges
-                     UNION ALL SELECT b AS n, a AS nbr FROM edges),
-             deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY n),
-             cm AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS common
-                    FROM edges e
-                    JOIN adj x1 ON x1.n = e.a
-                    JOIN adj x2 ON x2.n = e.b AND x2.nbr = x1.nbr
-                    GROUP BY e.a, e.b)
+             deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                       SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges)
+                     GROUP BY n),
+             ori AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                                 THEN e.a ELSE e.b END AS src,
+                            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                                 THEN e.b ELSE e.a END AS dst,
+                            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                                 THEN db.deg ELSE da.deg END AS ddst
+                     FROM edges e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+             tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                     FROM ori e1 JOIN ori e2
+                       ON e1.src = e2.src
+                      AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+                     WHERE EXISTS (SELECT 1 FROM ori e3
+                                   WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+             te AS (SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM tri
+                    UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri
+                    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tri),
+             cm AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common
+                    FROM te GROUP BY a, b)
             SELECT e.a, e.b, COALESCE(cm.common, 0) AS common,
               d1.deg AS da, d2.deg AS db,
               COALESCE(cm.common, 0) * 10000 //

@@ -2552,6 +2552,60 @@ object Llm {
                               FROM documents)))
             ORDER BY doc_id"""))
 
+  /** Per-stage yield funnel over the curation filter chain — the data
+    * lineage report every production pipeline publishes next to its
+    * output ("how many docs did each rule cost"): the `q_pipeline_filter`
+    * stages applied SEQUENTIALLY (exact-dedup canonical election →
+    * length floor → uniqueness ratio), one row per stage with
+    * in-count, out-count, and surviving basis points. Stage names carry
+    * ordering prefixes so the output order is the stage order (D1).
+    * Shape: the same one-pass flag computation as the filter itself,
+    * folded by ONE global conditional aggregation, then unpivoted with
+    * `stack` — the report costs one extra reduce over the filter,
+    * whatever the corpus size.
+    */
+  private val qPipelineYield = Q(
+    "q_pipeline_yield",
+    (s, dir) => {
+      val wH = Window.partitionBy("h")
+      Tables(s, dir, "documents")
+        .withColumn("norm", normCol)
+        .withColumn("h", md5(col("norm").cast("binary")))
+        .withColumn("t", split(col("norm"), " "))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("t"))).cast("long"))
+        .withColumn("c1", col("doc_id") === min("doc_id").over(wH))
+        .withColumn("c2", col("c1") && col("n_tokens") >= 5L)
+        .withColumn("c3", col("c2") && col("n_uniq") * 2L >= col("n_tokens"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("c1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("c3"), 1L).otherwise(0L)).as("n3"))
+        .select(expr(
+          "stack(3, '1_dedup_canonical', n0, n1, '2_length_floor', n1, n2, " +
+            "'3_uniq_ratio', n2, n3) AS (stage, n_in, n_out)"))
+        .withColumn("keep_bp", expr("n_out * 10000 div n_in"))
+        .orderBy("stage")
+    },
+    Some(s"""WITH f AS (SELECT doc_id,
+                 doc_id = MIN(doc_id) OVER (PARTITION BY h) AS c1,
+                 n_tokens, n_uniq
+               FROM (SELECT doc_id, md5(norm) AS h,
+                       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT) AS n_uniq
+                     FROM (SELECT doc_id, $normSql AS norm FROM documents))),
+             g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                     CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(SUM(CASE WHEN c1 AND n_tokens >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                     CAST(SUM(CASE WHEN c1 AND n_tokens >= 5 AND n_uniq * 2 >= n_tokens
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n3
+                   FROM f)
+            SELECT stage, n_in, n_out, n_out * 10000 // n_in AS keep_bp FROM (
+              SELECT '1_dedup_canonical' AS stage, n0 AS n_in, n1 AS n_out FROM g
+              UNION ALL SELECT '2_length_floor', n1, n2 FROM g
+              UNION ALL SELECT '3_uniq_ratio', n2, n3 FROM g)
+            ORDER BY stage"""))
+
   /** Cross-document n-gram span audit — the memorization / boilerplate
     * report (Lee et al. 2022's "deduplicating training data" substring
     * finding, at span granularity): the corpus's most-duplicated 8-token
@@ -2860,6 +2914,7 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupNgramSpan, qPipelineFilter,
+    qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimMips, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
