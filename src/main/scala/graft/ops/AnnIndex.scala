@@ -67,7 +67,7 @@ object AnnIndex {
     * queries over an unchanged corpus skip the rebuild and pay only the
     * read path their names claim to measure.
     */
-  private def fingerprint(dir: String, table: String = "embeddings.parquet"): String = {
+  private[graft] def fingerprint(dir: String, table: String = "embeddings.parquet"): String = {
     val f = new java.io.File(dir, table)
     val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
       .map(p => s"${p.getName}:${p.length}:${p.lastModified}").sorted
@@ -82,12 +82,12 @@ object AnnIndex {
     * stale or absent marker, never a marker pointing at a half-written
     * artifact.
     */
-  private def commitMarker(path: String, fp: String,
+  private[graft] def commitMarker(path: String, fp: String,
       schema: org.apache.spark.sql.types.StructType): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path + ".marker"),
       s"$fp\n${schema.toDDL}".getBytes("UTF-8"))
 
-  private def freshArtifact(path: String, fp: String): Option[org.apache.spark.sql.types.StructType] = {
+  private[graft] def freshArtifact(path: String, fp: String): Option[org.apache.spark.sql.types.StructType] = {
     val m = new java.io.File(path + ".marker")
     if (!m.exists()) None
     else {
