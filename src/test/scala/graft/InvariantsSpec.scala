@@ -657,4 +657,70 @@ class InvariantsSpec extends SparkSpec {
       .limit(25).collect()
     assert(top.map(_.getLong(0)).toSeq == full.map(_.getLong(0)).toSeq)
   }
+
+  test("interval sweep peak equals the day-granular concurrency maximum (brute-force check)") {
+    // Recompute each supplier's daily concurrency the O(n·days) naive way
+    // on a small slice and pin the sweep's (peak, first peak day) to it.
+    val sweep = SparkEntry.queries("q_win_interval_sweep")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val t = Tables(spark, sf, "lineitem").select(
+      col("l_suppkey").as("supp"),
+      datediff(col("l_shipdate"), lit("1990-01-01")).as("sd"),
+      (datediff(col("l_shipdate"), lit("1990-01-01")) + col("l_linenumber") % 7 + 3).as("ed"))
+    val days = t.select(col("supp"), explode(expr("sequence(sd, ed)")).as("day"))
+      .groupBy("supp", "day").agg(count(lit(1)).as("conc"))
+    val naive = days
+      .withColumn("mx", max("conc").over(Window.partitionBy("supp")))
+      .filter(col("conc") === col("mx"))
+      .groupBy("supp").agg(max("conc").as("peak"), min("day").cast("long").as("day"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sweep == naive, "sweep-line result must equal exploded-day brute force")
+  }
+
+  test("jaccard edges: common bounded by min degree, score by 10^4, edges real") {
+    val edges = ops.Graph.sparseEdges(spark, sf)
+    val out = SparkEntry.queries("q_graph_jaccard_nbr")(spark, sf)
+    assert(out.filter(col("common") > least(col("da"), col("db"))).isEmpty,
+      "common neighbors cannot exceed either endpoint degree")
+    assert(out.filter(col("jac_bp") > 10000 || col("jac_bp") < 0).isEmpty)
+    assert(out.join(edges, Seq("a", "b"), "left_anti").isEmpty,
+      "every scored edge must exist in the sparsified graph")
+  }
+
+  test("gapfill emits a dense spine conserving event totals") {
+    val out = SparkEntry.queries("q_etl_gapfill")(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val nTypes = ev.select("event_type").distinct().count()
+    val span = ev.agg(
+      (datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1).as("d"))
+      .collect()(0).getInt(0)
+    assert(out.count() == nTypes * span, "spine must be |types| x |days|")
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == ev.count(), "zero-filled counts must conserve the corpus")
+  }
+
+  test("pipeline yield: funnel is monotone and stage 1 matches the filter's kept set") {
+    val rows = SparkEntry.queries("q_pipeline_yield")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("1_dedup_canonical", "2_length_floor", "3_uniq_ratio"))
+    rows.sliding(2).foreach { case Array((_, _, out1), (_, in2, _)) =>
+      assert(out1 == in2, "each stage's output feeds the next stage's input")
+    }
+    rows.foreach { case (_, nIn, nOut) => assert(nOut <= nIn, "stages only drop") }
+    val kept = SparkEntry.queries("q_pipeline_filter")(spark, sf)
+      .filter(col("kept")).count()
+    assert(rows.last._3 == kept, "final survivors must equal q_pipeline_filter's kept count")
+  }
+
+  test("table diff classes partition both snapshots and conserve ids") {
+    val out = SparkEntry.queries("q_etl_table_diff")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables.events(spark, sf).count()
+    // every event id lands in >= 1 snapshot (1/13 and 1/10 drops can
+    // overlap but never cover a key twice), so classes cover the corpus
+    val classes = out.values.map(_._1).sum
+    assert(classes <= n && classes >= (n * 9) / 10,
+      s"diff classes ($classes) must cover all but the doubly-dropped keys of $n")
+    assert(out.keySet == Set("added", "removed", "changed", "unchanged"))
+  }
 }
