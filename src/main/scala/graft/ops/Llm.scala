@@ -964,6 +964,60 @@ object Llm {
                      FROM asg WHERE arn <= $IvfProbes),
              $cellTopKSql"""))
 
+  /** Cosine threshold for the radius search: ~3σ above the random-pair
+    * band of the 64-dim fixture (σ ≈ 1/√64 ≈ 0.125; measured global max
+    * 0.48-0.51, no planted high-cos dups), so hits are the genuine tail
+    * of the similarity distribution and the result is non-empty at every
+    * SF. A production corpus with real near-dups would run τ ≈ 0.9; the
+    * operator is threshold-parametric and the contract is unchanged.
+    */
+  private val SimRangeTau = "0.35"
+
+  /** RADIUS search over the IVF layout (Faiss `range_search` to
+    * `q_sim_ivf`'s `search`): ALL neighbors with rounded cosine ≥ τ
+    * inside the probed cells, folded per query to (neighbor count,
+    * max cos, id checksum) so output stays bounded no matter how dense a
+    * neighborhood is — the "how many near-dups does each item have"
+    * primitive dedup-threshold tuning runs, which top-k structurally
+    * can't answer. Same quantizer, same probe contract, same rounding as
+    * the rest of the family (the oracle replicates the probing, so the
+    * approximation IS the declared semantics). Scale shape identical to
+    * q_sim_ivf: one broadcast centroid row, in-row probe election,
+    * skinny cell equi-join, map-combinable per-query fold.
+    */
+  private val qSimRangeSearch = Q(
+    "q_sim_range_search",
+    (s, dir) => {
+      val probed = vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+        .localCheckpoint(true)
+      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+      probedQry(probed).join(idx, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosCol)
+        .filter(col("cos") >= expr(SimRangeTau))
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_nbrs"), max("cos").as("max_cos"),
+          sum("n_id").as("nbr_sum"))
+        .orderBy("q_id")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             $ivfAsgSql,
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= $IvfProbes),
+             p AS (SELECT q_id, n_id,
+                     ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                   FROM qry JOIN idx USING (cell) WHERE q_id <> n_id)
+            SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+              MAX(cos) AS max_cos, CAST(SUM(n_id) AS BIGINT) AS nbr_sum
+            FROM p WHERE cos >= $SimRangeTau GROUP BY q_id ORDER BY q_id"""))
+
   /** IVF-style MAX-INNER-PRODUCT search — the metric a recommender /
     * retrieval-scoring pipeline ranks by (Faiss `METRIC_INNER_PRODUCT`),
     * genuinely different from cosine: a long vector beats a
@@ -2915,7 +2969,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimMips, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
