@@ -294,6 +294,46 @@ object Aggregates {
             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  private val qAggUnpivot = Q(
+    "q_agg_unpivot",
+    (s, dir) => {
+      // unpivot (melt): the wide lineitem measure columns rotated into
+      // (metric, value) rows via the built-in Dataset.unpivot operator —
+      // the inverse of q_agg_pivot's rotation — then re-aggregated per
+      // metric. Melt is map-only (each input row emits 4 skinny rows, no
+      // shuffle until the 4-key aggregate); sums are exact DECIMAL per
+      // the D-rules, cast to DOUBLE once at the end.
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").as("quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").as("extendedprice"),
+          col("l_discount").cast("decimal(18,2)").as("discount"),
+          col("l_tax").cast("decimal(18,2)").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          sum("value").cast("double").as("total"),
+          min("value").cast("double").as("lo"),
+          max("value").cast("double").as("hi"))
+        .orderBy("metric")
+    },
+    Some("""WITH m AS (
+              SELECT 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+              UNION ALL
+              SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+              UNION ALL
+              SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+              UNION ALL
+              SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+            SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(value) AS DOUBLE) AS total,
+                   CAST(MIN(value) AS DOUBLE) AS lo,
+                   CAST(MAX(value) AS DOUBLE) AS hi
+            FROM m GROUP BY metric ORDER BY metric"""))
+
   private val qAggStringAgg = Q(
     "q_agg_string_agg",
     (s, dir) => {
@@ -635,6 +675,6 @@ object Aggregates {
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
-    qAggPivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
+    qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay)
 }

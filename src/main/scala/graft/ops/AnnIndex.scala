@@ -521,6 +521,65 @@ object AnnIndex {
                      FROM asg WHERE arn <= ${Llm.IvfProbes}),
              ${Llm.cellTopKSql}"""))
 
+  /** Deletion — the last missing verb of the index lifecycle (build →
+    * serve → append → compact → DELETE). An IVF layout cannot cheaply
+    * rewrite cell files per deletion, so production engines (Faiss
+    * `remove_ids` on disk-backed lists, Lucene/Milvus delete sets) record
+    * deletions as a TOMBSTONE side-table and subtract it at serve time;
+    * the periodic re-pack (`q_ann_index_compact`'s job) physically drops
+    * tombstoned rows later. This op declares exactly that contract:
+    *
+    *  1. ensure the single-generation index (digest-guarded — deletion
+    *     measures deletion, not a rebuild),
+    *  2. elect a deterministic ~10% delete set (hash salt `annd_`,
+    *     independent of the membership/centroid salts per the
+    *     shared-seed-leakage rule) and persist it as the `_tomb` parquet
+    *     beside the index — the tombstone artifact is tiny (ids only),
+    *     which is the whole point: deleting 10% of a 100 TB index writes
+    *     kilobytes, not terabytes,
+    *  3. serve the standard top-3 corpus replay with BOTH sides
+    *     anti-joined against the tombstones READ BACK from storage (the
+    *     read-back rule: the declared result proves the artifact state).
+    *
+    * The coarse quantizer is untouched (frozen, as in the update
+    * lifecycle): deletions never re-cluster, so surviving vectors keep
+    * their cells and probe lists — which is why the oracle can filter the
+    * SAME `asg` election the other lifecycle oracles use. Scale shape:
+    * the tombstone side is ~n/10 ids, broadcast into two LEFT ANTI hash
+    * joins on the skinny id column; the search tail is `q_ann_index_serve`'s
+    * unchanged. Result differs from the no-delete serve wherever a
+    * deleted vector was a top-3 neighbor — neighbors RE-RANK from the
+    * surviving candidates rather than leaving a hole, exactly what a
+    * tombstone-aware serve must do.
+    */
+  private val qAnnIndexDelete = Q(
+    "q_ann_index_delete",
+    (s, dir) => {
+      val (path, schema) = ensureIndex(s, dir)
+      val ix = s.read.schema(schema).parquet(path)
+      val del = ix.filter(expr(
+          s"pmod(${Llm.md5Hex32Spark("concat('annd_', CAST(vec_id AS STRING))")}, 10) = 0"))
+        .select("vec_id")
+      del.write.mode("overwrite").parquet(path + "_tomb")
+      val tomb = broadcast(s.read.parquet(path + "_tomb"))
+      val live = ix.join(tomb, Seq("vec_id"), "left_anti")
+      val idx = live.select(col("vec_id").as("n_id"), col("cell"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      val qry = live.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(col("probes")).as("cell"))
+      Llm.cellTopK(idx, qry)
+    },
+    Some(s"""WITH ${Llm.vecsSql},
+             ${Llm.ivfCentSql},
+             ${Llm.ivfAsgSql},
+             live AS (SELECT * FROM asg
+                      WHERE (${Llm.md5Hex32Sql("'annd_' || CAST(vec_id AS VARCHAR)")}) % 10 <> 0),
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM live WHERE arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM live WHERE arn <= ${Llm.IvfProbes}),
+             ${Llm.cellTopKSql}"""))
+
   val all: Seq[Q] = Seq(qAnnIndexBuild, qAnnIndexServe, qAnnIndexUpdate,
-    qAnnIndexCompact, qRagChunkTopk)
+    qAnnIndexCompact, qRagChunkTopk, qAnnIndexDelete)
 }

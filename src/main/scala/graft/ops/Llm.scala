@@ -584,6 +584,93 @@ object Llm {
                AND ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.3
              ORDER BY d1, d2"""))
 
+  /** Per-cluster member cap for the semantic dedup below — the SemDeDup
+    * move for over-full clusters: bound the pairwise stage per cluster
+    * instead of letting a hot cluster grow O(load²).
+    */
+  private val SemCap = 256
+
+  /** Semantic (cluster-then-compare) dedup — the SemDeDup recipe (Abbas
+    * et al. 2023, arXiv:2303.09540) as a declared operator, the third
+    * embedding-dedup strategy next to LSH banding (`q_dedup_embed`) and
+    * exact-hash (`q_dedup_exact`): duplicates are searched only WITHIN a
+    * k-means cluster, on the observation that semantic near-dups land in
+    * the same cluster with overwhelming probability while cross-cluster
+    * pairs are safe to skip without scoring.
+    *
+    *  1. CLUSTER — nearest-centroid assignment under the shared IVF
+    *     quantizer (`cellsSpark`, √n hash-sampled centroids): one
+    *     broadcast map-only pass, same election as the whole sim family.
+    *  2. CAP — clusters above [[SemCap]] members keep only their SemCap
+    *     hash-ranked members for the pairwise stage (salt `semc_`,
+    *     independent of every other salt); the remainder is counted but
+    *     not scored. This bounds per-cluster pair work at C(256,2)
+    *     regardless of corpus size — the same absolute-occupancy
+    *     discipline as the LSH buckets — at the price of possibly
+    *     retaining a duplicate hiding behind the cap (the SemDeDup paper
+    *     caps identically; recall loss is the documented trade).
+    *  3. COMPARE + ELECT — within a cluster, all capped pairs (id₁ <
+    *     id₂) are cosine-scored (rounded, the D-rule); a member is a
+    *     semantic duplicate iff ANY lower-id capped member sits at
+    *     cos ≥ 0.3 (the corpus's near-dup level, shared with
+    *     `q_dedup_embed`). Greedy min-id keep: on a chain A~B~C the
+    *     survivor is A — deterministic without a transitive-closure
+    *     pass (that escalation is `q_dedup_cluster`'s CC machinery).
+    *
+    * Declared output: per-cluster audit (members, capped members,
+    * duplicates dropped, dropped-id checksum) — all-integer, one row per
+    * cluster. Scale shape: one broadcast assignment pass, one √n-key
+    * shuffle on the cluster id, pair work ≤ C(SemCap, 2) per cluster,
+    * map-combinable aggregates; no all-pairs stage anywhere.
+    */
+  private val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      val cents = ivfCentArr(s, dir)
+      val mem = vecs(s, dir).crossJoin(broadcast(cents))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("cell", expr(s"element_at(${cellsSpark("1")}, 1).c_id"))
+        .select("vec_id", "v", "nrm", "cell") // drop the broadcast array before the checkpoint
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("cell").orderBy(
+            expr(md5Hex32Spark("concat('semc_', CAST(vec_id AS STRING))")),
+            col("vec_id"))).cast("long"))
+        .localCheckpoint(true) // one assignment pass feeds both join sides
+      val m = mem.filter(col("crn") <= SemCap)
+      val a = m.select(col("cell"), col("vec_id").as("i1"), col("v").as("qv"), col("nrm").as("qn"))
+      val b = m.select(col("cell"), col("vec_id").as("i2"), col("v").as("nv"), col("nrm").as("nn"))
+      val dup = a.join(b, Seq("cell")).filter(col("i1") < col("i2"))
+        .filter(cosCol >= 0.3)
+        .select(col("i2").as("vec_id")).distinct()
+      mem.join(dup.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("crn") <= SemCap, 1L).otherwise(0L)).as("n_capped"),
+          coalesce(sum("is_dup"), lit(0L)).as("n_dropped"),
+          coalesce(sum(when(col("is_dup").isNotNull, col("vec_id"))), lit(0L)).as("drop_idsum"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             asg1 AS (SELECT n.vec_id, n.v, n.nrm, c_id AS cell,
+                        row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                          ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id) AS arn
+                      FROM n CROSS JOIN cent),
+             mem AS (SELECT vec_id, v, nrm, cell,
+                       row_number() OVER (PARTITION BY cell ORDER BY
+                         ${md5Hex32Sql("'semc_' || CAST(vec_id AS VARCHAR)")}, vec_id) AS crn
+                     FROM asg1 WHERE arn = 1),
+             m AS (SELECT * FROM mem WHERE crn <= $SemCap),
+             dup AS (SELECT DISTINCT b.vec_id
+                     FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                     WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.3)
+             SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+                    CAST(SUM(CASE WHEN crn <= $SemCap THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+                    CAST(SUM(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                    CAST(COALESCE(SUM(CASE WHEN dup.vec_id IS NOT NULL THEN mem.vec_id END), 0) AS BIGINT) AS drop_idsum
+             FROM mem LEFT JOIN dup ON mem.vec_id = dup.vec_id
+             GROUP BY cell ORDER BY cell"""))
+
   // ----------------------------------------------------- similarity search
 
   private val qSimTopk = Q(
@@ -2967,7 +3054,7 @@ object Llm {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
-    qDedupSimhashPairs, qDedupEmbed, qDedupNgramSpan, qPipelineFilter,
+    qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject,

@@ -723,4 +723,53 @@ class InvariantsSpec extends SparkSpec {
       s"diff classes ($classes) must cover all but the doubly-dropped keys of $n")
     assert(out.keySet == Set("added", "removed", "changed", "unchanged"))
   }
+
+  test("index delete: tombstoned ids vanish from both serve sides and scores only drop") {
+    val del = SparkEntry.queries("q_ann_index_delete")(spark, sf).cache()
+    try {
+      val tomb = spark.read.parquet(ops.AnnIndex.indexPath(sf) + "_tomb")
+      assert(tomb.count() > 0, "fixture must tombstone at least one vector")
+      // deleted ids appear neither as queries nor as neighbors
+      assert(del.join(tomb, del("q_id") === tomb("vec_id")).isEmpty &&
+        del.join(tomb, del("n_id") === tomb("vec_id")).isEmpty,
+        "no tombstoned id may survive on either side of the serve")
+      // removing candidates can only lower (or keep) a query's best score
+      val serve = SparkEntry.queries("q_ann_index_serve")(spark, sf)
+      val best = del.filter(col("rnk") === 1).select(col("q_id"), col("cos").as("c_del"))
+        .join(serve.filter(col("rnk") === 1).select(col("q_id"), col("cos").as("c_srv")), "q_id")
+      assert(best.filter(col("c_del") > col("c_srv")).isEmpty,
+        "deleting neighbors must never improve a surviving query's top score")
+    } finally del.unpersist()
+  }
+
+  test("semantic dedup: per-cell audit is consistent and the capped corpus conserves") {
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "fixture must produce at least one cluster")
+    out.foreach { case (cell, members, capped, dropped) =>
+      assert(capped <= members, s"cell $cell: capped > members")
+      assert(capped <= 256, s"cell $cell: cap exceeded")
+      assert(dropped <= capped, s"cell $cell: more drops than capped members")
+      if (members == 1) assert(dropped == 0, s"singleton cell $cell cannot drop")
+    }
+    // cluster membership partitions the corpus: one cell per vector
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(out.map(_._2).sum == n, "cells must partition the embedding corpus")
+    assert(out.map(_._4).sum > 0, "fixture must contain semantic duplicates")
+  }
+
+  test("unpivot: melt emits 4 rows per lineitem and conserves the exact quantity sum") {
+    val out = SparkEntry.queries("q_agg_unpivot")(spark, sf).cache()
+    try {
+      val n = Tables(spark, sf, "lineitem").count()
+      assert(out.agg(sum("n")).collect()(0).getLong(0) == 4 * n,
+        "each lineitem row must melt into exactly 4 (metric, value) rows")
+      val exact = Tables(spark, sf, "lineitem")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .collect()(0).getDouble(0)
+      val melted = out.filter(col("metric") === "quantity")
+        .select("total").collect()(0).getDouble(0)
+      assert(melted == exact, "melt + re-aggregate must reproduce the exact decimal sum")
+    } finally out.unpersist()
+  }
 }
