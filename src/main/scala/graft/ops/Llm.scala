@@ -999,12 +999,20 @@ object Llm {
   /** Oracle twin of [[cellTopK]]: expects CTEs idx(n_id, nv, nn, cell)
     * and qry(q_id, qv, qn, cell) in scope.
     */
-  private[ops] def cellTopKSql: String =
+  /** The p/r CTE pair of [[cellTopKSql]] WITHOUT the final select —
+    * consumers that post-process the ranked candidates (the RRF fusion)
+    * splice these and write their own tail, so the scoring spelling
+    * still cannot drift.
+    */
+  private[ops] def cellTopKCtesSql: String =
     """p AS (SELECT q_id, n_id,
               ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
             FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-               ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
+               ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)"""
+
+  private[ops] def cellTopKSql: String =
+    s"""$cellTopKCtesSql
        SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
        ORDER BY q_id, rnk"""
 
@@ -1942,6 +1950,30 @@ object Llm {
     (idx0, probedQry(probed))
   }
 
+  /** Oracle twin of [[docIdxQry]]: the featurize → quantize → assign CTE
+    * chain ending in idx/qry, shared verbatim by `q_sim_doc_topk` and the
+    * RRF fusion so the vector arm cannot drift between them.
+    */
+  private def docAnnCtesSql: String =
+    s"""$featSparseSql,
+        f AS (SELECT doc_id, dim, SUM(sgn) AS w FROM h GROUP BY doc_id, dim),
+        ids AS (SELECT DISTINCT doc_id FROM f),
+        grid AS (SELECT ids.doc_id, u.d FROM ids, unnest(range($FeatD)) u(d)),
+        dw AS (SELECT g.doc_id, g.d, CAST(coalesce(f.w, 0) AS DOUBLE) AS x
+               FROM grid g LEFT JOIN f ON f.doc_id = g.doc_id AND f.dim = g.d),
+        dv AS (SELECT doc_id AS vec_id, list(x ORDER BY d) AS v
+               FROM dw GROUP BY doc_id),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dv
+              WHERE list_dot_product(v, v) > 0),
+        prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM n),
+        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
+                 WHERE ${md5U01Sql("'dctr_' || CAST(vec_id AS VARCHAR)")} < thr),
+        $ivfAsgSql,
+        idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                FROM asg WHERE arn = 1),
+        qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                FROM asg WHERE arn <= $IvfProbes)"""
+
   private val qSimDocTopk = Q(
     "q_sim_doc_topk",
     (s, dir) => {
@@ -1952,25 +1984,86 @@ object Llm {
       val (idx, qry) = capCells(idx0, qry0, CellTarget)
       cellTopK(idx, qry)
     },
-    Some(s"""WITH $featSparseSql,
-             f AS (SELECT doc_id, dim, SUM(sgn) AS w FROM h GROUP BY doc_id, dim),
-             ids AS (SELECT DISTINCT doc_id FROM f),
-             grid AS (SELECT ids.doc_id, u.d FROM ids, unnest(range($FeatD)) u(d)),
-             dw AS (SELECT g.doc_id, g.d, CAST(coalesce(f.w, 0) AS DOUBLE) AS x
-                    FROM grid g LEFT JOIN f ON f.doc_id = g.doc_id AND f.dim = g.d),
-             dv AS (SELECT doc_id AS vec_id, list(x ORDER BY d) AS v
-                    FROM dw GROUP BY doc_id),
-             n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dv
-                   WHERE list_dot_product(v, v) > 0),
-             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM n),
-             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
-                      WHERE ${md5U01Sql("'dctr_' || CAST(vec_id AS VARCHAR)")} < thr),
-             $ivfAsgSql,
-             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
-                     FROM asg WHERE arn = 1),
-             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
-                     FROM asg WHERE arn <= $IvfProbes),
+    Some(s"""WITH $docAnnCtesSql,
              $cellTopKSql"""))
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009) — the standard production answer to "lexical and vector
+    * retrieval each miss different neighbors": rank candidates under BOTH
+    * arms and fuse by summed reciprocal ranks, so a candidate surfacing
+    * high in either arm places, and one surfacing in both places first.
+    *
+    *  - VECTOR arm: the occupancy-capped featurized doc-ANN top-3
+    *    (`q_sim_doc_topk`'s frames and ranking, verbatim).
+    *  - LEXICAL arm: the df-capped shared-shingle Jaccard pairs
+    *    (`q_dedup_jaccard`'s machinery), mirrored to directed
+    *    (query, candidate) rows and ranked per query by (jac desc, id) —
+    *    top-3, the same k as the vector arm.
+    *  - FUSION: full-outer join of the two ranked lists on (query,
+    *    candidate); score = Σ_arms 10⁶ div (60 + rank) in integer
+    *    micro-units (k=60, the RRF paper's constant; integer division
+    *    keeps the declared output float-free per the D-rules), absent
+    *    arms contribute 0. Top-3 fused per query by (score desc, id).
+    *
+    * Scale shape: both arms are already blocked/capped (no all-pairs
+    * anywhere); the fusion itself joins two ≤ 3-rows-per-query frames on
+    * their composite key and adds one per-query window over ≤ 6 rows.
+    * At 100 TB the fusion cost is dwarfed by either arm — exactly why
+    * RRF is the production fusion rule: no score calibration between
+    * incomparable metrics (cosine vs Jaccard), just ranks.
+    */
+  private val qSimHybridRrf = Q(
+    "q_sim_hybrid_rrf",
+    (s, dir) => {
+      val (idx0, qry0) = docIdxQry(s, dir)
+      val (idx, qry) = capCells(idx0, qry0, CellTarget)
+      val vec = cellTopK(idx, qry)
+        .select(col("q_id"), col("n_id"), col("rnk").as("r_vec"))
+      val jp = jaccardPairs(s, dir).select("d1", "d2", "jac")
+      val dp = jp.select(col("d1").as("q_id"), col("d2").as("n_id"), col("jac"))
+        .unionByName(jp.select(col("d2").as("q_id"), col("d1").as("n_id"), col("jac")))
+      val wl = Window.partitionBy("q_id").orderBy(col("jac").desc, col("n_id"))
+      val lex = dp.withColumn("r_lex", row_number().over(wl).cast("long"))
+        .filter(col("r_lex") <= 3)
+        .select("q_id", "n_id", "r_lex")
+      val wf = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+      vec.join(lex, Seq("q_id", "n_id"), "full_outer")
+        .withColumn("score",
+          coalesce(expr("1000000L div (60L + r_vec)"), lit(0L)) +
+            coalesce(expr("1000000L div (60L + r_lex)"), lit(0L)))
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id").as("doc_id"), col("rnk"),
+          col("n_id").as("cand_id"), col("score"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some(s"""WITH $docAnnCtesSql,
+             $cellTopKCtesSql,
+             vec AS (SELECT q_id, n_id, rnk AS r_vec FROM r WHERE rnk <= 3),
+             $pairsSql,
+             jp AS (SELECT d1, d2,
+                      FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 AS jac
+                    FROM pr JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id),
+             dp AS (SELECT d1 AS q_id, d2 AS n_id, jac FROM jp
+                    UNION ALL
+                    SELECT d2 AS q_id, d1 AS n_id, jac FROM jp),
+             lexr AS (SELECT q_id, n_id,
+                        CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY jac DESC, n_id) AS BIGINT) AS r_lex
+                      FROM dp),
+             lex AS (SELECT q_id, n_id, r_lex FROM lexr WHERE r_lex <= 3),
+             fused AS (SELECT COALESCE(vec.q_id, lex.q_id) AS q,
+                              COALESCE(vec.n_id, lex.n_id) AS c,
+                              COALESCE(1000000 // (60 + r_vec), 0)
+                                + COALESCE(1000000 // (60 + r_lex), 0) AS score
+                       FROM vec FULL OUTER JOIN lex
+                         ON vec.q_id = lex.q_id AND vec.n_id = lex.n_id),
+             rr AS (SELECT q, c, score,
+                      CAST(row_number() OVER (PARTITION BY q
+                        ORDER BY score DESC, c) AS BIGINT) AS rnk
+                    FROM fused)
+             SELECT q AS doc_id, rnk, c AS cand_id, CAST(score AS BIGINT) AS score
+             FROM rr WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 
   /** One BPE tokenizer-training iteration (Sennrich et al., ACL 2016):
     * adjacent-symbol pair counts at the character stage, reported as the
@@ -3060,5 +3153,6 @@ object Llm {
     qVecKmeansRefine, qVecQuantize, qVecProject,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk, qMultimodalJoin)
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk,
+    qSimHybridRrf, qMultimodalJoin)
 }

@@ -758,6 +758,33 @@ class InvariantsSpec extends SparkSpec {
     assert(out.map(_._4).sum > 0, "fixture must contain semantic duplicates")
   }
 
+  test("hybrid RRF: scores are legal rank sums and per-query ranks are dense") {
+    val out = SparkEntry.queries("q_sim_hybrid_rrf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.nonEmpty)
+    // every score decomposes as armA + armB with each arm 0 or
+    // 10^6 div (60 + rank), rank in 1..3 — and at least one arm present
+    val arm = Set(0L, 1000000L / 61, 1000000L / 62, 1000000L / 63)
+    val legal = (for (a <- arm; b <- arm if a + b > 0) yield a + b)
+    out.foreach { case (q, _, s) =>
+      assert(legal(s), s"query $q carries non-RRF score $s")
+    }
+    // ranks are dense 1..k per query, and scores non-increasing in rank
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val byRnk = rows.sortBy(_._2)
+      assert(byRnk.map(_._2).toSeq == (1L to byRnk.length).toSeq,
+        s"query $q ranks must be dense from 1")
+      assert(byRnk.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"query $q scores must be non-increasing in rank")
+    }
+    // a both-arms top-1 candidate exists somewhere on the fixture (the
+    // fusion actually fuses, rather than concatenating disjoint arms)
+    assert(out.exists(_._3 == 2 * (1000000L / 61)),
+      "fixture must contain at least one candidate ranked 1 by both arms")
+  }
+
   test("unpivot: melt emits 4 rows per lineitem and conserves the exact quantity sum") {
     val out = SparkEntry.queries("q_agg_unpivot")(spark, sf).cache()
     try {
