@@ -183,7 +183,8 @@ object AnnIndex {
     * silently lose that one (valid) neighbor.
     */
   private[graft] def serveBatch(s: SparkSession, queries: DataFrame,
-      path: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      applyTombstones: Boolean = false): DataFrame = {
     val cents = s.read.parquet(path + "_cents")
     val qv = queries
       .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
@@ -191,8 +192,17 @@ object AnnIndex {
     val qry = assignCells(qv, cents)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(col("probes")).as("cell"))
-    val idx = s.read.schema(schema).parquet(path).select(col("vec_id").as("n_id"),
+    val idx0 = s.read.schema(schema).parquet(path).select(col("vec_id").as("n_id"),
       col("cell"), col("v").as("nv"), col("nrm").as("nn"))
+    // tombstone-aware serving (the q_ann_index_delete contract applied to
+    // the online path): the candidate side subtracts the persisted delete
+    // set — queries are the caller's to filter, since a NEW query vector
+    // is never tombstoned
+    val idx =
+      if (applyTombstones)
+        idx0.join(broadcast(s.read.parquet(path + "_tomb")),
+          idx0("n_id") === col("vec_id"), "left_anti")
+      else idx0
     Llm.cellTopK(idx, qry)
   }
 

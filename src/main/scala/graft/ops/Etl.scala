@@ -863,9 +863,83 @@ object Etl {
               CAST(SUM(id) AS BIGINT) AS id_sum
             FROM j GROUP BY status ORDER BY status"""))
 
+  /** Z-order data layout — the lakehouse `OPTIMIZE ZORDER BY` job
+    * (Delta/Iceberg file clustering) as a declared operator: rewrite
+    * orders clustered by the INTERLEAVED bits of two query dimensions
+    * (customer, order day) so scans filtering on EITHER dimension prune
+    * most files. A single-column sort clusters one dimension and
+    * destroys the other; the Z-curve bounds BOTH dimensions' value
+    * ranges within each bucket — which is exactly the min/max file-stats
+    * pruning contract at 100 TB (each parquet footer's range covers a
+    * small slab of both dimensions instead of everything).
+    *
+    * Spelling (engine-portable, all integer): each dimension min-max
+    * scales to 16 bits — x16 = (v − min)·65535 div max(1, max − min) —
+    * then z interleaves x even / y odd via one in-row HOF fold, and the
+    * bucket is the top 6 z bits (64 fixed z-space cells; NO global sort
+    * or window anywhere — the map-only layout job a 100 TB rewrite
+    * needs; ntile-by-rank would funnel the corpus through one ranking
+    * task). The rows are physically rewritten bucket-partitioned via the
+    * shared [[graft.sources.Partitioned]] sink and the declared output
+    * is the per-bucket inventory read back FROM THE ARTIFACT (the
+    * AnnIndex read-back rule): row count plus min/max of BOTH dimensions
+    * — the tight per-bucket ranges ARE the proof the clustering works.
+    */
+  private val qEtlZorder = Q(
+    "q_etl_zorder",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val prm = o.agg(
+        min("o_custkey").as("minc"), max("o_custkey").as("maxc"),
+        min(to_date(col("o_orderdate"))).as("mind"),
+        max(to_date(col("o_orderdate"))).as("maxd"))
+      val z = o.crossJoin(broadcast(prm))
+        .withColumn("day", datediff(to_date(col("o_orderdate")), col("mind")).cast("long"))
+        .withColumn("x16", expr(
+          "(o_custkey - minc) * 65535L div greatest(1L, maxc - minc)"))
+        .withColumn("y16", expr(
+          "day * 65535L div greatest(1L, CAST(datediff(maxd, mind) AS BIGINT))"))
+        .withColumn("z", expr(
+          """aggregate(sequence(0, 15), 0L, (acc, i) ->
+               acc + shiftleft(shiftright(x16, i) & 1L, 2 * i)
+                   + shiftleft(shiftright(y16, i) & 1L, 2 * i + 1))"""))
+        .withColumn("zb", expr("z div 67108864L")) // top 6 of 32 z bits
+        .select(col("zb"), col("o_orderkey"), col("o_custkey"), col("day"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$h"
+      graft.sources.Partitioned.writeStatic(z, path, 1 << 18, "zb")
+      s.read.schema(z.schema).parquet(path)
+        .groupBy("zb")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+          min("day").as("min_day"), max("day").as("max_day"))
+        .orderBy("zb")
+    },
+    Some("""WITH prm AS (SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+                    MIN(CAST(o_orderdate AS DATE)) AS mind,
+                    MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+            zr AS (SELECT o_orderkey, o_custkey,
+                     CAST(date_diff('day', mind, CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                     (o_custkey - minc) * 65535 // GREATEST(1, maxc - minc) AS x16,
+                     CAST(date_diff('day', mind, CAST(o_orderdate AS DATE)) AS BIGINT) * 65535
+                       // GREATEST(1, CAST(date_diff('day', mind, maxd) AS BIGINT)) AS y16
+                   FROM orders CROSS JOIN prm),
+            zz AS (SELECT o_orderkey, o_custkey, day,
+                     list_sum(list_transform(range(16), i ->
+                       (((x16 >> i) & 1) << (2 * i)) + (((y16 >> i) & 1) << (2 * i + 1)))) AS z
+                   FROM zr)
+            SELECT CAST(z // 67108864 AS BIGINT) AS zb, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+                   CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+                   CAST(MIN(day) AS BIGINT) AS min_day,
+                   CAST(MAX(day) AS BIGINT) AS max_day
+            FROM zz GROUP BY 1 ORDER BY zb"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
-    qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qStreamTumbling,
+    qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qStreamTumbling,
     qStreamSliding, qStreamSession)
 }

@@ -758,6 +758,54 @@ class InvariantsSpec extends SparkSpec {
     assert(out.map(_._4).sum > 0, "fixture must contain semantic duplicates")
   }
 
+  test("zorder: buckets conserve the corpus and bound BOTH dimensions' ranges") {
+    val out = SparkEntry.queries("q_etl_zorder")(spark, sf).cache()
+    try {
+      val o = Tables(spark, sf, "orders")
+      val n = o.count()
+      assert(out.agg(sum("n_rows")).collect()(0).getLong(0) == n,
+        "bucket rows must conserve the corpus")
+      val Array(minc, maxc) = o.agg(min("o_custkey"), max("o_custkey"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val days = o.agg((datediff(max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate"))))).cast("long")).collect()(0).getLong(0)
+      // the top-6-z-bits bucket fixes the top 3 bits of each scaled
+      // dimension, so a bucket spans at most 1/8 of each dimension's
+      // range (+2 slack for the integer scaling floor)
+      val bad = out.filter(
+        col("max_cust") - col("min_cust") > (maxc - minc) / 8 + 2 ||
+          col("max_day") - col("min_day") > days / 8 + 2)
+      assert(bad.isEmpty,
+        "every z-bucket must bound both the customer and the day range to ~1/8 of the corpus span")
+    } finally out.unpersist()
+  }
+
+  test("filtered ANN: labels stay in the packing range, matches share labels, scores only drop") {
+    val e = Tables(spark, sf, "embeddings")
+    // the cell' = cell*16 + label packing is equality-safe only while
+    // labels stay under the base — guard the fixture contract
+    assert(e.filter(col("label") < 0 || col("label") >= 16).isEmpty,
+      "labels must lie in [0, 16) for the composite-key packing")
+    val out = SparkEntry.queries("q_sim_ann_filtered")(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // every returned neighbor carries the query's label
+      val lbl = e.select(col("vec_id"), col("label").cast("long").as("l"))
+      val mism = out
+        .join(lbl.withColumnRenamed("vec_id", "q_id").withColumnRenamed("l", "ql"), "q_id")
+        .join(lbl.withColumnRenamed("vec_id", "n_id").withColumnRenamed("l", "nl"), "n_id")
+        .filter(col("ql") =!= col("nl"))
+      assert(mism.isEmpty, "filtered ANN must only return same-label neighbors")
+      // the filtered candidate set is a subset of the unfiltered one, so
+      // the best filtered score can never beat the best unfiltered score
+      val unf = SparkEntry.queries("q_sim_ivf")(spark, sf)
+      val cmp = out.filter(col("rnk") === 1).select(col("q_id"), col("cos").as("cf"))
+        .join(unf.filter(col("rnk") === 1).select(col("q_id"), col("cos").as("cu")), "q_id")
+      assert(cmp.filter(col("cf") > col("cu")).isEmpty,
+        "label pre-filtering must never improve a query's top score")
+    } finally out.unpersist()
+  }
+
   test("hybrid RRF: scores are legal rank sums and per-query ranks are dense") {
     val out = SparkEntry.queries("q_sim_hybrid_rrf")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))

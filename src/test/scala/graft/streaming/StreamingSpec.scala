@@ -264,6 +264,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._3 > 0), "some cell must hold delta rows")
   }
 
+  test("streaming tombstone-aware serve: foreachBatch answers equal the batch delete replay") {
+    // the delete half of the lifecycle applied to the online path: after
+    // tombstones land, every serve answer must exclude deleted
+    // candidates. Streaming the LIVE (surviving) corpus vectors in 3
+    // micro-batches through the tombstone-aware serveBatch must
+    // reproduce q_ann_index_delete exactly — candidate filtering is
+    // per-batch pure, so segmentation cannot change the union.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // running the declared batch op materializes index + tombstones
+    val batchTwin = graft.SparkEntry.queries("q_ann_index_delete")(spark, sf).collect()
+    assert(batchTwin.nonEmpty, "fixture must produce post-delete serve answers")
+    val path = graft.ops.AnnIndex.indexPath(sf)
+    val schema = spark.read.parquet(path).schema
+    val tomb = spark.read.parquet(path + "_tomb")
+      .collect().map(_.getLong(0)).toSet
+    assert(tomb.nonEmpty, "fixture must tombstone at least one vector")
+    val live = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .filterNot { case (id, _) => tomb(id) }
+    val out = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= graft.ops.AnnIndex
+          .serveBatch(spark, batch, path, schema, applyTombstones = true)
+          .collect(); ()
+      }
+      .option("checkpointLocation", tmp("ckpt-annservedel")).start()
+    live.grouped((live.length / 3).max(1)).foreach { g =>
+      mem.addData(g.map { case (id, v) => (id, v) })
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(out.map(key).toSet == batchTwin.map(key).toSet,
+      s"streamed tombstone-aware serve must equal the batch delete replay " +
+        s"(${out.size} vs ${batchTwin.length} rows)")
+  }
+
   test("sessionize: 30-min gap closes a session; stats accumulate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
