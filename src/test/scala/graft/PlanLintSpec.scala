@@ -65,13 +65,42 @@ class PlanLintSpec extends SparkSpec {
         s"$name must equi-join on the (band, sig) bucket key:\n$plan")
     }
     Seq("q_sim_ivf", "q_sim_mips", "q_sim_ivfpq", "q_sim_pq",
-        "q_sample_hard_negatives", "q_sim_recall_eval").foreach { name =>
+        "q_sample_hard_negatives", "q_sim_recall_eval",
+        "q_sim_ann_filtered").foreach { name =>
       val ivf = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
         .findFirstIn(ivf).isDefined,
         s"$name must equi-join on the cell key:\n$ivf")
     }
+  }
+
+  test("the IVF search tail aggregates top-k without a sort operator") {
+    // the r8 bounded-Aggregator migration: cellTopK's top-3 must plan as
+    // a hash aggregate (ObjectHashAggregate for the typed agg), not a
+    // WindowGroupLimit/Window pipeline — the window spelling sorts every
+    // candidate run twice; the aggregate does O(k) inserts and never
+    // sorts candidates at all (the final ORDER BY on ≤ 3n output rows is
+    // the declared presentation sort, not candidate work).
+    val plan = SparkEntry.queries("q_sim_doc_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"doc-ANN top-k must plan as a typed hash aggregate:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["),
+      s"doc-ANN top-k must not plan a window pipeline:\n$plan")
+  }
+
+  test("q_ann_index_delete serves off index + tombstones only — embeddings absent from the scan set") {
+    // the tombstone contract: the delete replay reads the persisted
+    // index table and the _tomb side-table, nothing else. An embeddings
+    // scan would mean the delete collapsed into an inline rebuild.
+    val df = SparkEntry.queries("q_ann_index_delete")(spark, sf)
+    val files = df.inputFiles.toSeq
+    assert(files.nonEmpty, "delete plan must scan the persisted artifacts")
+    assert(files.forall(_.contains("graft_ann_index_")),
+      s"delete scans must all target index artifacts, got:\n${files.mkString("\n")}")
+    assert(!files.exists(_.contains("embeddings")),
+      s"delete plan must not scan embeddings.parquet:\n${files.mkString("\n")}")
   }
 
   test("q_ann_index_serve reads ONLY the index table — embeddings absent from the scan set") {
