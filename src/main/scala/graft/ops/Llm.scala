@@ -196,8 +196,32 @@ object Llm {
     * counts unless xxhash64 collides within the corpus (P ≈ n²/2⁶⁵;
     * negligible, and the DuckDB oracle would catch it).
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardPairsFrom(shingles(s, dir))
+  /** The df-capped shared-shingle pair frame (d1, d2, inter, n1, n2,
+    * jac) PERSISTED once per corpus and reused (the featurizeVec /
+    * sparseEdges / AnnIndex digest-guard pattern: documents.parquet
+    * content fingerprint + build-then-commit marker, single-writer
+    * contract per [[AnnIndex.indexPath]]'s docstring). The shingle
+    * explode + distinct + self-join is the dominant cost of every
+    * lexical-similarity consumer — `q_dedup_jaccard` / `_contain` /
+    * `_cluster` and the RRF fusion's lexical arm all analyze the SAME
+    * pair universe — and a production pipeline shingles the corpus once,
+    * then runs many analytics. Each consumer stays a pure function of
+    * the corpus: a regenerated fixture invalidates the fingerprint.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_shpairs_$h"
+    val fp = AnnIndex.fingerprint(dir, "documents.parquet")
+    AnnIndex.freshArtifact(path, fp) match {
+      case Some(schema) => s.read.schema(schema).parquet(path)
+      case None =>
+        val df = jaccardPairsFrom(shingles(s, dir))
+        df.write.mode("overwrite").parquet(path)
+        AnnIndex.commitMarker(path, fp, df.schema)
+        s.read.schema(df.schema).parquet(path)
+    }
+  }
 
   private[graft] def jaccardPairsFrom(sh0: DataFrame): DataFrame = {
     // Hot shingles are removed by dropHotKeys (materialize-once +
@@ -3088,6 +3112,68 @@ object Llm {
                               FROM lbl GROUP BY rep) s USING (rep)
              ORDER BY l.doc_id"""))
 
+  /** Canonical-representative election by QUALITY — the curation policy
+    * real pipelines layer on top of near-dup clustering: within each
+    * `q_dedup_cluster` component, keep not the min-id member (the
+    * arbitrary tie-break every dedup op here uses for determinism) but
+    * the BEST one — here the longest document (n_chars desc, doc_id asc
+    * tie), the standard "keep the most complete variant" heuristic for
+    * truncation/quote near-dups where the shorter members are fragments
+    * of the longer. One row per cluster: representative label, member
+    * count, the elected keeper and its length, plus a member checksum —
+    * so the downstream keep-list is (all unclustered docs) ∪ (one
+    * elected keeper per row here). Scale shape: the CC label frame joins
+    * the doc-length column on the doc key, then one per-cluster
+    * max_by-style fold — map-combinable all the way; no window over
+    * members is needed because the election is a single (len, id)
+    * extremum per group.
+    */
+  private val qDedupCanonicalBest = Q(
+    "q_dedup_canonical_best",
+    (s, dir) => {
+      val pairs = jaccardPairs(s, dir).filter(col("jac") >= 0.4)
+        .select(col("d1").as("a"), col("d2").as("b"))
+      val (lbl, _) = ConnectedComponents.labels(pairs)
+      val len = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("n_chars"))
+      // the (len desc, id asc) extremum packed as one orderable struct:
+      // max(struct(n_chars, -id)) elects exactly the keeper — a struct
+      // compare, never an integer pack (the r7 okey lesson)
+      lbl.join(len, "id")
+        .groupBy(col("lbl").as("rep"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("id")).as("nid"))).as("best"),
+          sum("id").as("member_idsum"))
+        .select(col("rep"), col("n_members"),
+          (-col("best.nid")).as("kept_doc"),
+          col("best.n_chars").as("kept_len"),
+          col("member_idsum"))
+        .orderBy("rep")
+    },
+    Some(s"""WITH RECURSIVE $pairsSql,
+             ed AS (SELECT d1, d2 FROM pr
+                    JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+                    WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 >= 0.4),
+             ud AS (SELECT d1 AS a, d2 AS b FROM ed
+                    UNION SELECT d2, d1 FROM ed),
+             reach(a, b) AS (SELECT a, b FROM ud
+                             UNION
+                             SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+             lbl AS (SELECT a AS id, LEAST(a, MIN(b)) AS lbl
+                     FROM reach GROUP BY a),
+             m AS (SELECT l.id, l.lbl, d.n_chars
+                   FROM lbl l JOIN documents d ON l.id = d.doc_id),
+             win AS (SELECT lbl AS rep, id, n_chars,
+                       row_number() OVER (PARTITION BY lbl
+                         ORDER BY n_chars DESC, id) AS rn
+                     FROM m)
+             SELECT m.lbl AS rep, CAST(COUNT(*) AS BIGINT) AS n_members,
+                    CAST(MAX(CASE WHEN w.rn = 1 THEN w.id END) AS BIGINT) AS kept_doc,
+                    CAST(MAX(CASE WHEN w.rn = 1 THEN w.n_chars END) AS BIGINT) AS kept_len,
+                    CAST(SUM(m.id) AS BIGINT) AS member_idsum
+             FROM m JOIN win w ON m.lbl = w.rep AND m.id = w.id
+             GROUP BY m.lbl ORDER BY rep"""))
+
   /** Embedding scalar quantization fidelity — the compression step a 100 TB
     * vector corpus takes before ANN serving (float32 → int8 cuts the index
     * 4×). Quantizer: q_i = floor(x_i · 127) / 127 (floor, not round —
@@ -3238,7 +3324,7 @@ object Llm {
             FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupContain, qDedupSimhash, qDedupEditdist,
+    qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,

@@ -758,6 +758,27 @@ class InvariantsSpec extends SparkSpec {
     assert(out.map(_._4).sum > 0, "fixture must contain semantic duplicates")
   }
 
+  test("canonical-best: clusters match q_dedup_cluster and the keeper is a longest member") {
+    val best = SparkEntry.queries("q_dedup_canonical_best")(spark, sf).cache()
+    val clus = SparkEntry.queries("q_dedup_cluster")(spark, sf).cache()
+    try {
+      // same clustering: identical (rep, n_members) sets
+      val a = best.select("rep", "n_members")
+      val b = clus.select("rep", "n_members").distinct()
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "canonical-best must elect over exactly q_dedup_cluster's components")
+      // the keeper is a member of its cluster with maximal n_chars
+      val members = clus.select(col("doc_id"), col("rep"))
+        .join(Tables(spark, sf, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+      val maxLen = members.groupBy("rep").agg(max("n_chars").as("max_len"))
+      val bad = best
+        .join(members.withColumnRenamed("doc_id", "kept_doc"), Seq("rep", "kept_doc"), "left_anti")
+      assert(bad.isEmpty, "every keeper must be a member of its own cluster")
+      val short = best.join(maxLen, "rep").filter(col("kept_len") =!= col("max_len"))
+      assert(short.isEmpty, "every keeper must carry its cluster's maximal length")
+    } finally { best.unpersist(); clus.unpersist() }
+  }
+
   test("zorder: buckets conserve the corpus and bound BOTH dimensions' ranges") {
     val out = SparkEntry.queries("q_etl_zorder")(spark, sf).cache()
     try {
