@@ -527,6 +527,57 @@ object Curation {
     * before the shuffle); everything joins on the low-cardinality
     * source key, each side pre-aggregated to one row per source.
     */
+  /** Curriculum mixture schedule — the multi-PHASE extension of
+    * `q_sample_mixture`: modern pretraining anneals its data mix over
+    * training (warmup on clean web, mid-train uniform, cooldown
+    * domain-heavy — the "mixture schedule" knob every large run tunes),
+    * so the sampling weight is a function of (phase, source), not source
+    * alone. Weights are a closed-form integer ramp over the source index
+    * (phase 1: 9000 − 400·i bp floored at 500 — low-index-heavy;
+    * phase 2: uniform 5000; phase 3: the mirror ramp capped at 9000),
+    * membership is the usual salted-hash threshold with an independent
+    * salt PER PHASE (`cur_<p>_` — a document can land in any subset of
+    * phases, which is exactly epoch-resampling semantics; one shared
+    * draw would force nested phases). Declared output: the per-(phase,
+    * source) manifest — docs kept, kept-id checksum, chars kept — the
+    * audit a mixture schedule is pinned by. Scale shape: one scan,
+    * ×3 in-row phase explode, map-only hash + integer CASE, one
+    * 3·|sources|-key map-combinable agg; no joins, no windows.
+    */
+  private val qMixCurriculum = Q(
+    "q_mix_curriculum",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          explode(expr("array(1L, 2L, 3L)")).as("phase"))
+        .withColumn("si", expr("CAST(substring(source, 4) AS BIGINT)"))
+        .withColumn("w", expr(
+          """CASE WHEN phase = 1 THEN greatest(500L, 9000L - 400L * si)
+                  WHEN phase = 2 THEN 5000L
+                  ELSE least(9000L, 500L + 400L * si) END"""))
+        .withColumn("u", expr(Llm.md5Hex32Spark(
+          "concat('cur_', CAST(phase AS STRING), '_', CAST(doc_id AS STRING))")))
+        .filter(expr("pmod(u, 10000) < w"))
+        .groupBy("phase", "source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_idsum"),
+          sum("n_chars").as("chars_kept"))
+        .orderBy("phase", "source")
+    },
+    Some(s"""WITH ph AS (SELECT doc_id, source, n_chars, u.phase AS phase,
+                      CAST(substr(source, 4) AS BIGINT) AS si
+                    FROM documents, unnest([CAST(1 AS BIGINT), 2, 3]) u(phase)),
+             wt AS (SELECT *,
+                     CASE WHEN phase = 1 THEN GREATEST(500, 9000 - 400 * si)
+                          WHEN phase = 2 THEN 5000
+                          ELSE LEAST(9000, 500 + 400 * si) END AS w,
+                     (${Llm.md5Hex32Sql("'cur_' || CAST(phase AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)")}) % 10000 AS u
+                   FROM ph)
+             SELECT phase, source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    CAST(SUM(doc_id) AS BIGINT) AS kept_idsum,
+                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+             FROM wt WHERE u < w GROUP BY phase, source
+             ORDER BY phase, source"""))
+
   private val qSourceScorecard = Q(
     "q_source_scorecard",
     (s, dir) => {
@@ -635,7 +686,7 @@ object Curation {
              WHERE rnk <= $HardK ORDER BY q_id, rnk"""))
 
   val all: Seq[Q] = Seq(
-    qDecontaminate, qSampleMixture, qMixTokenBudget, qSplitTrain,
+    qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard)
 }

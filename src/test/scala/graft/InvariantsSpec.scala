@@ -758,6 +758,33 @@ class InvariantsSpec extends SparkSpec {
     assert(out.map(_._4).sum > 0, "fixture must contain semantic duplicates")
   }
 
+  test("curriculum: the phase ramps actually tilt the mix the way the schedule claims") {
+    val rows = SparkEntry.queries("q_mix_curriculum")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    def kept(p: Long) = rows.filter(_._1 == p)
+    def idxOf(src: String) = src.drop(3).toLong
+    // phase 1 keeps more from low-index sources than high; phase 3 mirrors
+    def half(p: Long, low: Boolean) = kept(p)
+      .filter(r => if (low) idxOf(r._2) < 10 else idxOf(r._2) >= 10).map(_._3).sum
+    assert(half(1, low = true) > half(1, low = false),
+      "phase 1 must tilt toward low-index sources")
+    assert(half(3, low = true) < half(3, low = false),
+      "phase 3 must tilt toward high-index sources")
+    // uniform mid-phase: every source's keep count within a loose band of
+    // the 50% weight (binomial noise at 25-250 docs/source is wide)
+    val docsPerSrc = Tables(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept(2).foreach { case (_, src, n) =>
+      assert(n <= docsPerSrc(src), s"phase 2 keeps more than exist for $src")
+    }
+    // phases draw independently: a document set identical across all
+    // three phases would mean a shared salt leaked in
+    val sets = (1L to 3L).map(p => kept(p).map(r => (r._2, r._3)).toSet)
+    assert(sets.distinct.size > 1, "phase draws must differ (independent salts)")
+  }
+
   test("canonical-best: clusters match q_dedup_cluster and the keeper is a longest member") {
     val best = SparkEntry.queries("q_dedup_canonical_best")(spark, sf).cache()
     val clus = SparkEntry.queries("q_dedup_cluster")(spark, sf).cache()
