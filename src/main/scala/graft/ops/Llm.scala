@@ -877,12 +877,7 @@ object Llm {
           struct(col("d1").as("q_id"), col("d2").as("n_id"), col("cos")),
           struct(col("d2").as("q_id"), col("d1").as("n_id"), col("cos")))).as("p"))
         .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"), col("p.cos").as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      directed
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "rnk", "n_id", "cos")
-        .orderBy("q_id", "rnk")
+      topKByScore(directed, "cos")
     },
     Some(s"""WITH $vecsSql,
              $lshCandSql,
@@ -964,28 +959,36 @@ object Llm {
     * the ranking contract — rounding, tie-break, k — cannot drift
     * between the index variants.
     */
-  private[graft] def cellTopK(idx: DataFrame, qry: DataFrame): DataFrame = {
-    // Bounded top-3 via a typed Aggregator rather than a row_number
-    // window: the window spelling's shuffle was already bounded by
-    // WindowGroupLimit's partial limit, but both its partial and final
-    // stages SORT their whole candidate run to apply the limit; the
-    // aggregator does one O(k) buffer insert per pair inside a hash
-    // aggregate — no sort operator at all (TopKCand's docstring has the
-    // full accounting). Ranking order (cos desc, n_id) is IDENTICAL to
-    // the window spelling and to [[cellTopKSql]] (CellTopKSpec pins
-    // frame-for-frame equality on fixture data); a candidate appears at
-    // most once per query (each index row lives in exactly one cell), so
-    // row_number and the sorted-buffer ranks agree.
+  /** Bounded top-3 under (score desc, n_id asc) over a
+    * (q_id, n_id, `score`) candidate frame, via the typed TopKCand
+    * Aggregator rather than a row_number window: the window spelling's
+    * shuffle was already bounded by WindowGroupLimit's partial limit,
+    * but both its partial and final stages SORT their whole candidate
+    * run to apply the limit; the aggregator does one O(k) buffer insert
+    * per pair inside a hash aggregate — no sort operator at all
+    * (TopKCand's docstring has the full accounting). Ranking is
+    * IDENTICAL to `row_number() OVER (ORDER BY score DESC, n_id) ≤ 3`
+    * PROVIDED a candidate appears at most once per query — true for
+    * every consumer (cell membership is unique; LSH candidate pairs are
+    * deduped before scoring). CellTopKSpec pins frame-for-frame
+    * equality against the window spelling.
+    */
+  private def topKByScore(cands: DataFrame, score: String): DataFrame = {
     val topk = udaf(new graft.udf.TopKCand(3))
-    qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosCol)
-      .groupBy("q_id")
-      .agg(topk(col("cos"), col("n_id")).as("cands"))
+    cands.groupBy("q_id")
+      .agg(topk(col(score), col("n_id")).as("cands"))
       .select(col("q_id"), posexplode(col("cands")).as(Seq("p", "c")))
       .select(col("q_id"), (col("p") + 1).cast("long").as("rnk"),
-        col("c.nId").as("n_id"), col("c.cos").as("cos"))
+        col("c.nId").as("n_id"), col("c.cos").as(score))
       .orderBy("q_id", "rnk")
   }
+
+  private[graft] def cellTopK(idx: DataFrame, qry: DataFrame): DataFrame =
+    topKByScore(
+      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos"),
+      "cos")
 
   /** Probe-side frame shared by the IVF variants: one row per
     * (query, probed cell).
@@ -1232,14 +1235,11 @@ object Llm {
         expr("element_at(pc, 1).c_id").as("cell"))
       val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(expr("transform(pc, p -> p.c_id)")).as("cell"))
-      val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("n_id"))
-      qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-        .withColumn("ip", round(graft.functions.graft_dot(col("qv"), col("nv")), 4))
-        .select("q_id", "n_id", "ip")
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select("q_id", "rnk", "n_id", "ip")
-        .orderBy("q_id", "rnk")
+      topKByScore(
+        qry.join(idx, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+          .withColumn("ip", round(graft.functions.graft_dot(col("qv"), col("nv")), 4))
+          .select("q_id", "n_id", "ip"),
+        "ip")
     },
     Some(s"""WITH $vecsSql,
              prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM embeddings),
