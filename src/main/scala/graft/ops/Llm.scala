@@ -2480,6 +2480,123 @@ object Llm {
             SELECT lang, rnk, term, score FROM r WHERE rnk <= 5
             ORDER BY lang, rnk"""))
 
+  /** Minimum bigram support for collocation candidacy — PMI is notoriously
+    * noisy on rare pairs (a hapax bigram of two hapax unigrams maxes the
+    * score), so every serious collocation pipeline floors the count first.
+    */
+  private val ColMinCount = 5
+
+  /** Collocation mining — adjacent-bigram PMI over the corpus, the
+    * vocabulary-building primitive behind multi-word tokenizer entries and
+    * phrase detection (word2vec's phrase pass, Gensim Phrases):
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram
+    * population and p(·) over the token population, support-floored at
+    * [[ColMinCount]], top-25 by (pmi desc, a, b).
+    *
+    * Scale shape: one fan-out of the single-file corpus scan feeds both
+    * the unigram and bigram aggregations (the q_text_tfidf repartition
+    * pattern); the score join is two hash equi-joins ON TOKEN against the
+    * unigram table — the vocabulary is NEVER broadcast (billions of types
+    * on a web corpus; AQE may still choose broadcast while it is actually
+    * small), only the two 1-row totals are. The support filter lands
+    * BEFORE the joins, so the join volume is the heavy tail of the bigram
+    * distribution, not the hapax mass. Both engines evaluate the same
+    * literal IEEE expression (divisions then ln then round) on exact
+    * integer counts, so the oracle hash-matches.
+    */
+  private val qTextCollocations = Q(
+    "q_text_collocations",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .localCheckpoint(true) // two consumers: unigram + bigram explodes
+      val uni = toks.select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // three consumers: total + both score joins
+      val nTok = uni.agg(sum("c").as("n_tok"))
+      val bg = toks.select(explode(expr(
+          "transform(slice(t, 1, size(t) - 1), (x, i) -> named_struct('a', x, 'b', t[i + 1]))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .localCheckpoint(true) // two consumers: total + pair counts
+      val nBg = bg.agg(count(lit(1)).as("n_bg"))
+      bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= ColMinCount)
+        .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+        .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+        .withColumn("pmi", expr(
+          "round(ln((c_ab / CAST(n_bg AS DOUBLE)) / " +
+            "((c_a / CAST(n_tok AS DOUBLE)) * (c_b / CAST(n_tok AS DOUBLE)))), 4)"))
+        .select("a", "b", "c_ab", "pmi")
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(25)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             un AS (SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT u.t FROM d, unnest(l) AS u(t)) GROUP BY t),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM un),
+             bg AS (SELECT l[i] AS a, l[i + 1] AS b
+                    FROM d, unnest(range(1, len(l))) AS u(i)),
+             nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg),
+             cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+                     FROM bg GROUP BY a, b),
+             sc AS (SELECT a, b, c_ab,
+                     ROUND(LN((c_ab / CAST(n_bg AS DOUBLE)) /
+                       ((ua.c / CAST(n_tok AS DOUBLE)) * (ub.c / CAST(n_tok AS DOUBLE)))), 4) AS pmi
+                    FROM cab JOIN un ua ON cab.a = ua.tok
+                             JOIN un ub ON cab.b = ub.tok
+                    CROSS JOIN tot CROSS JOIN nb
+                    WHERE c_ab >= $ColMinCount)
+             SELECT a, b, c_ab, pmi FROM sc
+             ORDER BY pmi DESC, a, b LIMIT 25"""))
+
+  /** Per-document keyword extraction — top-3 terms per doc by tf·idf
+    * (tf = in-doc count, idf = ln(N/df)), the retrieval-side twin of the
+    * corpus-level `q_text_tfidf`: that op ranks terms WITHIN A LANGUAGE
+    * for vocabulary analysis; this one ranks terms WITHIN EACH DOCUMENT —
+    * the doc-level sparse signature behind lexical retrieval and the
+    * keyword metadata column a training-data catalog carries.
+    *
+    * Scale shape: the same one-fan-out/two-agg skeleton as q_text_tfidf
+    * (tf and df share the exploded exchange, the vocabulary-sized df
+    * table joins by hash — never force-broadcast), then a doc_id-keyed
+    * window bounded at 3 rows per doc (WindowGroupLimit caps the shuffle).
+    * Cardinality: ≤ 3 rows per document, linear in the corpus.
+    */
+  private val qTextKeywords = Q(
+    "q_text_keywords",
+    (s, dir) => {
+      val ex = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val dfq = ex.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", expr("round(tf * ln(n_docs / CAST(df AS DOUBLE)), 4)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""WITH ex AS (SELECT doc_id, t AS term
+                        FROM documents, unnest(string_split(text, ' ')) u(t)),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+            sc AS (SELECT doc_id, tf.term,
+                    ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) AS score
+                   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+            r AS (SELECT doc_id, term, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS BIGINT) AS rnk FROM sc)
+            SELECT doc_id, rnk, term, score FROM r WHERE rnk <= 3
+            ORDER BY doc_id, rnk"""))
+
   /** Tiny per-language lexicons over the corpus vocabulary — the n-gram/
     * lexicon-overlap language-ID heuristic. The synthetic corpus draws the
     * same vocabulary for every lang, so accuracy is meaningless here; the
@@ -3329,7 +3446,7 @@ object Llm {
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject,
-    qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextLangid, qTextLangidNgram, qTextQuality,
+    qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk,
     qSimHybridRrf, qMultimodalJoin)
