@@ -222,6 +222,76 @@ object Aggregates {
         .orderBy("l_returnflag")
     })
 
+  /** Count–Min sketch dimensions: depth (independent hash rows) × width
+    * (cells per row). 4×1024 = 4096 integer cells — ~32 KB, broadcastable
+    * anywhere — against 200k distinct partkeys at sf1, the point of the
+    * exercise: a fixed-size summary whose point-estimate error (≤ e·N/W
+    * with probability 1−e^−D) is tunable independently of corpus size.
+    */
+  private val CmDepth = 4
+  private val CmWidth = 1024
+
+  /** Count–Min sketch — the third member of the mergeable-sketch family
+    * beside HLL (distinct counts) and KLL/GK (quantiles): per-key COUNT
+    * estimation from a fixed 4×1024 integer grid. Each update increments
+    * one cell per hash row; a point estimate is the MIN over its D cells
+    * — never an undercount, overcounts only from collisions. Unlike the
+    * HLL/quantile sketches (D5, engine-specific internals, no-oracle),
+    * CMS is pure integer arithmetic over an engine-portable hash
+    * ([[Llm.md5Hex32Spark]]), so the WHOLE sketch — build, probe,
+    * estimate — carries an exact DuckDB oracle; the declared output is
+    * the top-20 exact heavy keys beside their sketch estimates and the
+    * collision overcount (≥ 0 by construction).
+    *
+    * Scale shape: the build explodes each row into its D cell updates and
+    * hash-aggregates — map-side combine caps every task's contribution at
+    * D·W rows, so the exchange is O(D·W·tasks) regardless of corpus size,
+    * and cell counts are sum-mergeable across partitions/days (the same
+    * rollup-tier story as q_agg_sketch_merge, with an oracle). The probe
+    * side is 20·D rows, hint-broadcast against the ≤ D·W-row sketch.
+    */
+  private val qAggCountmin = Q(
+    "q_agg_countmin",
+    (s, dir) => {
+      def cellExpr(rVar: String) = s"pmod(${Llm.md5Hex32Spark(
+        s"concat('cm', CAST($rVar AS STRING), '_', CAST(k AS STRING))")}, $CmWidth)"
+      val li = Tables(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val sketch = li
+        .select(explode(expr(s"transform(sequence(0, ${CmDepth - 1}), " +
+          s"r -> named_struct('r', r, 'cell', ${cellExpr("r")}))")).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.cell").as("cell"))
+        .agg(count(lit(1)).as("c"))
+      val exact = li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("k")).limit(20)
+      val probes = exact
+        .select(col("k"), col("exact_cnt"),
+          explode(expr(s"sequence(0, ${CmDepth - 1})")).as("r"))
+        .withColumn("cell", expr(cellExpr("r")))
+      broadcast(probes).join(sketch, Seq("r", "cell"))
+        .groupBy("k", "exact_cnt")
+        .agg(min("c").as("cm_est"))
+        .select(col("k").as("partkey"), col("exact_cnt"), col("cm_est"),
+          (col("cm_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("partkey"))
+    },
+    Some {
+      def cellSql(rVar: String) = s"(${Llm.md5Hex32Sql(
+        s"'cm' || CAST($rVar AS VARCHAR) || '_' || CAST(k AS VARCHAR)")}) % $CmWidth"
+      s"""WITH li AS (SELECT l_partkey AS k FROM lineitem),
+          rs AS (SELECT unnest(range($CmDepth)) AS r),
+          ce AS (SELECT r, ${cellSql("r")} AS cell, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM li CROSS JOIN rs GROUP BY 1, 2),
+          ex AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM li
+                 GROUP BY k ORDER BY exact_cnt DESC, k LIMIT 20),
+          pr AS (SELECT k, exact_cnt, r, ${cellSql("r")} AS cell
+                 FROM ex CROSS JOIN rs),
+          es AS (SELECT k, exact_cnt, MIN(c) AS cm_est
+                 FROM pr JOIN ce USING (r, cell) GROUP BY k, exact_cnt)
+          SELECT k AS partkey, exact_cnt, cm_est,
+                 cm_est - exact_cnt AS overcount
+          FROM es ORDER BY exact_cnt DESC, partkey"""
+    })
+
   /** Skew-mitigated aggregation: the salted two-phase shape (Skew
     * .saltedCountSum) spreads a hot grouping key over 8 partial groups,
     * then merges the algebraic partials — what keeps a heavy-hitter
@@ -674,7 +744,7 @@ object Aggregates {
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
-    qAggApproxQuantile, qAggSketchMerge, qAggSalted, qAggHistogram,
+    qAggApproxQuantile, qAggSketchMerge, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay)
 }

@@ -429,9 +429,76 @@ object Joins {
              AND a.sd <= b.ed AND b.sd <= a.ed
             GROUP BY a.supp ORDER BY a.supp"""))
 
+  /** Bloom-filter bits (2¹⁶ = 1024 64-bit words, 8 KB) and hash count for
+    * [[qJoinBloomPrune]]. At the fixture's ~1-2k selected keys, 3 hashes
+    * into 65536 bits give a false-positive rate ≈ (3k/65536·3)³ ≲ 1e-3;
+    * the width is a constant the builder scales with the expected key
+    * count (bits ≈ 10·keys for ~1% FP) — the FILTER grows with the
+    * selected dimension, never with the fact side.
+    */
+  private val BloomBits = 65536
+  private val BloomHashes = 3
+
+  /** Bloom-filter join pruning — the runtime-filter pattern every
+    * large-scale engine applies to a selective dim ⋈ huge fact join
+    * (Spark's InjectRuntimeFilter, Trino dynamic filtering, Snowflake
+    * join pruning), built EXPLICITLY so the mechanics are declared and
+    * oracled rather than left to a conf flag: the selective side's join
+    * keys are folded into an 8 KB bitset (one pass, bit_or-mergeable
+    * words → a single map row), broadcast to the fact scan, and every
+    * fact row whose 3 hash bits are not all set is dropped BEFORE the
+    * join's exchange. No false negatives (both sides evaluate the same
+    * md5-derived hashes), so after the confirming equi-join the result
+    * is EXACTLY the plain join — the oracle is the undecorated SQL; the
+    * bloom stage is invisible in the answer and load-bearing only in the
+    * plan, where the fact side's shuffle volume shrinks to the match rate
+    * (+ ~1e-3 false positives) instead of 100% of the fact table.
+    *
+    * Scale shape: the bitset build is a map-side-combinable bit_or over
+    * ≤ 1024 word rows regardless of key count; the fact-side check is a
+    * broadcast of ONE 8 KB row + a codegen'd map-lookup filter — the
+    * only exchange carrying fact rows is the post-prune confirm join,
+    * which AQE sizes on the pruned (not raw) cardinality.
+    */
+  private val qJoinBloomPrune = Q(
+    "q_join_bloom_prune",
+    (s, dir) => {
+      def posExpr(hVar: String, kCol: String) = s"pmod(${Llm.md5Hex32Spark(
+        s"concat('bf', CAST($hVar AS STRING), '_', CAST($kCol AS STRING))")}, $BloomBits)"
+      val dim = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") >= 200000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bm = dim
+        .select(explode(expr(s"transform(sequence(0, ${BloomHashes - 1}), " +
+          s"h -> ${posExpr("h", "o_orderkey")})")).as("pos"))
+        .groupBy(expr("pos div 64").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(pmod(pos, 64) AS INT)))").as("m"))
+        .agg(map_from_entries(collect_list(struct(col("w"), col("m")))).as("bm"))
+      val hit = (0 until BloomHashes).map { h =>
+        val p = posExpr(h.toString, "l_orderkey")
+        s"(coalesce(element_at(bm, $p div 64), 0L) & shiftleft(1L, CAST(pmod($p, 64) AS INT))) <> 0L"
+      }.mkString(" AND ")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .crossJoin(broadcast(bm))
+        .filter(expr(hit)) // the prune: drops non-matching fact rows pre-shuffle
+        .join(dim, col("l_orderkey") === col("o_orderkey")) // confirm join kills FPs
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+              CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+              ROUND(SUM(l_quantity), 4) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F' AND o_totalprice >= 200000
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     qJoinInnerBroadcast, qJoinInnerShuffle, qJoinLeftOuter, qJoinFullOuter,
     qJoinLeftSemi, qJoinLeftAnti, qJoinCross, qJoinThetaRange, qJoinAsof,
     qJoinStar, qJoinNullSafe, qJoinSkewSalted, qJoinBucketColocated,
-    qJoinIntervalOverlap)
+    qJoinIntervalOverlap, qJoinBloomPrune)
 }
