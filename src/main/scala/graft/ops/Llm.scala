@@ -973,8 +973,8 @@ object Llm {
     * deduped before scoring). CellTopKSpec pins frame-for-frame
     * equality against the window spelling.
     */
-  private def topKByScore(cands: DataFrame, score: String): DataFrame = {
-    val topk = udaf(new graft.udf.TopKCand(3))
+  private def topKByScore(cands: DataFrame, score: String, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.udf.TopKCand(k))
     cands.groupBy("q_id")
       .agg(topk(col(score), col("n_id")).as("cands"))
       .select(col("q_id"), posexplode(col("cands")).as(Seq("p", "c")))
@@ -1424,6 +1424,87 @@ object Llm {
              qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
                      FROM asg WHERE arn <= $IvfProbes),
              $cellTopKSql"""))
+
+  /** Shortlist size for the two-stage retrieve-then-refine search. */
+  private val RerankShortlist = 10
+
+  /** Two-stage retrieval — compressed shortlist, exact refine: the
+    * production search topology every billion-scale vector store runs
+    * (Faiss `IndexRefine`, ScaNN's reorder stage, DiskANN's PQ-then-full
+    * pass). Stage 1 scans ONLY the compressed index — the `q_sim_ivfpq`
+    * scorer widened to a [[RerankShortlist]]-candidate shortlist, so at
+    * rest the corpus costs d bytes/vector; stage 2 fetches true vectors
+    * for the ≤ 10 shortlisted candidates per query and re-scores them
+    * exactly, repairing quantization-induced rank inversions before the
+    * final top-3 cut. Recall can only improve over `q_sim_ivfpq` (same
+    * candidate pool, exact final order — InvariantsSpec pins it ≥); the
+    * full-precision fetch volume is 10 rows/query, not the corpus.
+    *
+    * Scale shape: stage 1 is exactly the IVF-PQ plan (broadcast
+    * assignment, one checkpoint, skinny cell equi-join, O(k)-state
+    * shortlist aggregation); stage 2 is two hash equi-joins of the
+    * (q_id, n_id) shortlist — 10n rows — against the vector table, then
+    * the bounded top-3 aggregate. The exact vectors are re-read from the
+    * SAME materialized assignment frame (no second corpus scan).
+    */
+  private val qSimRerank = Q(
+    "q_sim_rerank",
+    (s, dir) => {
+      val probed = vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
+        .withColumn("cell", expr("element_at(pc, 1).c_id"))
+        .withColumn("cv", expr(
+          "element_at(filter(cents, c -> c.c_id = element_at(pc, 1).c_id), 1).cv"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"), col("cell"), col("cv"))
+        .localCheckpoint(true)
+      val idx = probed
+        .withColumn("nv", expr(
+          "zip_with(cv, v, (c, x) -> c + floor((x - c) * 127D) / 127D)"))
+        .withColumn("nn", expr("sqrt(graft_dot(nv, nv))"))
+        .select(col("vec_id").as("n_id"), col("cell"), col("nv"), col("nn"))
+      val short = topKByScore(
+        probedQry(probed).join(idx, Seq("cell"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("cos", cosCol)
+          .select("q_id", "n_id", "cos"),
+        "cos", RerankShortlist)
+        .select("q_id", "n_id")
+      val exact = probed.select(col("vec_id"), col("v"), col("nrm"))
+      topKByScore(
+        short
+          .join(exact.select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn")), "q_id")
+          .join(exact.select(col("vec_id").as("n_id"), col("v").as("nv"),
+            col("nrm").as("nn")), "n_id")
+          .withColumn("cos", cosCol)
+          .select("q_id", "n_id", "cos"),
+        "cos")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             $ivfAsgSql,
+             a AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE arn = 1),
+             ac AS (SELECT a.vec_id, a.v, a.cell, cv
+                    FROM a JOIN cent ON a.cell = cent.c_id),
+             av AS (SELECT vec_id AS n_id, cell,
+                     list_transform(range(len(v)), i ->
+                       cv[i + 1] + floor((v[i + 1] - cv[i + 1]) * 127) / 127) AS nv
+                    FROM ac),
+             idx AS (SELECT n_id, cell, nv,
+                      sqrt(list_dot_product(nv, nv)) AS nn FROM av),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= $IvfProbes),
+             $cellTopKCtesSql,
+             sl AS (SELECT q_id, n_id FROM r WHERE rnk <= $RerankShortlist),
+             rr AS (SELECT sl.q_id, sl.n_id,
+                     ROUND(list_dot_product(qa.v, nb.v) / (qa.nrm * nb.nrm), 4) AS cos
+                    FROM sl JOIN n qa ON sl.q_id = qa.vec_id
+                            JOIN n nb ON sl.n_id = nb.vec_id),
+             rr2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM rr)
+             SELECT q_id, rnk, n_id, cos FROM rr2 WHERE rnk <= 3
+             ORDER BY q_id, rnk"""))
 
   /** Subspaces for true product quantization: 32 subspaces × 2 dims over
     * the fixture's d = 64 embeddings, k ≈ [[PqK]] codewords each. Tuned
@@ -3444,7 +3525,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject,
     qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,

@@ -527,6 +527,13 @@ class InvariantsSpec extends SparkSpec {
       f"PQ recall@3 = $pqRecall%.3f fell > 0.05 below IVF-SQ's $sqRecall%.3f")
     assert(pqRecall >= 0.2,
       f"PQ recall@3 = $pqRecall%.3f < 0.2 (random baseline ~0.08)")
+    // the exact-refine stage re-scores the compressed shortlist with true
+    // vectors — same candidate pool, exact final order, so its top-3 can
+    // only match or beat the pure-compressed search it shortlists from
+    val rerankRecall = hits("q_sim_rerank")
+    assert(rerankRecall >= sqRecall,
+      f"rerank recall@3 = $rerankRecall%.3f < IVF-SQ's $sqRecall%.3f — " +
+        "exact refine must not lose recall vs its own shortlist scorer")
   }
 
   test("kmeans refinement lifts IVF recall over the sampled quantizer") {
