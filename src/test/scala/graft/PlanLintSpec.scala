@@ -37,7 +37,14 @@ class PlanLintSpec extends SparkSpec {
       // the exact-eval side is BY DESIGN a broadcast-m-queries × corpus
       // scan (fixed m = 64 target keeps it linear in n); the ANN side's
       // cell equi-join is asserted separately below
-      "q_sim_recall_eval")
+      "q_sim_recall_eval",
+      // 1-row broadcast totals (n_tok / n_bg / n_docs) joined onto
+      // already-aggregated skinny score rows — the q_text_tfidf shape
+      "q_text_collocations", "q_text_keywords",
+      // the 8 KB bloom bitset is ONE broadcast row fanned onto the fact
+      // scan so the prune filter runs before any exchange; the confirm
+      // join proper is an equi-join, asserted separately below
+      "q_join_bloom_prune")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
@@ -224,6 +231,21 @@ class PlanLintSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("""hashpartitioning\(source[^)]*shard""".r.findFirstIn(plan).isDefined,
       s"q_source_cap phase 1 must window per (source, shard):\n$plan")
+  }
+
+  test("bloom prune filters the fact side before the confirm join") {
+    val plan = SparkEntry.queries("q_join_bloom_prune")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the bitset membership test (element_at + shiftleft masks) must
+    // survive into the physical plan as a Filter on the fact scan — if a
+    // refactor drops it, the confirm join sees 100% of lineitem and the
+    // op degenerates to a plain join wearing a bloom costume
+    assert(plan.contains("shiftleft"),
+      s"q_join_bloom_prune lost its bitset prune filter:\n$plan")
+    // and the confirm join itself stays an equi-join
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+      .findFirstIn(plan).isDefined,
+      s"q_join_bloom_prune needs an equi confirm join:\n$plan")
   }
 
   test("decontaminate joins benchmark shingles by key — no nested-loop anywhere") {
