@@ -222,14 +222,63 @@ object Aggregates {
         .orderBy("l_returnflag")
     })
 
+  /** Mergeable EXACT distinct counting via bitmap partials — the precise
+    * counterpart to [[qAggSketchMerge]]'s HLL: per-(returnflag, linestatus,
+    * 32k-bucket) bitmaps are built first (the pre-aggregate tier a rollup
+    * table stores), then OR-merged across linestatus WITHOUT re-touching
+    * raw rows, and the per-bucket exact cardinalities sum to the group's
+    * exact distinct count. Because the bitmap is exact (unlike HLL), the
+    * declared result equals a plain COUNT(DISTINCT) and carries a full
+    * DuckDB oracle — what's pinned is that the two-level merge loses
+    * nothing.
+    *
+    * Scale shape: keys shard into 32768-bit buckets
+    * (`bitmap_bucket_number`), so bitmap size per row group is capped at
+    * 4 KB regardless of key range, partials are OR-mergeable
+    * (map-side-combinable, associative), and the bucket dimension spreads
+    * a group's key space over many reducers — a billion-key domain is
+    * ~30k bucket rows per group, never one giant state blob.
+    */
+  private val qAggBitmapDistinct = Q(
+    "q_agg_bitmap_distinct",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+        .groupBy("l_returnflag", "bkt")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+        .groupBy("l_returnflag")
+        .agg(sum("c").as("nd_part"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Count–Min sketch dimensions: depth (independent hash rows) × width
     * (cells per row). 4×1024 = 4096 integer cells — ~32 KB, broadcastable
     * anywhere — against 200k distinct partkeys at sf1, the point of the
     * exercise: a fixed-size summary whose point-estimate error (≤ e·N/W
     * with probability 1−e^−D) is tunable independently of corpus size.
     */
-  private val CmDepth = 4
-  private val CmWidth = 1024
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 1024
+
+  /** The Count–Min cell updates of a key frame (one column `k`): D rows
+    * per input key, (r, cell) per hash row. ONE spelling shared by the
+    * batch sketch ([[qAggCountmin]]) and its streaming twin
+    * (`Pipeline.countMinSketch`) so the hash/cell contract cannot drift
+    * between the two — the replay-equality proof in StreamingSpec
+    * depends on it.
+    */
+  private[graft] def cmUpdates(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    keys.select(explode(expr(s"transform(sequence(0, ${CmDepth - 1}), " +
+        s"r -> named_struct('r', r, 'cell', ${cmCellExpr("r")}))")).as("p"))
+      .select(col("p.r").as("r"), col("p.cell").as("cell"))
+
+  private[graft] def cmCellExpr(rVar: String): String = s"pmod(${Llm.md5Hex32Spark(
+    s"concat('cm', CAST($rVar AS STRING), '_', CAST(k AS STRING))")}, $CmWidth)"
 
   /** Count–Min sketch — the third member of the mergeable-sketch family
     * beside HLL (distinct counts) and KLL/GK (quantiles): per-key COUNT
@@ -253,20 +302,16 @@ object Aggregates {
   private val qAggCountmin = Q(
     "q_agg_countmin",
     (s, dir) => {
-      def cellExpr(rVar: String) = s"pmod(${Llm.md5Hex32Spark(
-        s"concat('cm', CAST($rVar AS STRING), '_', CAST(k AS STRING))")}, $CmWidth)"
       val li = Tables(s, dir, "lineitem").select(col("l_partkey").as("k"))
-      val sketch = li
-        .select(explode(expr(s"transform(sequence(0, ${CmDepth - 1}), " +
-          s"r -> named_struct('r', r, 'cell', ${cellExpr("r")}))")).as("p"))
-        .groupBy(col("p.r").as("r"), col("p.cell").as("cell"))
+      val sketch = cmUpdates(li)
+        .groupBy("r", "cell")
         .agg(count(lit(1)).as("c"))
       val exact = li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("k")).limit(20)
       val probes = exact
         .select(col("k"), col("exact_cnt"),
           explode(expr(s"sequence(0, ${CmDepth - 1})")).as("r"))
-        .withColumn("cell", expr(cellExpr("r")))
+        .withColumn("cell", expr(cmCellExpr("r")))
       broadcast(probes).join(sketch, Seq("r", "cell"))
         .groupBy("k", "exact_cnt")
         .agg(min("c").as("cm_est"))
@@ -744,7 +789,7 @@ object Aggregates {
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
-    qAggApproxQuantile, qAggSketchMerge, qAggCountmin, qAggSalted, qAggHistogram,
+    qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay)
 }

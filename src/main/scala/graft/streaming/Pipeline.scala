@@ -243,6 +243,23 @@ object Pipeline {
       .groupBy(when(col("term").isin(cands: _*), col("term")).as("term"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming Count–Min sketch — the streaming member of the mergeable-
+    * sketch family beside the Misra–Gries pass above: the SAME cell-update
+    * spelling as the batch `q_agg_countmin` build
+    * (`Aggregates.cmUpdates` — one hash contract, so batch and stream
+    * cannot drift) folded by a streaming aggregation whose state is
+    * bounded at D·W = 4096 integer cells however long the stream runs.
+    * Because cells are sum-mergeable, the drained sketch equals the batch
+    * sketch over the same keys REGARDLESS of micro-batch segmentation —
+    * StreamingSpec proves replay equality exactly, the same contract the
+    * heavy-hitter and session twins carry. Point estimates are served by
+    * the batch op's probe spelling against this state table.
+    */
+  def countMinSketch(keys: DataFrame): DataFrame =
+    graft.ops.Aggregates.cmUpdates(keys)
+      .groupBy("r", "cell")
+      .agg(count(lit(1)).as("c"))
+
   /** Full reference pipeline as a streaming writer: route → per-partition
     * batch → deliver-with-retry → delivered/DLQ parquet dirs per route
     * (§0.1 steps 4–6). `failEvery` injects a deterministic per-record

@@ -185,6 +185,36 @@ class StreamingSpec extends SparkSpec {
       s"streamed HH must equal the batch twin exactly:\n streamed=$streamed\n batch=$batch")
   }
 
+  test("streaming Count-Min sketch: drained cells equal the batch sketch exactly") {
+    // sum-mergeable cells ⇒ the sketch is segmentation-invariant: any
+    // micro-batch split of the key stream must drain to the same 4096-cell
+    // state the batch build computes in one pass. Keys = the fixture's
+    // partkey column, 5 micro-batches so cross-batch merge is exercised.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val keyList = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_partkey")).as[Long].collect().toSeq
+    val chunks = keyList.grouped((keyList.size / 5).max(1)).toSeq
+    val mem = MemoryStream[Long]
+    val q = Pipeline.countMinSketch(mem.toDF().withColumnRenamed("value", "k"))
+      .writeStream.format("memory").queryName("cm_sketch")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp("ckpt-cm")).start()
+    chunks.foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cm_sketch").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.Aggregates.cmUpdates(
+        keyList.toDF("k"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed.size <= 4096,
+      s"sketch state must stay within D*W cells, got ${streamed.size}")
+    assert(streamed == batch,
+      s"drained streaming sketch must equal the batch sketch: " +
+        s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming ANN serve: foreachBatch answers off the persisted index equal the batch serve") {
     // the online half of the index lifecycle: queries arrive as a
     // stream, every answer is computed from the persisted artifacts
