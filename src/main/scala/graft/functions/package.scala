@@ -41,6 +41,12 @@ package functions {
         new ExpressionInfo(classOf[Md5Hex32].getCanonicalName, null, "graft_md5h32"),
         GraftNative.md5h32Builder))
       ext.injectFunction((
+        new FunctionIdentifier("graft_md5w32"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.graftnative.Md5Words32].getCanonicalName,
+          null, "graft_md5w32"),
+        GraftNative.md5w32Builder))
+      ext.injectFunction((
         new FunctionIdentifier("graft_pq_recon"),
         new ExpressionInfo(classOf[PqRecon].getCanonicalName, null, "graft_pq_recon"),
         GraftNative.pqReconBuilder))

@@ -270,15 +270,24 @@ object Aggregates {
     * batch sketch ([[qAggCountmin]]) and its streaming twin
     * (`Pipeline.countMinSketch`) so the hash/cell contract cannot drift
     * between the two — the replay-equality proof in StreamingSpec
-    * depends on it.
+    * depends on it. The D hash rows are the four 32-bit words of ONE
+    * md5 digest (`graft_md5w32`) — one digest per fact row instead of
+    * one per (row × hash), the constant that matters when every corpus
+    * row pays it; the DuckDB twin reads the same digest quarters
+    * ([[Llm.md5SliceSql]]).
     */
   private[graft] def cmUpdates(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    keys.select(explode(expr(s"transform(sequence(0, ${CmDepth - 1}), " +
-        s"r -> named_struct('r', r, 'cell', ${cmCellExpr("r")}))")).as("p"))
+    keys
+      .withColumn("sl", expr("graft_md5w32(concat('cm_', CAST(k AS STRING)))"))
+      .select(explode(expr(s"transform(sequence(0, ${CmDepth - 1}), " +
+        s"r -> named_struct('r', r, 'cell', pmod(element_at(sl, CAST(r + 1 AS INT)), $CmWidth)))")).as("p"))
       .select(col("p.r").as("r"), col("p.cell").as("cell"))
 
-  private[graft] def cmCellExpr(rVar: String): String = s"pmod(${Llm.md5Hex32Spark(
-    s"concat('cm', CAST($rVar AS STRING), '_', CAST(k AS STRING))")}, $CmWidth)"
+  /** Probe-side cell of hash row `rVar` for a key column `k` — the same
+    * digest-word contract as [[cmUpdates]], one row at a time.
+    */
+  private[graft] def cmCellExpr(rVar: String): String =
+    s"pmod(element_at(graft_md5w32(concat('cm_', CAST(k AS STRING))), CAST($rVar + 1 AS INT)), $CmWidth)"
 
   /** Count–Min sketch — the third member of the mergeable-sketch family
     * beside HLL (distinct counts) and KLL/GK (quantiles): per-key COUNT
@@ -320,8 +329,8 @@ object Aggregates {
         .orderBy(col("exact_cnt").desc, col("partkey"))
     },
     Some {
-      def cellSql(rVar: String) = s"(${Llm.md5Hex32Sql(
-        s"'cm' || CAST($rVar AS VARCHAR) || '_' || CAST(k AS VARCHAR)")}) % $CmWidth"
+      def cellSql(rVar: String) = s"(${Llm.md5SliceSql(
+        "'cm_' || CAST(k AS VARCHAR)", rVar)}) % $CmWidth"
       s"""WITH li AS (SELECT l_partkey AS k FROM lineitem),
           rs AS (SELECT unnest(range($CmDepth)) AS r),
           ce AS (SELECT r, ${cellSql("r")} AS cell, CAST(COUNT(*) AS BIGINT) AS c

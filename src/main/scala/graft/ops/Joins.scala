@@ -463,25 +463,28 @@ object Joins {
   private val qJoinBloomPrune = Q(
     "q_join_bloom_prune",
     (s, dir) => {
-      def posExpr(hVar: String, kCol: String) = s"pmod(${Llm.md5Hex32Spark(
-        s"concat('bf', CAST($hVar AS STRING), '_', CAST($kCol AS STRING))")}, $BloomBits)"
+      // the 3 bit positions are digest words 0-2 of ONE md5 per key
+      // (graft_md5w32) — a single digest per fact row, not 3
       val dim = Tables(s, dir, "orders")
         .filter(col("o_orderstatus") === "F" && col("o_totalprice") >= 200000)
         .select(col("o_orderkey"), col("o_orderpriority"))
       val bm = dim
-        .select(explode(expr(s"transform(sequence(0, ${BloomHashes - 1}), " +
-          s"h -> ${posExpr("h", "o_orderkey")})")).as("pos"))
+        .select(explode(expr(
+          s"transform(slice(graft_md5w32(concat('bf_', CAST(o_orderkey AS STRING))), 1, $BloomHashes), " +
+            s"x -> pmod(x, $BloomBits))")).as("pos"))
         .groupBy(expr("pos div 64").as("w"))
         .agg(expr("bit_or(shiftleft(1L, CAST(pmod(pos, 64) AS INT)))").as("m"))
         .agg(map_from_entries(collect_list(struct(col("w"), col("m")))).as("bm"))
       val hit = (0 until BloomHashes).map { h =>
-        val p = posExpr(h.toString, "l_orderkey")
+        val p = s"pmod(element_at(sl, ${h + 1}), $BloomBits)"
         s"(coalesce(element_at(bm, $p div 64), 0L) & shiftleft(1L, CAST(pmod($p, 64) AS INT))) <> 0L"
       }.mkString(" AND ")
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"))
+        .withColumn("sl", expr("graft_md5w32(concat('bf_', CAST(l_orderkey AS STRING)))"))
         .crossJoin(broadcast(bm))
         .filter(expr(hit)) // the prune: drops non-matching fact rows pre-shuffle
+        .drop("sl")
         .join(dim, col("l_orderkey") === col("o_orderkey")) // confirm join kills FPs
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),

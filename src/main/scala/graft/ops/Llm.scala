@@ -748,6 +748,18 @@ object Llm {
           CAST(instr('0123456789abcdef', substr(md5($arg), CAST(c + 1 AS INT), 1)) - 1 AS BIGINT)
             << CAST(4 * (7 - c) AS INT)))"""
 
+  /** Word `i` (0-3) of the md5 digest of `arg` as an unsigned 32-bit
+    * value — the DuckDB twin of the native `graft_md5w32` array
+    * expression (hex chars 8i+1..8i+8 assembled per nibble; word 0 IS
+    * [[md5Hex32Sql]]). `i` may be a SQL expression in scope. The
+    * multi-hash spelling for sketch consumers (Count–Min rows, bloom
+    * positions) that derive D hashes from ONE digest per key.
+    */
+  private[graft] def md5SliceSql(arg: String, i: String): String =
+    s"""list_sum(list_transform(range(8), c ->
+          CAST(instr('0123456789abcdef', substr(md5($arg), CAST(8 * ($i) + c + 1 AS INT), 1)) - 1 AS BIGINT)
+            << CAST(4 * (7 - c) AS INT)))"""
+
   /** [[md5Hex32Spark]] scaled to a uniform double in [0, 1) — division by
     * 2³² is exact power-of-two scaling, so the double is bit-identical in
     * both engines. The ONE place the divisor lives: every hash-threshold

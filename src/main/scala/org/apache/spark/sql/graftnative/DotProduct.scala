@@ -118,6 +118,58 @@ object Md5Hex32 {
   }
 }
 
+/** All four 32-bit big-endian words of ONE md5 digest as
+  * ARRAY<BIGINT> (each in [0, 2³²)) — word 0 IS `graft_md5h32` of the
+  * same string (same first-4-bytes assembly), words 1-3 are the
+  * remaining digest quarters. The multi-hash primitive for sketches
+  * that need D "independent" hash rows per key (Count–Min cells, bloom
+  * bit positions): one digest per ROW instead of one per (row × hash) —
+  * a 128-bit digest's quarters are as independent as salted re-hashes,
+  * at a quarter of the hashing cost on every fact row. DuckDB twin:
+  * hex-slice `substr(md5(s), 8·i + 1, 8)` assembled per nibble
+  * ([[graft.ops.Llm.md5SliceSql]] — the md5Hex32Sql spelling with a word
+  * offset), so both engines read the same digest quarters.
+  */
+case class Md5Words32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5w32"
+
+  override protected def nullSafeEval(s: Any): Any =
+    Md5Words32.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftnative.Md5Words32.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Words32 =
+    copy(child = newChild)
+}
+
+object Md5Words32 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val out = new Array[Long](4)
+    var i = 0
+    while (i < 4) {
+      val o = i * 4
+      out(i) = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Bridge for code outside the sql package. */
 object GraftNative {
   def dot(a: Column, b: Column): Column =
@@ -130,6 +182,9 @@ object GraftNative {
 
   val md5h32Builder: Seq[Expression] => Expression =
     children => Md5Hex32(children.head)
+
+  val md5w32Builder: Seq[Expression] => Expression =
+    children => Md5Words32(children.head)
 
   val pqReconBuilder: Seq[Expression] => Expression = { children =>
     if (children.length != 4)
@@ -153,6 +208,8 @@ object GraftNative {
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5h32", md5h32Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5w32", md5w32Builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_recon", pqReconBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

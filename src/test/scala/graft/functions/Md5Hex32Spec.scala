@@ -40,4 +40,27 @@ class Md5Hex32Spec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("k"))
     assert(rows.find(!_.isNullAt(1)).get.getLong(1) == v)
   }
+
+  test("graft_md5w32: word 0 equals graft_md5h32; every word matches its hex slice") {
+    import spark.implicits._
+    // word i must assemble hex chars 8i+1..8i+8 of the digest — the same
+    // contract Llm.md5SliceSql spells for the DuckDB oracles
+    def sliceHof(i: Int) =
+      s"""aggregate(transform(sequence(0, 7), c ->
+           shiftleft(CAST(instr('0123456789abcdef', substr(md5(CAST(s AS BINARY)), ${8 * i} + c + 1, 1)) - 1 AS BIGINT),
+                     CAST(4 * (7 - c) AS INT))),
+           CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    val samples = (0 until 300).map(i => s"cm_$i") ++ Seq("", "√ü", "y" * 2048)
+    var df = samples.toDF("s").withColumn("w", expr("graft_md5w32(s)"))
+      .withColumn("h32", expr("graft_md5h32(s)"))
+    (0 until 4).foreach { i => df = df.withColumn(s"ref_$i", expr(sliceHof(i))) }
+    assert(df.filter(expr("element_at(w, 1)") =!= col("h32")).isEmpty,
+      "word 0 must BE graft_md5h32")
+    (0 until 4).foreach { i =>
+      assert(df.filter(expr(s"element_at(w, ${i + 1})") =!= col(s"ref_$i")).isEmpty,
+        s"word $i must equal its hex-slice spelling")
+      assert(df.filter(expr(s"element_at(w, ${i + 1}) < 0 OR element_at(w, ${i + 1}) > 4294967295")).isEmpty,
+        s"word $i must stay unsigned 32-bit")
+    }
+  }
 }
