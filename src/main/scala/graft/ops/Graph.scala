@@ -490,6 +490,75 @@ object Graph {
             JOIN deg d2 ON d2.n = e.b
             ORDER BY jac_bp DESC, e.a, e.b LIMIT 20"""))
 
+  /** k-core threshold and peel rounds. K = 6 bites on the TriKnn = 16
+    * sparsified graph (every node KEEPS ≤ 16 edges but may hold fewer
+    * after mutual-overlap dedup, and hub in-edges concentrate degree);
+    * 3 rounds is the declared fixed-superstep budget — production runs
+    * the same peel to fixpoint (the ConnectedComponents driver-scalar
+    * loop), a fixed count keeps the oracle a finite CTE chain.
+    */
+  private val KCoreK = 6
+  private val KCoreRounds = 3
+
+  /** k-core extraction over the co-purchase graph — the dense-region
+    * filter of graph curation (community mining, spam/bridge removal,
+    * "keep items with at least K strong co-purchase partners"): rounds
+    * of PEELING, each dropping nodes whose CURRENT degree < K and the
+    * edges they carry — degree recomputed each round, so peeling
+    * cascades (removing a hub can orphan its spokes). Output: top-20
+    * surviving nodes by within-core degree after [[KCoreRounds]] rounds
+    * (deg desc, id tie-break), all-integer.
+    *
+    * Scale shape: each round is one map-combinable degree aggregation
+    * over the live edge set + two LEFT SEMI hash joins restricting edges
+    * to surviving endpoints, checkpointed per round (the q_dedup_cluster
+    * superstep discipline — lineage stays flat, the driver sees no data).
+    * Cost per round is O(|E| live|); the live set only shrinks.
+    */
+  private val qGraphKcore = Q(
+    "q_graph_kcore",
+    (s, dir) => {
+      var alive = sparseEdges(s, dir)
+      for (_ <- 1 to KCoreRounds) {
+        val deg = alive.select(col("a").as("n"))
+          .unionByName(alive.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("c"))
+        val keep = deg.filter(col("c") >= KCoreK).select("n")
+        alive = alive
+          .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+      }
+      alive.select(col("a").as("n"))
+        .unionByName(alive.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("core_deg"))
+        .orderBy(col("core_deg").desc, col("n"))
+        .limit(20)
+        .select(col("n").as("node"), col("core_deg"))
+    },
+    Some {
+      // every e$i is referenced 3× by round i+1 (degree union + two IN
+      // probes) — MATERIALIZED pins each round to ONE evaluation where
+      // DuckDB's default inlining would re-expand the whole chain (3^r
+      // evaluations of the co-occurrence join: observed spill-to-disk
+      // death at sf0.1)
+      def round(i: Int, prev: String) =
+        s"""d$i AS MATERIALIZED (SELECT n, COUNT(*) AS c FROM (
+                      SELECT a AS n FROM $prev UNION ALL SELECT b AS n FROM $prev) u
+                    GROUP BY n),
+            k$i AS MATERIALIZED (SELECT n FROM d$i WHERE c >= $KCoreK),
+            e$i AS MATERIALIZED (SELECT a, b FROM $prev
+                    WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+      s"""WITH $sparseEdgesSql,
+          em AS MATERIALIZED (SELECT a, b FROM edges),
+          ${round(1, "em")},
+          ${round(2, "e1")},
+          ${round(3, "e2")}
+          SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+            SELECT a AS n FROM e3 UNION ALL SELECT b AS n FROM e3) u
+          GROUP BY n ORDER BY core_deg DESC, n LIMIT 20"""
+    })
+
   val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles, qGraphLabelProp,
-    qGraphJaccardNbr)
+    qGraphJaccardNbr, qGraphKcore)
 }
