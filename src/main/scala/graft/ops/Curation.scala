@@ -685,8 +685,60 @@ object Curation {
              SELECT q_id, rnk, n_id AS neg_id, cos FROM r
              WHERE rnk <= $HardK ORDER BY q_id, rnk"""))
 
+  /** Importance-sampling weight ceiling: a doc of [[ImpCapChars]]+ chars
+    * carries full weight (10000 bp); shorter docs keep with probability
+    * n_chars/[[ImpCapChars]] — longer-is-better as a stand-in for the
+    * model-scored quality weight a production pipeline plugs in here.
+    */
+  private val ImpCapChars = 2000L
+
+  /** Quality-WEIGHTED document sampling — the per-ROW continuous-weight
+    * member of the selection family (q_sample_mixture reweights per
+    * GROUP; this reweights per DOCUMENT, the DCLM/FineWeb-style
+    * "sample proportional to quality score" primitive): each doc keeps
+    * with probability w ∈ [0, 1] = min(n_chars, cap)/cap, decided by the
+    * salted hash u < w — deterministic, re-runnable, oracle-expressible,
+    * and independent of every other selection salt (shared-seed leakage
+    * rule). Output is the per-source audit: docs, weight mass (= expected
+    * keeps, in bp), actual keeps, kept-id checksum — actual tracks
+    * expectation within binomial noise, which InvariantsSpec-style
+    * consumers (and the oracle) can check exactly since both engines
+    * make identical keep decisions.
+    *
+    * Scale shape: map-only keep decision (one hash compare per row, no
+    * weight normalization pass because w is per-row closed-form) + one
+    * map-combinable skinny aggregation; nothing shuffles but the
+    * ≤ |sources| audit rows.
+    */
+  private val qSampleImportance = Q(
+    "q_sample_importance",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("w_bp", expr(s"least(n_chars, $ImpCapChars) * 10000L div $ImpCapChars"))
+        .withColumn("kept", expr(s"CASE WHEN pmod(${u32Spark("imp")}, 10000) < w_bp " +
+          "THEN 1L ELSE 0L END"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w_bp").as("weight_mass_bp"),
+          sum("kept").as("n_kept"),
+          sum(expr("kept * doc_id")).as("kept_id_sum"))
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source,
+                   LEAST(n_chars, $ImpCapChars) * 10000 // $ImpCapChars AS w_bp
+                  FROM documents),
+            k AS (SELECT doc_id, source, w_bp,
+                   CASE WHEN (${u32Sql("imp")}) % 10000 < w_bp
+                     THEN 1 ELSE 0 END AS kept
+                  FROM d)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w_bp) AS BIGINT) AS weight_mass_bp,
+                   CAST(SUM(kept) AS BIGINT) AS n_kept,
+                   CAST(SUM(kept * doc_id) AS BIGINT) AS kept_id_sum
+            FROM k GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
-    qSampleHardNegatives, qSourceScorecard)
+    qSampleHardNegatives, qSourceScorecard, qSampleImportance)
 }
