@@ -242,6 +242,61 @@ object Multimodal {
             FROM cand WHERE bit_count(xor(s1, s2)) <= 3
             ORDER BY format, d1, d2"""))
 
+  /** Declared frame→token alignment rate: frame i of a video samples the
+    * transcript at token position i·16 + 1. Stand-in for the real
+    * timestamp arithmetic (frame PTS × tokens/sec) a production aligner
+    * computes — the constant is the declared contract, the JOIN SHAPE is
+    * the operator.
+    */
+  private val AlignTokStride = 16L
+
+  /** Frame↔chunk alignment — the multimodal PAIRING step that turns raw
+    * video + transcript into contrastive training pairs (CLIP/VideoCLIP
+    *-style): each sampled video frame is matched to the transcript chunk
+    * (`q_text_chunk`'s 32/24 tiling) covering its token position, clamped
+    * to the document's last chunk for frames sampled past the transcript
+    * end. Output is the (frame, chunk) manifest with both content ids —
+    * the unit a contrastive trainer consumes.
+    *
+    * Scale shape: the frame side is the bounded `frameSample` fan-out
+    * (≤ 5 rows/video); the chunk id is CLOSED-FORM (one integer div +
+    * clamp — alignment itself never joins), so the only joins are two
+    * doc-keyed hash equi-joins: max-chunk lookup (map-combinable agg)
+    * and the chunk-hash fetch on (doc_id, chunk_id). Nothing pairwise,
+    * nothing windowed; linear in frames + chunks at any corpus size.
+    */
+  private val qMultimodalAlign = Q(
+    "q_multimodal_align",
+    (s, dir) => {
+      val fr = frameSample(assets(s, dir).filter(col("format") === "video"),
+          stride = 4, maxFrames = 5)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame"))
+      val ch = Llm.chunked(s, dir)
+      val nCh = ch.groupBy("doc_id").agg(max("chunk_id").as("max_chunk"))
+      fr.join(nCh, "doc_id")
+        .withColumn("chunk_id",
+          expr(s"least(frame_idx * $AlignTokStride div 24, max_chunk)"))
+        .join(ch.select(col("doc_id"), col("chunk_id"), col("chunk_md5")),
+          Seq("doc_id", "chunk_id"))
+        .select("doc_id", "frame_idx", "frame", "chunk_id", "chunk_md5")
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(s"""WITH ${graft.ops.Llm.chunkedSql},
+            v AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx
+                  FROM documents WHERE doc_id % 3 = 2),
+            fr AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                    substr(hx, CAST(i * 64 + 1 AS INT), 16) AS frame
+                   FROM v, unnest(range(0, least(length(hx) // 64, 5))) u(i)),
+            nc AS (SELECT doc_id, MAX(chunk_id) AS max_chunk FROM ch GROUP BY doc_id),
+            al AS (SELECT fr.doc_id, frame_idx, frame,
+                    LEAST(frame_idx * $AlignTokStride // 24, max_chunk) AS chunk_id
+                   FROM fr JOIN nc ON fr.doc_id = nc.doc_id)
+            SELECT al.doc_id, frame_idx, frame, al.chunk_id, chunk_md5
+            FROM al JOIN ch ON al.doc_id = ch.doc_id AND al.chunk_id = ch.chunk_id
+            ORDER BY al.doc_id, frame_idx"""))
+
   val all: Seq[Q] = Seq(
-    qMultimodalMeta, qMultimodalFrames, qMultimodalDedup, qMultimodalPhash)
+    qMultimodalMeta, qMultimodalFrames, qMultimodalDedup, qMultimodalPhash,
+    qMultimodalAlign)
 }
