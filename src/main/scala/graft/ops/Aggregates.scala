@@ -794,11 +794,53 @@ object Aggregates {
             FROM d GROUP BY user_id
             ORDER BY decayed_micro DESC, user_id LIMIT 20"""))
 
+  /** Rolling 7-day distinct users per day — the dashboard/retention metric
+    * every event pipeline serves, in its only scale-viable shape: a naive
+    * per-day `COUNT(DISTINCT)` over a trailing window re-scans W days of
+    * raw events for EVERY output day (W× the corpus per sweep, and the
+    * distinct is not decomposable across days), while the rollup form
+    * computes per-(day, bucket) roaring bitmaps ONCE (map-side combinable
+    * `bitmap_construct_agg`, same mergeable-sketch family as
+    * `q_agg_bitmap_distinct`) and then OR-merges W bitmap rows per output
+    * day. After the daily rollup every frame is CALENDAR-sized — days ×
+    * buckets rows regardless of corpus size — so the window merge costs
+    * the same at 100 TB as at sf0.01. The explode(sequence(day, day+6))
+    * fan-out publishes each daily bitmap to the ≤ 7 trailing windows it
+    * serves; the semi-join against the observed-day frame (tiny,
+    * broadcast) trims phantom days past the corpus end. Exact distinct
+    * counts — bitmaps, not HLL — so the DuckDB `COUNT(DISTINCT)` twin
+    * hash-matches cell-exactly.
+    */
+  private val qAggRollingDistinct = Q(
+    "q_agg_rolling_distinct",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("ts_us DIV 86400000000").as("day"), col("user_id"))
+        .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      val days = daily.select("day").distinct()
+      daily
+        .select(explode(expr("sequence(day, day + 6)")).as("day"),
+          col("bkt"), col("bm"))
+        .join(broadcast(days), "day")
+        .groupBy("day", "bkt")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+        .groupBy("day")
+        .agg(sum("c").as("nd_users_7d"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+             days AS (SELECT DISTINCT d FROM e)
+            SELECT days.d AS day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS nd_users_7d
+            FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
-    qAggRetention, qAggIncremental, qAggCorr, qAggDecay)
+    qAggRetention, qAggIncremental, qAggCorr, qAggDecay,
+    qAggRollingDistinct)
 }

@@ -323,6 +323,62 @@ object Llm {
             CAST(COUNT(*) AS BIGINT) AS group_size
             FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
 
+  /** Cross-source duplication matrix — the corpus-composition audit run
+    * before mixing crawls (how much of source A is already in source B
+    * decides dedup order and mixture weights; the overlap analyses in the
+    * C4/RefinedWeb/Dolma reports are exactly this table). One row per
+    * unordered source pair with ≥ 1 near-dup pair (lexical Jaccard ≥ 0.1
+    * — the `q_dedup_jaccard` threshold): pair count, summed similarity in
+    * integer basis points, and distinct docs implicated on each side.
+    *
+    * Cost: the pair universe is the SAME persisted shared-shingle frame
+    * every other lexical-dedup consumer reads ([[jaccardPairs]] — built
+    * once per corpus, df-capped, never all-pairs), so this whole matrix
+    * is two doc_id-keyed joins against the skinny (doc_id, source) frame
+    * plus one map-combinable aggregation over pairs — at 100 TB it rides
+    * the dedup pipeline's existing artifacts rather than re-scanning the
+    * corpus. `least/greatest` canonicalizes the pair so A→B and B→A land
+    * in one cell; within-source rows (src_a = src_b) stay in — the
+    * self-duplication diagonal is the number a crawl operator checks
+    * first.
+    */
+  private val qSourceOverlap = Q(
+    "q_source_overlap",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir).filter(col("jac") >= 0.1)
+        .join(docs.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .select(
+          least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"),
+          col("d1"), col("d2"), col("jac"))
+        .groupBy("src_a", "src_b")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(round(jac * 10000) AS BIGINT)")).as("jac_bp_sum"),
+          countDistinct(col("d1")).as("nd_left"),
+          countDistinct(col("d2")).as("nd_right"))
+        .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
+    },
+    Some(s"""WITH $pairsSql,
+             j AS (SELECT d1, d2,
+                     FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 AS jac
+                   FROM pr JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+                   WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 >= 0.1),
+             lab AS (SELECT j.d1, j.d2, j.jac,
+                       LEAST(da.source, db.source) AS src_a,
+                       GREATEST(da.source, db.source) AS src_b
+                     FROM j JOIN documents da ON j.d1 = da.doc_id
+                            JOIN documents db ON j.d2 = db.doc_id)
+             SELECT src_a, src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(ROUND(jac * 10000) AS BIGINT)) AS BIGINT) AS jac_bp_sum,
+               CAST(COUNT(DISTINCT d1) AS BIGINT) AS nd_left,
+               CAST(COUNT(DISTINCT d2) AS BIGINT) AS nd_right
+             FROM lab GROUP BY src_a, src_b
+             ORDER BY n_pairs DESC, src_a, src_b"""))
+
   private val qDedupJaccard = Q(
     "q_dedup_jaccard",
     (s, dir) =>
@@ -1862,6 +1918,61 @@ object Llm {
     Some("""SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents, unnest(string_split(text, ' ')) u(t)
             GROUP BY t ORDER BY n DESC, term LIMIT 20"""))
+
+  /** Vocabulary truncation planning — the tokenizer-design table ("what
+    * vocab size covers what fraction of the corpus, and what OOV mass
+    * does each cutoff leave") computed the only way that scales: the
+    * corpus collapses to its unigram census FIRST (map-combinable count,
+    * vocabulary-sized output), the census collapses to its top-K via
+    * `TakeOrderedAndProject` (no global sort — each task keeps K rows),
+    * and only that K-row frame pays a single-partition ranking window.
+    * At a production 100M-type vocabulary the same plan holds with K at
+    * the largest candidate size — the window frame is K-sized, never
+    * corpus- or vocabulary-sized. Cutoffs are fixture-scaled (the
+    * synthetic corpus has 31 token types; production runs 32k–256k with
+    * the identical plan): per cutoff, the boundary term, cumulative
+    * coverage in basis points (integer floor division), and the OOV
+    * token mass a tokenizer frozen at that size would spill to
+    * fallback. Totals ride in as a 1-row broadcast.
+    */
+  private val qTextVocabPrune = Q(
+    "q_text_vocab_prune",
+    (s, dir) => {
+      val vocab = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // two consumers: totals census + top-K frame
+      val tot = vocab.agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"))
+      val wRank = Window.orderBy(col("n").desc, col("term"))
+      val top = vocab.orderBy(col("n").desc, col("term")).limit(64)
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .withColumn("cum",
+          sum("n").over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      top.filter(col("rnk").isin(4L, 8L, 16L, 24L))
+        .crossJoin(broadcast(tot))
+        .select(col("rnk").as("vocab_size"), col("term").as("boundary_term"),
+          col("n_types"),
+          expr("cum * 10000 div n_tokens").as("coverage_bp"),
+          (col("n_tokens") - col("cum")).as("oov_tokens"))
+        .orderBy("vocab_size")
+    },
+    Some("""WITH v AS (SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents, unnest(string_split(text, ' ')) u(t)
+                       GROUP BY t),
+             tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+                            CAST(COUNT(*) AS BIGINT) AS n_types FROM v),
+             top AS (SELECT term, n,
+                       CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rnk,
+                       CAST(SUM(n) OVER (ORDER BY n DESC, term
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                     FROM v ORDER BY n DESC, term LIMIT 64)
+            SELECT rnk AS vocab_size, term AS boundary_term, n_types,
+              CAST(cum * 10000 // n_tokens AS BIGINT) AS coverage_bp,
+              CAST(n_tokens - cum AS BIGINT) AS oov_tokens
+            FROM top, tot WHERE rnk IN (4, 8, 16, 24)
+            ORDER BY vocab_size"""))
 
   /** Corpus-derived commonness scoring — the self-supervised cousin of
     * the lexicon quality gates (`q_text_quality` uses fixed stopword
@@ -3534,12 +3645,12 @@ object Llm {
             FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
+    qDedupExact, qDedupJaccard, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject,
-    qTextTokens, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
+    qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk,
     qSimHybridRrf, qMultimodalJoin)

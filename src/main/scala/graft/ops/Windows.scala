@@ -311,8 +311,82 @@ object Windows {
               CAST((rk - 1) * 10000 // (n - 1) AS BIGINT) AS prank_bp
             FROM x ORDER BY o_orderkey"""))
 
+  /** Ordered event-sequence pattern matching (MATCH_RECOGNIZE-lite): for
+    * every `view`, the FIRST `click` strictly after it, then the FIRST
+    * `purchase` strictly after that click — a chain completes when the
+    * whole view→click→purchase traversal fits in 3 days. This is the
+    * attribution/funnel-path primitive `q_agg_funnel` (stage-reach
+    * counts) can't express: funnel asks "did the user ever reach stage
+    * k", pattern asks "how many ORDERED traversals happened and how
+    * long did each take".
+    *
+    * The spelling is two forward-looking window minima (`min(CASE …)
+    * OVER (… ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)`) plus
+    * ONE (user_id, ts) equi-join stitching the view's next-click to
+    * that click's next-purchase — no per-row subqueries, no self-join
+    * over the raw event table on an inequality. Both windows share one
+    * hash exchange on user_id (prefix-keyed, single shuffle); the
+    * stitch join is user+ts keyed, so it shuffles the two skinny
+    * derived frames, never fans out. Strictly-after is defined by the
+    * total row order (ts_us, event_id) — the D1 tie-break — and clicks
+    * tied on (user_id, ts_us) collapse to their earliest
+    * next-purchase (MIN), keeping the contract deterministic in both
+    * engines. Per-user top-20 by completed chains; latency sum in
+    * integer µs (D6).
+    */
+  private val qWinPattern = Q(
+    "q_win_pattern",
+    (s, dir) => {
+      val wFwd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val w = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("next_click_ts",
+          min(when(col("event_type") === "click", col("ts_us"))).over(wFwd))
+        .withColumn("next_purchase_ts",
+          min(when(col("event_type") === "purchase", col("ts_us"))).over(wFwd))
+      val clicks = w.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu"), col("ts_us").as("click_ts"))
+        .agg(min("next_purchase_ts").as("purch_ts"))
+      w.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("view_ts"), col("next_click_ts"))
+        .join(clicks,
+          col("user_id") === col("cu") &&
+            col("next_click_ts") === col("click_ts"))
+        .withColumn("done",
+          col("purch_ts").isNotNull &&
+            col("purch_ts") - col("view_ts") <= 259200000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("done"), 1L).otherwise(0L)).as("n_chains"),
+          sum(when(col("done"), col("purch_ts") - col("view_ts"))
+            .otherwise(0L)).as("latency_us"))
+        .orderBy(col("n_chains").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+            w AS (SELECT user_id, event_type, ts_us, event_id,
+                    MIN(CASE WHEN event_type = 'click' THEN ts_us END) OVER
+                      (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts,
+                    MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+                      (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+                  FROM e),
+            clicks AS (SELECT user_id, ts_us AS click_ts, MIN(next_purchase_ts) AS purch_ts
+                       FROM w WHERE event_type = 'click' GROUP BY user_id, ts_us),
+            chains AS (SELECT v.user_id, v.ts_us AS view_ts, c.purch_ts
+                       FROM w v JOIN clicks c
+                         ON v.user_id = c.user_id AND v.next_click_ts = c.click_ts
+                       WHERE v.event_type = 'view')
+            SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_views,
+              CAST(SUM(CASE WHEN purch_ts IS NOT NULL AND purch_ts - view_ts <= 259200000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_chains,
+              CAST(SUM(CASE WHEN purch_ts IS NOT NULL AND purch_ts - view_ts <= 259200000000 THEN purch_ts - view_ts ELSE 0 END) AS BIGINT) AS latency_us
+            FROM chains GROUP BY user_id ORDER BY n_chains DESC, user_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
-    qWinCumeDist)
+    qWinCumeDist, qWinPattern)
 }

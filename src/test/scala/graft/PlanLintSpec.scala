@@ -44,7 +44,10 @@ class PlanLintSpec extends SparkSpec {
       // the 8 KB bloom bitset is ONE broadcast row fanned onto the fact
       // scan so the prune filter runs before any exchange; the confirm
       // join proper is an equi-join, asserted separately below
-      "q_join_bloom_prune")
+      "q_join_bloom_prune",
+      // 1-row broadcast totals census joined onto the ≤ 64-row top-K
+      // vocabulary frame (the q_text_heavy_hitters shape)
+      "q_text_vocab_prune")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
@@ -306,5 +309,63 @@ class PlanLintSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
       s"predicate pushdown regressed:\n$plan")
+  }
+
+  test("rolling distinct merges daily bitmaps — no window, no raw-event re-scan per day") {
+    // the rollup claim: the trailing-window distinct must be computed by
+    // OR-merging per-day bitmaps with partial (map-side) aggregation at
+    // BOTH levels — build and merge — with the raw events scanned ONCE
+    // into the daily frame. (Spark plans the bitmap aggs as
+    // SortAggregate — the local pre-agg sorts are per-partition, not
+    // exchanges; partial_+final is what bounds the shuffle.) A Window
+    // operator — or a range self-join of days against raw events —
+    // would re-scan W days of events per output day.
+    val plan = SparkEntry.queries("q_agg_rolling_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bitmap_construct_agg") &&
+      plan.contains("partial_bitmap_or_agg"),
+      s"daily bitmaps must map-side combine at both levels:\n$plan")
+    assert(!plan.contains("Window"),
+      s"rolling distinct must not plan a window over events:\n$plan")
+    assert("""BroadcastHashJoin \[day""".r.findFirstIn(plan).isDefined,
+      s"observed-day trim must broadcast-join on day:\n$plan")
+  }
+
+  test("pattern match runs both forward minima in ONE user-keyed window pass") {
+    // the single-shuffle claim: next-click and next-purchase share one
+    // window spec, so the plan must carry exactly one Window operator
+    // (and it must partition by user_id) feeding both derived frames —
+    // a second Window would mean the spec was duplicated and the event
+    // frame re-sorted.
+    val plan = SparkEntry.queries("q_win_pattern")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nWindows = """(?m)^\s*[+:]?-? *Window """.r.findAllIn(plan).size
+    assert(nWindows <= 2, // one per cached side of the self-stitch, max
+      s"pattern windows must not multiply (found $nWindows):\n$plan")
+    assert("""hashpartitioning\(user_id""".r.findFirstIn(plan).isDefined,
+      s"pattern window must partition by user_id:\n$plan")
+  }
+
+  test("vocab prune takes top-K without a global sort; window frame is K-sized") {
+    // the scale claim: the corpus-sized path is census-only; ordering
+    // happens via TakeOrderedAndProject (per-task top-K), and the only
+    // single-partition window runs over the ≤ 64-row top frame.
+    val plan = SparkEntry.queries("q_text_vocab_prune")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-K must plan as TakeOrderedAndProject:\n$plan")
+    assert(!"""Sort \[n#\d+L? DESC[^\]]*\], true""".r.findFirstIn(plan).isDefined,
+      s"vocab prune must not global-sort the census:\n$plan")
+  }
+
+  test("source overlap reads the persisted pair artifact, not a re-shingle") {
+    // the artifact-reuse claim: the overlap matrix must ride the same
+    // persisted shared-shingle pair frame as q_dedup_jaccard — a plan
+    // whose only scans are documents.parquet would mean it silently
+    // rebuilt the pair universe inline.
+    val df = SparkEntry.queries("q_source_overlap")(spark, sf)
+    val files = df.inputFiles.toSeq
+    assert(files.exists(_.contains("graft_shpairs_")),
+      s"overlap must scan the persisted pair frame:\n${files.mkString("\n")}")
   }
 }
