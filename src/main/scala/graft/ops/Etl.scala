@@ -937,9 +937,62 @@ object Etl {
                    CAST(MAX(day) AS BIGINT) AS max_day
             FROM zz GROUP BY 1 ORDER BY zb"""))
 
+  /** k-anonymity suppression (Sweeney 2002) — the privacy gate a dataset
+    * passes before publication or training-set release, and the
+    * aggregate cousin of `q_etl_redact`'s value-level masking: any
+    * quasi-identifier cell (nation × market segment × $1k balance
+    * bucket) with fewer than K=6 members is suppressed — its members
+    * fold into one masked `*` residual row — because releasing a small
+    * cell's aggregate re-identifies its members by intersection.
+    * Released cells keep their keys and census (count + summed balance
+    * in integer cents); the residual row reports how many groups and
+    * rows suppression cost (the utility-loss metric a privacy review
+    * asks for). Key columns go out as strings so the masked row unions
+    * type-clean — the masking is IN the schema, not a NULL convention.
+    *
+    * Cost: one map-combinable aggregation over the corpus, a
+    * cell-count-sized filter/union, and the presentation sort — the
+    * suppression decision never touches row-level data again, so the
+    * shape is the `q_agg_q1` family's at any scale.
+    */
+  private val qEtlKanon = Q(
+    "q_etl_kanon",
+    (s, dir) => {
+      val g = Tables(s, dir, "customer")
+        .groupBy(
+          col("c_nationkey").cast("string").as("nk"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS STRING)").as("bal_kb"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+      val released = g.filter(col("n_rows") >= 6)
+        .select(col("nk"), col("seg"), col("bal_kb"),
+          col("n_rows"), col("bal_cents"), lit(1L).as("n_groups"))
+      val residual = g.filter(col("n_rows") < 6)
+        .agg(sum("n_rows").as("n_rows"), sum("bal_cents").as("bal_cents"),
+          count(lit(1)).as("n_groups"))
+        .select(lit("*").as("nk"), lit("*").as("seg"), lit("*").as("bal_kb"),
+          col("n_rows"), col("bal_cents"), col("n_groups"))
+      released.unionByName(residual)
+        .orderBy(col("n_rows").desc, col("nk"), col("seg"), col("bal_kb"))
+    },
+    Some("""WITH g AS (SELECT CAST(c_nationkey AS VARCHAR) AS nk,
+                         c_mktsegment AS seg,
+                         CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS bal_kb,
+                         CAST(COUNT(*) AS BIGINT) AS n_rows,
+                         CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+                       FROM customer GROUP BY 1, 2, 3)
+            SELECT nk, seg, bal_kb, n_rows, bal_cents, CAST(1 AS BIGINT) AS n_groups
+            FROM g WHERE n_rows >= 6
+            UNION ALL
+            SELECT '*', '*', '*', CAST(SUM(n_rows) AS BIGINT),
+              CAST(SUM(bal_cents) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+            FROM g WHERE n_rows < 6
+            ORDER BY n_rows DESC, nk, seg, bal_kb"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
-    qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qStreamTumbling,
-    qStreamSliding, qStreamSession)
+    qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qEtlKanon,
+    qStreamTumbling, qStreamSliding, qStreamSession)
 }

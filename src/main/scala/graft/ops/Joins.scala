@@ -499,9 +499,63 @@ object Joins {
             WHERE o_orderstatus = 'F' AND o_totalprice >= 200000
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Dynamic partition pruning — the RUNTIME half of the pruning story
+    * (`q_scan_partition_prune` is the compile-time half, over the SAME
+    * language-partitioned artifact): the dim side — languages holding an
+    * above-average share of the corpus — is derived from the data at
+    * runtime, so no literal partition predicate exists for the planner
+    * to push. Catalyst's PartitionPruning rule instead injects a
+    * `dynamicpruningexpression` into the fact scan's PartitionFilters:
+    * the broadcast of the dim side is REUSED as a subquery filter, so
+    * the fact scan lists and reads only the qualifying language
+    * directories (1 of 5 here) at zero extra cost. At 100 TB this is
+    * the difference between scanning one day/language slice and the
+    * whole table every time the slice selection is data-driven (the
+    * common case: "active partitions", "dirty dates", "above-threshold
+    * sources"). PlanLintSpec pins the dynamicpruningexpression in the
+    * scan and the broadcast join.
+    */
+  private val qJoinDpp = Q(
+    "q_join_dpp",
+    (s, dir) => {
+      val fact = Relational.docsByLang(s, dir)
+      val census = Tables(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      // Two DPP-eligibility subtleties, both found the hard way:
+      //  - the share predicate must compare against a LITERAL
+      //    (share_bp > 2000): Catalyst's isLikelySelective() rejects the
+      //    attribute-to-attribute spelling (n_docs * 5 > n_total) of the
+      //    same predicate;
+      //  - the corpus total must come from a window over the census, not
+      //    a crossJoin(broadcast(total)): the cross-join spelling lets
+      //    PushDownPredicates absorb the filter INTO the join condition,
+      //    and with no Filter NODE left on the dim side,
+      //    hasSelectivePredicate() never matches. The window is global
+      //    but runs over the |langs|-row census — metadata-sized at any
+      //    corpus scale.
+      val dim = census
+        .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
+        .withColumn("share_bp", expr("n_docs * 10000 DIV n_total"))
+        .filter(col("share_bp") > 2000)
+        .select(col("lang"), col("n_docs"))
+      fact.join(broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars_sum"),
+          max("n_docs").as("n_docs"))
+        .orderBy("lang")
+    },
+    Some("""WITH dim AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                         FROM documents GROUP BY lang
+                         HAVING COUNT(*) * 10000 // (SELECT COUNT(*) FROM documents) > 2000)
+            SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(d.n_chars) AS BIGINT) AS chars_sum,
+              MAX(dim.n_docs) AS n_docs
+            FROM documents d JOIN dim ON d.lang = dim.lang
+            GROUP BY d.lang ORDER BY d.lang"""))
+
   val all: Seq[Q] = Seq(
     qJoinInnerBroadcast, qJoinInnerShuffle, qJoinLeftOuter, qJoinFullOuter,
     qJoinLeftSemi, qJoinLeftAnti, qJoinCross, qJoinThetaRange, qJoinAsof,
     qJoinStar, qJoinNullSafe, qJoinSkewSalted, qJoinBucketColocated,
-    qJoinIntervalOverlap, qJoinBloomPrune)
+    qJoinIntervalOverlap, qJoinBloomPrune, qJoinDpp)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,23 +197,32 @@ object Relational {
     * computed independently from the base table: what the partitioned
     * round-trip must preserve, not just what the scan planned.
     */
+  /** The language-partitioned documents artifact (content-fingerprint
+    * tmp path, write-if-absent) — shared by `q_scan_partition_prune`
+    * (static pruning) and `q_join_dpp` (dynamic pruning) so both halves
+    * of the pruning story read the same layout.
+    */
+  private[ops] def docsByLang(s: SparkSession, dir: String): DataFrame = {
+    val fp = {
+      val f = new java.io.File(dir, "documents.parquet")
+      val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+        .map(p => s"${p.getName}:${p.length}:${p.lastModified}").sorted
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    }
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_docs_bylang_$fp"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      graft.sources.Partitioned.writeStatic(
+        Tables(s, dir, "documents").select("doc_id", "n_chars", "lang"),
+        path, 1 << 20, "lang")
+    s.read.parquet(path)
+  }
+
   private val qScanPartitionPrune = Q(
     "q_scan_partition_prune",
     (s, dir) => {
-      val fp = {
-        val f = new java.io.File(dir, "documents.parquet")
-        val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-          .map(p => s"${p.getName}:${p.length}:${p.lastModified}").sorted
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(parts.mkString("|").getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-      }
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_docs_bylang_$fp"
-      if (!new java.io.File(path, "_SUCCESS").exists())
-        graft.sources.Partitioned.writeStatic(
-          Tables(s, dir, "documents").select("doc_id", "n_chars", "lang"),
-          path, 1 << 20, "lang")
-      s.read.parquet(path)
+      docsByLang(s, dir)
         .filter(col("lang") === "en")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),

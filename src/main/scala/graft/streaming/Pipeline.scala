@@ -260,6 +260,25 @@ object Pipeline {
       .groupBy("r", "cell")
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming daily-distinct bitmaps — the streaming half of
+    * `q_agg_rolling_distinct`'s rollup: the SAME (day, bucket) grouping
+    * and `bitmap_construct_agg` spelling folded as a streaming
+    * aggregation, so per-user presence bits accumulate across
+    * micro-batches into state bounded at days × buckets bitmap rows
+    * (calendar-sized — never grows with event volume, the property that
+    * lets the state store survive an unbounded stream). Bitmaps are
+    * OR-mergeable, so the drained state equals the batch daily rollup
+    * REGARDLESS of micro-batch segmentation — StreamingSpec proves
+    * replay equality bit-for-bit and distinct-count-exact; the batch
+    * op's window merge then serves any trailing window off this state
+    * without touching raw events again.
+    */
+  def dailyDistinctBitmaps(events: DataFrame): DataFrame =
+    events
+      .select(expr("ts_us DIV 86400000000").as("day"), col("user_id"))
+      .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+
   /** Full reference pipeline as a streaming writer: route → per-partition
     * batch → deliver-with-retry → delivered/DLQ parquet dirs per route
     * (§0.1 steps 4–6). `failEvery` injects a deterministic per-record

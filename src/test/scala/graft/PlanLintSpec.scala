@@ -358,6 +358,23 @@ class PlanLintSpec extends SparkSpec {
       s"vocab prune must not global-sort the census:\n$plan")
   }
 
+  test("dpp join injects a dynamic pruning filter into the partitioned fact scan") {
+    // the runtime-pruning claim: with the dim side derived from data at
+    // runtime (no literal partition predicate anywhere), the fact scan
+    // must still carry a dynamicpruningexpression in its
+    // PartitionFilters — reusing the join's broadcast as the pruning
+    // subquery. Losing this (e.g. by letting the share filter collapse
+    // into a join condition) silently reverts to a full 5-directory
+    // scan at any scale.
+    val df = SparkEntry.queries("q_join_dpp")(spark, sf)
+    df.count() // DPP subquery resolves at execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan must carry a dynamic pruning filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim side must broadcast (the reused pruning subquery):\n$plan")
+  }
+
   test("source overlap reads the persisted pair artifact, not a re-shingle") {
     // the artifact-reuse claim: the overlap matrix must ride the same
     // persisted shared-shingle pair frame as q_dedup_jaccard — a plan

@@ -215,6 +215,50 @@ class StreamingSpec extends SparkSpec {
         s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming daily-distinct bitmaps: drained state equals the batch rollup bit-for-bit") {
+    // OR-mergeable bitmaps ⇒ the rollup is segmentation-invariant: any
+    // micro-batch split of the event stream must drain to the same
+    // calendar-sized (day, bucket) bitmap state the batch
+    // q_agg_rolling_distinct daily pass computes in one scan. Compared
+    // on raw bitmap BYTES (md5), not just counts — the state itself is
+    // the serving artifact the window merge reads.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("ts_us"), col("user_id"))
+      .as[(Long, Long)].collect().toSeq
+    val chunks = evs.grouped((evs.size / 4).max(1)).toSeq
+    val mem = MemoryStream[(Long, Long)]
+    val q = Pipeline.dailyDistinctBitmaps(
+        mem.toDF().withColumnRenamed("_1", "ts_us").withColumnRenamed("_2", "user_id"))
+      .writeStream.format("memory").queryName("daily_bm")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp("ckpt-bm")).start()
+    chunks.foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("day"), col("bkt"), md5(col("bm")).as("h"),
+        expr("bitmap_count(bm)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("daily_bm"))
+    val batch = key(Pipeline.dailyDistinctBitmaps(
+      evs.toDF("ts_us", "user_id")))
+    assert(streamed.nonEmpty, "fixture must produce daily bitmaps")
+    assert(streamed == batch,
+      s"drained bitmap state must equal the batch rollup: " +
+        s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    // and the state is count-exact: summed bucket cardinalities per day
+    // equal the true per-day COUNT(DISTINCT)
+    val nd = spark.table("daily_bm").groupBy("day")
+      .agg(sum(expr("bitmap_count(bm)")).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.events(spark, sf)
+      .select(expr("ts_us DIV 86400000000").as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nd == exact, s"bitmap cardinalities must be exact: $nd vs $exact")
+  }
+
   test("streaming ANN serve: foreachBatch answers off the persisted index equal the batch serve") {
     // the online half of the index lifecycle: queries arrive as a
     // stream, every answer is computed from the persisted artifacts
