@@ -835,6 +835,75 @@ object Aggregates {
             FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
             GROUP BY 1 ORDER BY 1"""))
 
+  /** The audience-overlap pairs the set-algebra query reports. Fixed and
+    * ordered so both engines emit identical rows.
+    */
+  private val BitmapPairs =
+    Seq(("view", "click"), ("click", "purchase"), ("signup", "purchase"))
+
+  /** Exact distinct-set ALGEBRA on mergeable bitmaps — the capability
+    * `q_agg_bitmap_distinct` (single-set cardinality) can't express:
+    * audience overlap between event types (|A|, |B|, |A∪B|, and the
+    * derived |A∩B| / |A∖B| / |B∖A| via inclusion–exclusion, since the
+    * engine ships `bitmap_or_agg` but no scalar AND — and I-E on exact
+    * sets is exact, unlike the HLL equivalent where the subtraction
+    * amplifies sketch error).
+    *
+    * Scale shape: the corpus is touched exactly ONCE — the per-(type,
+    * bucket) bitmap construct is partial+final (each task ships at most
+    * types×buckets 4 KB bitmap rows regardless of input size). Every
+    * frame after that first aggregate is SKETCH-sized: the pair fan-out
+    * joins the ≤ types×buckets bitmap frame against a 3-row broadcast
+    * pair list, and the union OR-merge re-aggregates only those rows.
+    * At 100 TB the cost is the one scan; the algebra is free. This is
+    * the audience-overlap / reach-dedup report every event pipeline
+    * publishes, exact instead of HLL-approximate.
+    */
+  private val qAggBitmapSetops = Q(
+    "q_agg_bitmap_setops",
+    (s, dir) => {
+      import s.implicits._
+      // corpus → one bitmap row per (event_type, 32k-bit bucket)
+      val perType = Tables(s, dir, "events")
+        .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .localCheckpoint(true) // sketch-sized; reused by 3 consumers below
+      val nd = perType.groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n"))
+      val pairDf = BitmapPairs.toDF("ta", "tb")
+      val union = perType
+        .join(broadcast(pairDf),
+          col("event_type") === col("ta") || col("event_type") === col("tb"))
+        .groupBy("ta", "tb", "bkt")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+        .groupBy("ta", "tb").agg(sum("c").as("nd_union"))
+      union
+        .join(nd.select(col("event_type").as("ta"), col("n").as("nd_a")), "ta")
+        .join(nd.select(col("event_type").as("tb"), col("n").as("nd_b")), "tb")
+        .select(
+          concat_ws("->", col("ta"), col("tb")).as("pair"),
+          col("nd_a"), col("nd_b"), col("nd_union"),
+          (col("nd_a") + col("nd_b") - col("nd_union")).as("nd_both"),
+          (col("nd_union") - col("nd_b")).as("nd_a_only"),
+          (col("nd_union") - col("nd_a")).as("nd_b_only"))
+        .orderBy("pair")
+    },
+    Some(s"""WITH pairs(ta, tb) AS (VALUES ${BitmapPairs
+        .map { case (a, b) => s"('$a', '$b')" }.mkString(", ")}),
+             nd AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+             un AS (SELECT p.ta, p.tb, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS nu
+                    FROM pairs p JOIN events e ON e.event_type IN (p.ta, p.tb)
+                    GROUP BY 1, 2)
+             SELECT un.ta || '->' || un.tb AS pair,
+                    na.n AS nd_a, nb.n AS nd_b, un.nu AS nd_union,
+                    na.n + nb.n - un.nu AS nd_both,
+                    un.nu - nb.n AS nd_a_only,
+                    un.nu - na.n AS nd_b_only
+             FROM un JOIN nd na ON na.event_type = un.ta
+                     JOIN nd nb ON nb.event_type = un.tb
+             ORDER BY pair"""))
+
   val all: Seq[Q] = Seq(
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
@@ -842,5 +911,5 @@ object Aggregates {
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay,
-    qAggRollingDistinct)
+    qAggRollingDistinct, qAggBitmapSetops)
 }

@@ -737,8 +737,74 @@ object Curation {
                    CAST(SUM(kept * doc_id) AS BIGINT) AS kept_id_sum
             FROM k GROUP BY source ORDER BY source"""))
 
+  // ------------------------------------------------- temperature mixture
+
+  /** Temperature-scaled SOURCE mixture — the multilingual-pretraining
+    * sampling law (q_i ∝ p_i^(1/τ), here τ = 2 so the exponent is the
+    * IEEE-exact `sqrt`): small sources are UP-sampled relative to their
+    * proportional share, hub sources down-weighted, then a global doc
+    * budget (half the corpus) is split by the renormalized shares.
+    * Distinct from its three siblings: `q_sample_mixture` applies a
+    * per-LANG √-law cap to each group independently (no renormalization,
+    * no budget), `q_mix_token_budget` budgets TOKENS proportionally, and
+    * `q_mix_curriculum` varies weights by training phase. This is the
+    * one that reallocates a fixed budget ACROSS sources by a tempered
+    * share — the XLM-R/mT5 recipe.
+    *
+    * Determinism (D1): the only floating-point step is one `sqrt` per
+    * SOURCE (IEEE-754 correctly rounded in both engines), immediately
+    * rounded to integer micro-units; shares, targets, keep thresholds,
+    * and membership are integer arithmetic + the salted hash from there.
+    * Scale shape: source census (partial+final, |sources| rows) → 1-row
+    * total broadcast → per-doc keep decision map-side under a broadcast
+    * rate table → map-combinable audit agg. Two corpus scans, zero
+    * corpus-sized shuffles.
+    */
+  private val qMixTemperature = Q(
+    "q_mix_temperature",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val src = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          expr("CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+      val tot = src.agg(sum("n_docs").as("tot_docs"), sum("w").as("tot_w"))
+      val rates = src.crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("n_docs * 10000L div tot_docs"))
+        .withColumn("temp_share_bp", expr("w * 10000L div tot_w"))
+        .withColumn("target_docs", expr("(tot_docs div 2) * w div tot_w"))
+        .withColumn("kp_bp",
+          expr("least(10000L, target_docs * 10000L div n_docs)"))
+        .select("source", "n_docs", "share_bp", "temp_share_bp",
+          "target_docs", "kp_bp")
+      docs.join(broadcast(rates), "source")
+        .withColumn("kept", expr(
+          s"CASE WHEN pmod(${u32Spark("mixt")}, 10000) < kp_bp THEN 1L ELSE 0L END"))
+        .groupBy("source", "n_docs", "share_bp", "temp_share_bp", "target_docs")
+        .agg(sum("kept").as("n_kept"),
+          sum(expr("doc_id * kept")).as("kept_checksum"))
+        .orderBy("source")
+    },
+    Some(s"""WITH sc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+                  FROM documents GROUP BY source),
+            tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+                     CAST(SUM(w) AS BIGINT) AS tot_w FROM sc),
+            r AS (SELECT source, n_docs,
+                   n_docs * 10000 // tot_docs AS share_bp,
+                   w * 10000 // tot_w AS temp_share_bp,
+                   (tot_docs // 2) * w // tot_w AS target_docs,
+                   LEAST(10000, ((tot_docs // 2) * w // tot_w) * 10000 // n_docs) AS kp_bp
+                  FROM sc CROSS JOIN tot)
+            SELECT r.source, r.n_docs, r.share_bp, r.temp_share_bp, r.target_docs,
+                   CAST(SUM(CASE WHEN (${u32Sql("mixt")}) % 10000 < kp_bp
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN (${u32Sql("mixt")}) % 10000 < kp_bp
+                     THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+            FROM documents d JOIN r ON d.source = r.source
+            GROUP BY 1, 2, 3, 4, 5 ORDER BY r.source"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
-    qSampleHardNegatives, qSourceScorecard, qSampleImportance)
+    qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature)
 }
