@@ -852,17 +852,17 @@ object Aggregates {
     * Scale shape: the corpus is touched exactly ONCE — the per-(type,
     * bucket) bitmap construct is partial+final (each task ships at most
     * types×buckets 4 KB bitmap rows regardless of input size). Every
-    * frame after that first aggregate is SKETCH-sized: the pair fan-out
-    * joins the ≤ types×buckets bitmap frame against a 3-row broadcast
-    * pair list, and the union OR-merge re-aggregates only those rows.
-    * At 100 TB the cost is the one scan; the algebra is free. This is
-    * the audience-overlap / reach-dedup report every event pipeline
-    * publishes, exact instead of HLL-approximate.
+    * frame after that first aggregate is SKETCH-sized: pair membership
+    * is a map-only explode of an inline constant array (no join of any
+    * kind), and the union OR-merge re-aggregates only the ≤
+    * types×buckets×pairs fanned rows. At 100 TB the cost is the one
+    * scan; the algebra is free. This is the audience-overlap /
+    * reach-dedup report every event pipeline publishes, exact instead
+    * of HLL-approximate.
     */
   private val qAggBitmapSetops = Q(
     "q_agg_bitmap_setops",
     (s, dir) => {
-      import s.implicits._
       // corpus → one bitmap row per (event_type, 32k-bit bucket)
       val perType = Tables(s, dir, "events")
         .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
@@ -870,11 +870,16 @@ object Aggregates {
         .localCheckpoint(true) // sketch-sized; reused by 3 consumers below
       val nd = perType.groupBy("event_type")
         .agg(sum(expr("bitmap_count(bm)")).as("n"))
-      val pairDf = BitmapPairs.toDF("ta", "tb")
+      // pair membership as a map-only explode of an inline constant array
+      // (never a join): each bitmap row fans out to the ≤ |pairs| pairs
+      // its event_type participates in
+      val pairsArr = BitmapPairs
+        .map { case (a, b) => s"named_struct('ta', '$a', 'tb', '$b')" }
+        .mkString("array(", ", ", ")")
       val union = perType
-        .join(broadcast(pairDf),
-          col("event_type") === col("ta") || col("event_type") === col("tb"))
-        .groupBy("ta", "tb", "bkt")
+        .select(col("bkt"), col("bm"), explode(expr(
+          s"filter($pairsArr, p -> p.ta = event_type OR p.tb = event_type)")).as("p"))
+        .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"), col("bkt"))
         .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
         .groupBy("ta", "tb").agg(sum("c").as("nd_union"))
       union

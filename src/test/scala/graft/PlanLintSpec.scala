@@ -47,7 +47,11 @@ class PlanLintSpec extends SparkSpec {
       "q_join_bloom_prune",
       // 1-row broadcast totals census joined onto the ≤ 64-row top-K
       // vocabulary frame (the q_text_heavy_hitters shape)
-      "q_text_vocab_prune")
+      "q_text_vocab_prune",
+      // 1-row broadcast (tot_docs, tot_w) fanned onto the |sources|-row
+      // census to derive the tempered rates; the per-doc join proper is
+      // a broadcast EQUI-join on source
+      "q_mix_temperature")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
@@ -329,6 +333,38 @@ class PlanLintSpec extends SparkSpec {
       s"rolling distinct must not plan a window over events:\n$plan")
     assert("""BroadcastHashJoin \[day""".r.findFirstIn(plan).isDefined,
       s"observed-day trim must broadcast-join on day:\n$plan")
+  }
+
+  test("bitmap set-algebra scans the corpus once; pair fan-out is a generate, not a join") {
+    // the set-algebra claim: events collapse ONCE into per-(type, bucket)
+    // bitmaps with map-side partials; pair membership is a map-only
+    // explode of a constant array (Generate), and the only joins in the
+    // whole plan are the final ≤|pairs|-row broadcast equi-assemblies.
+    val plan = SparkEntry.queries("q_agg_bitmap_setops")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bitmap_or_agg"),
+      s"pair union must map-side combine the OR-merge:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"pair membership must be a constant-array explode:\n$plan")
+    assert(!plan.contains("Window"),
+      s"set algebra must not plan a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"all assembly joins are tiny and must broadcast:\n$plan")
+  }
+
+  test("temperature mixture decides keeps map-side under a broadcast rate table") {
+    // the budget-reallocation claim: the corpus-sized path is one census
+    // agg + one broadcast EQUI-join on source feeding a map-combinable
+    // audit agg — no shuffle keyed by anything doc-sized, no window, no
+    // sort-merge join anywhere.
+    val plan = SparkEntry.queries("q_mix_temperature")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin \[source""".r.findFirstIn(plan).isDefined,
+      s"per-doc rate lookup must broadcast-equi-join on source:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no doc-sized shuffle join may exist:\n$plan")
+    assert(!plan.contains("Window"),
+      s"temperature mixture must not plan a window:\n$plan")
   }
 
   test("pattern match runs both forward minima in ONE user-keyed window pass") {
