@@ -803,8 +803,93 @@ object Curation {
             FROM documents d JOIN r ON d.source = r.source
             GROUP BY 1, 2, 3, 4, 5 ORDER BY r.source"""))
 
+  // ----------------------------------------------- DSIR-style selection
+
+  /** Hashed-feature dimensionality for the DSIR scorer: 1024 buckets is
+    * the fixed-size model the method's point is — the two "LMs" are 1024
+    * integers each, broadcastable anywhere, independent of corpus size.
+    */
+  private[graft] val DsirF = 1024
+
+  /** The target domain the raw pool is scored against. */
+  private[graft] val DsirTarget = "src0"
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * score every raw-pool document by how much more it looks like a
+    * TARGET domain than like the raw pool, under two hashed-unigram
+    * bag-of-words models — the importance-resampling primitive behind
+    * domain-targeted pretraining mixes. Feature = md5-hashed word →
+    * 1024 buckets (fixed-size models however big the corpus); both
+    * models are add-one-smoothed frequency tables.
+    *
+    * D1 substitution (the `q_text_lm_score` precedent): the paper's
+    * per-feature weight is the log-ratio ln(p_t(f)/p_r(f)), but a float
+    * log can't cross-engine hash-match, so the shipped weight is the
+    * SMOOTHED FREQUENCY DIFFERENCE in fixed-point 1e-7 units —
+    * dw_f = (cnt_t+1)·10⁷ div (tot_t+F) − (cnt_r+1)·10⁷ div (tot_r+F) —
+    * same sign, same "which domain is this feature evidence for"
+    * signal, exact integer. A production deployment swaps the log-ratio
+    * back in at this one expression. Score_d = Σ_tokens dw_f(token);
+    * output = top-20 raw docs by score (the selection head) — target
+    * docs are excluded from scoring, they ARE the target model.
+    *
+    * Scale shape: token explode → ONE map-combinable (f, is_target)
+    * count agg (≤ F rows out of each task), 1-row totals broadcast onto
+    * the F-row weight table, then the corpus-sized path is a map-side
+    * BroadcastHashJoin [f] (the 1024-row model IS the broadcast) + one
+    * doc-keyed map-combinable agg + TakeOrderedAndProject(20). Nothing
+    * pairwise; model size constant in corpus size.
+    */
+  private val qSampleDsir = Q(
+    "q_sample_dsir",
+    (s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .withColumn("f",
+          expr(s"pmod(${Llm.md5Hex32Spark("concat('dsir_', w)")}, $DsirF)"))
+        .localCheckpoint(true) // scored below against the model it builds
+      val ft = tok.groupBy("f").agg(
+        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(col("source") =!= DsirTarget, 1L).otherwise(0L)).as("cnt_r"))
+      val tot = ft.agg(sum("cnt_t").as("tot_t"), sum("cnt_r").as("tot_r"))
+      val wf = ft.crossJoin(broadcast(tot))
+        .select(col("f"),
+          (expr(s"(cnt_t + 1L) * 10000000L div (tot_t + $DsirF)") -
+            expr(s"(cnt_r + 1L) * 10000000L div (tot_r + $DsirF)")).as("dw"))
+      tok.filter(col("source") =!= DsirTarget)
+        .join(broadcast(wf), "f")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"), sum("dw").as("score_dfreq"))
+        .orderBy(col("score_dfreq").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, source,
+                   (${Llm.md5Hex32Sql("'dsir_' || u.tok")}) % $DsirF AS f
+                  FROM documents, unnest(string_split(text, ' ')) u(tok)
+                  WHERE length(u.tok) >= 1),
+            ft AS (SELECT f,
+                   CAST(SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+                   CAST(SUM(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
+                  FROM tok GROUP BY f),
+            tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS tot_t,
+                     CAST(SUM(cnt_r) AS BIGINT) AS tot_r FROM ft),
+            wf AS (SELECT f,
+                    (cnt_t + 1) * 10000000 // (tot_t + $DsirF)
+                    - (cnt_r + 1) * 10000000 // (tot_r + $DsirF) AS dw
+                   FROM ft CROSS JOIN tot)
+            SELECT tok.doc_id, tok.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(dw) AS BIGINT) AS score_dfreq
+            FROM tok JOIN wf ON tok.f = wf.f
+            WHERE tok.source <> '$DsirTarget'
+            GROUP BY 1, 2
+            ORDER BY score_dfreq DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
-    qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature)
+    qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
+    qSampleDsir)
 }

@@ -51,7 +51,11 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcast (tot_docs, tot_w) fanned onto the |sources|-row
       // census to derive the tempered rates; the per-doc join proper is
       // a broadcast EQUI-join on source
-      "q_mix_temperature")
+      "q_mix_temperature",
+      // 1-row broadcast (tot_t, tot_r) fanned onto the 1024-row hashed
+      // model; the corpus-sized scoring join is a broadcast EQUI-join
+      // on the feature id, asserted separately below
+      "q_sample_dsir")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
@@ -365,6 +369,22 @@ class PlanLintSpec extends SparkSpec {
       s"no doc-sized shuffle join may exist:\n$plan")
     assert(!plan.contains("Window"),
       s"temperature mixture must not plan a window:\n$plan")
+  }
+
+  test("dsir scores the corpus through a broadcast feature-model equi-join") {
+    // the fixed-size-model claim: the 1024-row weight table is the
+    // broadcast side of an EQUI-join on the feature id (the token stream
+    // never shuffles to meet the model), the selection head is a
+    // TakeOrderedAndProject (per-task top-20, no global sort), and no
+    // sort-merge join or window exists anywhere.
+    val plan = SparkEntry.queries("q_sample_dsir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin \[f""".r.findFirstIn(plan).isDefined,
+      s"the hashed model must broadcast-equi-join on f:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection head must be per-task top-k, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"no shuffle join / window may exist:\n$plan")
   }
 
   test("pattern match runs both forward minima in ONE user-keyed window pass") {
