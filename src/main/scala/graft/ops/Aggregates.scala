@@ -835,6 +835,42 @@ object Aggregates {
             FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Time-series RESAMPLING to OHLC bars — the downsample primitive every
+    * metrics/feature pipeline runs before modeling (raw events → fixed
+    * hourly bars per event type: open/high/low/close/volume). The whole
+    * op is ONE map-combinable hash aggregate: open and close are
+    * `min/max(struct(ts_us, event_id, value))` — (ts_us, event_id) is a
+    * total order (D1), so the struct min IS "value at earliest event"
+    * with deterministic ties, computed inside the same partial+final agg
+    * as high/low/volume, no window, no sort, no second scan. Selection
+    * (not arithmetic) on the double `value` column keeps every output
+    * cell bit-identical across engines. Output is calendar×types-sized
+    * regardless of corpus size — each task ships ≤ bars×types rows.
+    */
+  private val qAggOhlc = Q(
+    "q_agg_ohlc",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_us DIV 3600000000").as("bar"),
+          col("ts_us"), col("event_id"), col("value"))
+        .groupBy("event_type", "bar")
+        .agg(
+          expr("min(struct(ts_us, event_id, value)).value").as("open"),
+          max("value").as("high"), min("value").as("low"),
+          expr("max(struct(ts_us, event_id, value)).value").as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "bar")
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+                  epoch_us(ts) AS ts_us, event_id, value FROM events)
+            SELECT event_type, bar,
+                   FIRST(value ORDER BY ts_us, event_id) AS open,
+                   MAX(value) AS high, MIN(value) AS low,
+                   LAST(value ORDER BY ts_us, event_id) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM e GROUP BY event_type, bar
+            ORDER BY event_type, bar"""))
+
   /** The audience-overlap pairs the set-algebra query reports. Fixed and
     * ordered so both engines emit identical rows.
     */
@@ -916,5 +952,5 @@ object Aggregates {
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay,
-    qAggRollingDistinct, qAggBitmapSetops)
+    qAggRollingDistinct, qAggBitmapSetops, qAggOhlc)
 }

@@ -902,4 +902,80 @@ class InvariantsSpec extends SparkSpec {
       assert(melted == exact, "melt + re-aggregate must reproduce the exact decimal sum")
     } finally out.unpersist()
   }
+
+  test("bitmap set algebra: inclusion-exclusion identities hold and sides match single-set counts") {
+    val rows = SparkEntry.queries("q_agg_bitmap_setops")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 3, "one row per declared pair")
+    val exact = Tables(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (pair, a, b, un, both, aOnly, bOnly) =>
+      val Array(ta, tb) = pair.split("->")
+      assert(a == exact(ta) && b == exact(tb),
+        s"$pair side counts must equal the exact COUNT(DISTINCT)")
+      // the partition identity: A∪B splits into A∩B, A∖B, B∖A
+      assert(both + aOnly + bOnly == un, s"$pair partition identity")
+      assert(both >= 0 && both <= math.min(a, b), s"$pair intersection bounds")
+      assert(un <= a + b && un >= math.max(a, b), s"$pair union bounds")
+    }
+  }
+
+  test("temperature mixture: tempering compresses shares toward uniform and the budget holds") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val totDocs = rows.map(_._2).sum
+    val totTarget = rows.map(_._5).sum
+    // budget: targets sum to ~half the corpus (integer-division slack ≤ 1
+    // doc per source)
+    assert(totTarget <= totDocs / 2 && totTarget >= totDocs / 2 - rows.length,
+      s"targets must split the half-corpus budget, got $totTarget of ${totDocs / 2}")
+    rows.foreach { case (src, _, shareBp, tempBp, target, kept) =>
+      // tempering moves every share toward uniform: a below-average
+      // source gains share, an above-average one loses it
+      if (shareBp < 10000 / rows.length) assert(tempBp >= shareBp,
+        s"$src: small source must gain share under temperature")
+      if (shareBp > 10000 / rows.length) assert(tempBp <= shareBp,
+        s"$src: large source must lose share under temperature")
+      // keeps track the target within binomial noise (loose 5σ-ish bound
+      // on the fixture sizes) and never exceed the source
+      assert(kept >= 0 && kept <= target + 5 * math.sqrt(target.toDouble + 1).toLong + 5,
+        s"$src: keeps $kept must track target $target")
+    }
+  }
+
+  test("ohlc resample: bars conserve events and open/close are the extremal-time values") {
+    val out = SparkEntry.queries("q_agg_ohlc")(spark, sf).cache()
+    try {
+      val n = Tables.events(spark, sf).count()
+      assert(out.agg(sum("n_events")).collect()(0).getLong(0) == n,
+        "bar volumes must conserve the event count")
+      assert(out.filter(col("high") < col("low")).isEmpty, "high >= low per bar")
+      assert(out.filter(col("open") > col("high") || col("open") < col("low") ||
+        col("close") > col("high") || col("close") < col("low")).isEmpty,
+        "open/close must lie within [low, high]")
+      // spot-proof open/close against an independent window computation
+      // on one event type
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bar").orderBy(col("ts_us"), col("event_id"))
+      val ref = Tables.events(spark, sf).filter(col("event_type") === "click")
+        .select(expr("ts_us DIV 3600000000").as("bar"), col("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnd", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bar")
+            .orderBy(col("ts_us").desc, col("event_id").desc)))
+      val opens = ref.filter(col("rn") === 1).select("bar", "value")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val closes = ref.filter(col("rnd") === 1).select("bar", "value")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      out.filter(col("event_type") === "click").collect().foreach { r =>
+        val bar = r.getLong(1)
+        assert(r.getDouble(2) == opens(bar), s"bar $bar open mismatch")
+        assert(r.getDouble(5) == closes(bar), s"bar $bar close mismatch")
+      }
+    } finally out.unpersist()
+  }
 }
