@@ -385,8 +385,59 @@ object Windows {
               CAST(SUM(CASE WHEN purch_ts IS NOT NULL AND purch_ts - view_ts <= 259200000000 THEN purch_ts - view_ts ELSE 0 END) AS BIGINT) AS latency_us
             FROM chains GROUP BY user_id ORDER BY n_chains DESC, user_id LIMIT 20"""))
 
+  /** Gaps-and-islands streak detection — the CALENDAR-island counterpart
+    * of `q_win_sessionize`'s time-gap sessions (classic retention/
+    * engagement metric: longest run of CONSECUTIVE ACTIVE DAYS per
+    * user): distinct (user, day) → island id = day − row_number() over
+    * the user's day sequence (consecutive days share the constant — the
+    * textbook islands trick; days are distinct so row_number is
+    * unambiguous), streak = island size, best streak per user elected
+    * by max(struct(len, −start)) — longest wins, ties to the EARLIEST
+    * streak, deterministic inside one map-combinable agg (the
+    * `q_agg_ohlc` struct-extremum discipline, no second window).
+    *
+    * Scale shape: corpus collapses immediately to distinct user-days
+    * (map-combinable — at 100 TB the frame after this is
+    * users×calendar-bounded, never event-bounded); ONE user-keyed
+    * window pass; two further skinny integer aggs; top-20 via
+    * TakeOrderedAndProject.
+    */
+  private val qWinStreak = Q(
+    "q_win_streak",
+    (s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        .groupBy("user_id")
+        .agg(expr("max(named_struct('len', len, 'neg', -start_day))").as("b"),
+          count(lit(1)).as("n_streaks"))
+        .select(col("user_id"), col("b.len").as("best_len"),
+          (-col("b.neg")).as("best_start"), col("n_streaks"))
+        .orderBy(col("best_len").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                  FROM events),
+            i AS (SELECT user_id, day,
+                    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+                  FROM d),
+            st AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+                     MIN(day) AS start_day
+                   FROM i GROUP BY user_id, grp),
+            b AS (SELECT user_id,
+                    MAX(struct_pack(len := len, neg := -start_day)) AS b,
+                    CAST(COUNT(*) AS BIGINT) AS n_streaks
+                  FROM st GROUP BY user_id)
+            SELECT user_id, b.len AS best_len, -b.neg AS best_start, n_streaks
+            FROM b ORDER BY best_len DESC, user_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
-    qWinCumeDist, qWinPattern)
+    qWinCumeDist, qWinPattern, qWinStreak)
 }
