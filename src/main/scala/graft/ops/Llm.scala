@@ -3644,12 +3644,60 @@ object Llm {
                    ELSE sc.n_top * 10000 // sc.n_bigrams END AS lm_bp
             FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** External cluster-validity evaluation of the IVF coarse quantizer —
+    * the eval harness that closes the vec family the way
+    * `q_sim_recall_eval` closes the ANN family: per cell, the PURITY of
+    * the ground-truth `label` column (majority-label share in basis
+    * points). High purity = the hash-sampled/refined centroids carve the
+    * label structure; a purity collapse after a centroid change is the
+    * regression signal an embedding pipeline watches. Majority election
+    * is the `q_agg_ohlc` struct-extremum — max(struct(cnt, −label)):
+    * biggest label wins, ties to the smallest label, inside one
+    * map-combinable agg, no window.
+    *
+    * Scale shape: ONE broadcast-centroid assignment pass (the shared
+    * `cellsSpark` election — same rounding/tie contract as the index
+    * build, so purity measures the index that actually serves), then
+    * two skinny integer aggs over (cell, label) — ≤ cells×labels rows
+    * cross any exchange. All-integer output (D1).
+    */
+  private val qVecClusterPurity = Q(
+    "q_vec_cluster_purity",
+    (s, dir) => {
+      val cl = vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("cell", expr(s"element_at(${cellsSpark("1")}, 1).c_id"))
+        .groupBy("cell", "label").agg(count(lit(1)).as("cnt"))
+      cl.groupBy("cell")
+        .agg(expr("max(named_struct('cnt', cnt, 'negl', -label))").as("b"),
+          sum("cnt").as("n_vecs"))
+        .select(col("cell"), col("n_vecs"),
+          (-col("b.negl")).as("maj_label"), col("b.cnt").as("maj_cnt"),
+          expr("b.cnt * 10000L div n_vecs").as("purity_bp"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             $ivfAsgSql,
+             a AS (SELECT asg.vec_id, n.label, c_id AS cell
+                   FROM asg JOIN n ON asg.vec_id = n.vec_id
+                   WHERE arn = 1),
+             cl AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM a GROUP BY cell, label),
+             m AS (SELECT cell,
+                     MAX(struct_pack(cnt := cnt, negl := -label)) AS b,
+                     CAST(SUM(cnt) AS BIGINT) AS n_vecs
+                   FROM cl GROUP BY cell)
+             SELECT cell, n_vecs, -b.negl AS maj_label, b.cnt AS maj_cnt,
+                    b.cnt * 10000 // n_vecs AS purity_bp
+             FROM m ORDER BY cell"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
-    qVecKmeansRefine, qVecQuantize, qVecProject,
+    qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk,

@@ -55,7 +55,10 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcast (tot_t, tot_r) fanned onto the 1024-row hashed
       // model; the corpus-sized scoring join is a broadcast EQUI-join
       // on the feature id, asserted separately below
-      "q_sample_dsir")
+      "q_sample_dsir",
+      // 1-row broadcast centroid ARRAY fanned onto the vectors for the
+      // map-only cell assignment — the q_sim_ivf class
+      "q_vec_cluster_purity")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
