@@ -847,20 +847,28 @@ object Aggregates {
     * cell bit-identical across engines. Output is calendar×types-sized
     * regardless of corpus size — each task ships ≤ bars×types rows.
     */
+  /** The OHLC bar aggregation of an events frame (needs ts_us, event_id,
+    * event_type, value) — ONE spelling shared by the declared batch op
+    * and the streaming twin (`streaming.Pipeline.ohlcBars`) so the bar
+    * contract cannot drift between the two; every aggregate inside is
+    * mergeable (struct extrema, min/max, count), which is exactly why
+    * the same expression folds as a streaming aggregation with
+    * calendar-bounded state.
+    */
+  private[graft] def ohlcFrom(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("bar"),
+        col("ts_us"), col("event_id"), col("value"))
+      .groupBy("event_type", "bar")
+      .agg(
+        expr("min(struct(ts_us, event_id, value)).value").as("open"),
+        max("value").as("high"), min("value").as("low"),
+        expr("max(struct(ts_us, event_id, value)).value").as("close"),
+        count(lit(1)).as("n_events"))
+
   private val qAggOhlc = Q(
     "q_agg_ohlc",
-    (s, dir) => {
-      Tables.events(s, dir)
-        .select(col("event_type"), expr("ts_us DIV 3600000000").as("bar"),
-          col("ts_us"), col("event_id"), col("value"))
-        .groupBy("event_type", "bar")
-        .agg(
-          expr("min(struct(ts_us, event_id, value)).value").as("open"),
-          max("value").as("high"), min("value").as("low"),
-          expr("max(struct(ts_us, event_id, value)).value").as("close"),
-          count(lit(1)).as("n_events"))
-        .orderBy("event_type", "bar")
-    },
+    (s, dir) => ohlcFrom(Tables.events(s, dir)).orderBy("event_type", "bar"),
     Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
                   epoch_us(ts) AS ts_us, event_id, value FROM events)
             SELECT event_type, bar,

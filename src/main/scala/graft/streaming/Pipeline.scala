@@ -279,6 +279,20 @@ object Pipeline {
       .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bkt"))
       .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
 
+  /** Streaming OHLC bars — the streaming half of `q_agg_ohlc`'s
+    * resample: the SAME shared aggregation spelling
+    * (`Aggregates.ohlcFrom` — struct-extremum open/close, min/max
+    * high/low, count volume) folded as a streaming aggregation. Every
+    * aggregate inside is MERGEABLE (extrema and counts commute with any
+    * micro-batch segmentation), so the drained state equals the batch
+    * resample exactly however the stream is chopped — StreamingSpec
+    * proves replay equality cell-for-cell — and state is bounded at
+    * bars × types rows regardless of event volume (the calendar-sized
+    * state property, same class as [[dailyDistinctBitmaps]]).
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    graft.ops.Aggregates.ohlcFrom(events)
+
   /** Full reference pipeline as a streaming writer: route → per-partition
     * batch → deliver-with-retry → delivered/DLQ parquet dirs per route
     * (§0.1 steps 4–6). `failEvery` injects a deterministic per-record

@@ -259,6 +259,38 @@ class StreamingSpec extends SparkSpec {
     assert(nd == exact, s"bitmap cardinalities must be exact: $nd vs $exact")
   }
 
+  test("streaming OHLC bars: drained state equals the batch resample under any segmentation") {
+    // struct-extrema, min/max, and counts are all mergeable, so the bar
+    // state must be segmentation-invariant: any micro-batch chop of the
+    // event stream drains to exactly the batch q_agg_ohlc frame,
+    // open/close ties included (the (ts_us, event_id) total order rides
+    // inside the struct and survives partial merges).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("ts_us"), col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect().toSeq
+    val chunks = evs.grouped((evs.size / 5).max(1)).toSeq
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = Pipeline.ohlcBars(
+        mem.toDF().toDF("ts_us", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc_bars")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp("ckpt-ohlc")).start()
+    chunks.foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    val streamed = key(spark.table("ohlc_bars"))
+    val batch = key(Pipeline.ohlcBars(
+      evs.toDF("ts_us", "event_id", "event_type", "value")))
+    assert(streamed.nonEmpty, "fixture must produce bars")
+    assert(streamed == batch,
+      s"drained bar state must equal the batch resample: " +
+        s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming ANN serve: foreachBatch answers off the persisted index equal the batch serve") {
     // the online half of the index lifecycle: queries arrive as a
     // stream, every answer is computed from the persisted artifacts
