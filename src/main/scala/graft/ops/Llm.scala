@@ -3644,6 +3644,140 @@ object Llm {
                    ELSE sc.n_top * 10000 // sc.n_bigrams END AS lm_bp
             FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** Probe levels the recall sweep reports — ending at [[IvfProbes]], so
+    * the last row IS the shipped search contract.
+    */
+  private val SweepLevels = Seq(1L, 2L, 4L)
+
+  /** Probe-count recall/cost SWEEP — the tuning curve behind every IVF
+    * deployment's nprobe knob, next to `q_sim_recall_eval`'s single
+    * scorecard: recall@3 and candidate volume at probes ∈ {1, 2, 4} in
+    * ONE query, so the cost/recall trade is a table, not three runs.
+    * Query sample salt `rcs_` is independent of the scorecard's `rc_`
+    * (shared-seed-leakage rule). Each candidate carries the rank of the
+    * probe cell that introduced it (the shared `cellsSpark` election —
+    * arn in the oracle), fans out to the levels ≥ that rank (a
+    * candidate found in probe cell 3 exists only at level 4), and each
+    * level elects its own top-3 under the family's (cos desc, n_id)
+    * contract. n_cand per level is the COST column — the measured
+    * pair-scoring volume the level pays.
+    *
+    * Scale shape: exact side = m fixed queries × corpus (linear, the
+    * recall_eval discipline); ANN side = the sampled query frame only
+    * (m × probes × cell rows), where a per-(q, level) WINDOW top-3 is
+    * fine because the frame is sample-sized — the corpus-sized serving
+    * paths keep the sort-free TopKCand aggregate. Output all-integer,
+    * 3 rows. InvariantsSpec pins recall monotone in probes and the
+    * level-4 row ≥ the family floor.
+    */
+  private val qSimRecallSweep = Q(
+    "q_sim_recall_sweep",
+    (s, dir) => {
+      val vs = vecs(s, dir)
+      val qthr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+        .select(expr(s"CAST($RecallEvalQueries AS DOUBLE) / CAST(n AS DOUBLE)").as("thr"))
+      val qs = vs.crossJoin(broadcast(qthr))
+        .filter(expr(md5U01Spark("concat('rcs_', CAST(vec_id AS STRING))")) < col("thr"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wq = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val exact = vs
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+        .crossJoin(broadcast(qs))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos")
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "n_id")
+      val probed = vs.crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+        .localCheckpoint(true)
+      val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+      val qryPr = probed
+        .join(broadcast(qs.select("q_id")),
+          probed("vec_id") === col("q_id"))
+        .select(col("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          posexplode(expr("transform(pc, p -> p.c_id)")).as(Seq("pr0", "cell")))
+        .withColumn("pr", col("pr0") + 1)
+      val levelsArr = SweepLevels.mkString("array(", "L, ", "L)")
+      val cand = qryPr.join(idx, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosCol)
+        .select(col("q_id"), col("n_id"), col("cos"),
+          explode(expr(s"filter($levelsArr, l -> l >= pr)")).as("probes"))
+      val wl = Window.partitionBy("q_id", "probes")
+        .orderBy(col("cos").desc, col("n_id"))
+      val ann = cand
+        .withColumn("rnk", row_number().over(wl))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("probes"), col("n_id"))
+      val costs = cand.groupBy("probes").agg(count(lit(1)).as("n_cand"))
+      exact
+        .select(col("q_id"), col("n_id"),
+          explode(expr(levelsArr)).as("probes"))
+        .join(broadcast(ann.withColumn("hit", lit(1L))),
+          Seq("q_id", "probes", "n_id"), "left")
+        .groupBy("probes")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum("hit"), lit(0L)).as("n_hits"))
+        .join(broadcast(costs), Seq("probes"))
+        .withColumn("recall_bp", expr(
+          "CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) ELSE (n_hits * 10000) DIV n_pairs END"))
+        .orderBy("probes")
+    },
+    Some(s"""WITH $vecsSql,
+             qprm AS (SELECT CAST($RecallEvalQueries AS DOUBLE) / COUNT(*) AS qthr
+                      FROM embeddings),
+             qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+                    FROM n CROSS JOIN qprm
+                    WHERE ${md5U01Sql("'rcs_' || CAST(vec_id AS VARCHAR)")} < qthr),
+             ex0 AS (SELECT q_id, n.vec_id AS n_id,
+                      ROUND(list_dot_product(qv, n.v) / (qn * n.nrm), 4) AS cos
+                     FROM qs, n WHERE q_id <> n.vec_id),
+             exr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, n_id) AS rnk FROM ex0),
+             ex AS (SELECT q_id, n_id FROM exr WHERE rnk <= 3),
+             $ivfCentSql,
+             $ivfAsgSql,
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qpr AS (SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn,
+                       c_id AS cell, arn AS pr
+                     FROM asg a JOIN (SELECT DISTINCT q_id FROM qs) s
+                       ON a.vec_id = s.q_id
+                     WHERE arn <= $IvfProbes),
+             cand AS (SELECT q_id, n_id,
+                       ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos,
+                       CAST(u.l AS BIGINT) AS probes
+                      FROM qpr JOIN idx USING (cell), unnest([${SweepLevels.mkString(", ")}]) u(l)
+                      WHERE q_id <> n_id AND u.l >= pr),
+             costs AS (SELECT probes, CAST(COUNT(*) AS BIGINT) AS n_cand
+                       FROM cand GROUP BY probes),
+             r AS (SELECT *, row_number() OVER (PARTITION BY q_id, probes
+                     ORDER BY cos DESC, n_id) AS rnk FROM cand),
+             ann AS (SELECT q_id, probes, n_id FROM r WHERE rnk <= 3),
+             exl AS (SELECT q_id, n_id, CAST(u.l AS BIGINT) AS probes
+                     FROM ex, unnest([${SweepLevels.mkString(", ")}]) u(l)),
+             j AS (SELECT exl.q_id, exl.probes, exl.n_id,
+                    CASE WHEN ann.n_id IS NULL THEN 0 ELSE 1 END AS hit
+                   FROM exl LEFT JOIN ann
+                     ON exl.q_id = ann.q_id AND exl.probes = ann.probes
+                       AND exl.n_id = ann.n_id),
+             agg AS (SELECT probes,
+                      CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+                      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hits
+                     FROM j GROUP BY probes)
+             SELECT agg.probes, n_queries, n_pairs, n_hits, n_cand,
+                    CAST(CASE WHEN n_pairs = 0 THEN 0
+                         ELSE (n_hits * 10000) // n_pairs END AS BIGINT) AS recall_bp
+             FROM agg JOIN costs ON agg.probes = costs.probes
+             ORDER BY agg.probes"""))
+
   /** External cluster-validity evaluation of the IVF coarse quantizer —
     * the eval harness that closes the vec family the way
     * `q_sim_recall_eval` closes the ANN family: per cell, the PURITY of
@@ -3696,7 +3830,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,

@@ -145,6 +145,23 @@ class InvariantsSpec extends SparkSpec {
     assert(bp > 1000, s"recall_bp=$bp — IVF recall collapsed on the fixture")
   }
 
+  test("recall sweep: recall and cost are monotone in probes; the last level is the shipped contract") {
+    val rows = SparkEntry.queries("q_sim_recall_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L), "one row per declared probe level")
+    rows.sliding(2).foreach { case Array((pa, _, _, ha, ca, ba), (pb, _, _, hb, cb, bb)) =>
+      // probing MORE cells can only add candidates, so hits, candidate
+      // volume, and recall are all non-decreasing — a violation means
+      // the level fan-out dropped candidates a smaller level kept
+      assert(hb >= ha && cb > ca && bb >= ba,
+        s"sweep must be monotone: p=$pa ($ha hits, $ca cand, $ba bp) -> p=$pb ($hb, $cb, $bb)")
+    }
+    val (_, nq, np, nh, _, bp) = rows.last
+    assert(np <= 3 * nq && nh <= np && bp == nh * 10000 / np,
+      "level-4 scorecard arithmetic must be internally consistent")
+  }
+
   test("hard negatives: banded, capped, and strictly below near-dup territory") {
     val hn = SparkEntry.queries("q_sample_hard_negatives")(spark, sf).cache()
     try {

@@ -58,7 +58,11 @@ class PlanLintSpec extends SparkSpec {
       "q_sample_dsir",
       // 1-row broadcast centroid ARRAY fanned onto the vectors for the
       // map-only cell assignment — the q_sim_ivf class
-      "q_vec_cluster_purity")
+      "q_vec_cluster_purity",
+      // the q_sim_recall_eval class: broadcast-m-queries × corpus exact
+      // arm (fixed m keeps it linear) + 1-row threshold/centroid
+      // broadcasts; the ANN arm's cell join is an equi-join
+      "q_sim_recall_sweep")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
