@@ -559,6 +559,40 @@ object Graph {
           GROUP BY n ORDER BY core_deg DESC, n LIMIT 20"""
     })
 
+  /** Degree-distribution audit of the shared sparsified graph — the
+    * observability for the one hazard every §2.15 comment documents:
+    * k-NN OR-survival bounds EDGE COUNT (|E| ≤ n·TriKnn) but not a
+    * hub's in-degree, and it is exactly the hub tail that decides
+    * whether degree orientation is load-bearing. Buckets are
+    * exact-integer log2 ranges via `length(bin(deg))` = ⌊log2 deg⌋ + 1
+    * — the binary-representation length, identical in both engines,
+    * never a float log near a power-of-two boundary. Per bucket: node
+    * count, min/max degree, degree mass (Σ deg — where the wedge work
+    * lives). Shape: two map-combinable integer aggs over the persisted
+    * edge table; the bucket frame is ≤ 64 rows at any scale.
+    */
+  private val qGraphDegreeDist = Q(
+    "q_graph_degree_dist",
+    (s, dir) => {
+      val edges = sparseEdges(s, dir)
+      val deg = edges.select(col("a").as("n"))
+        .unionByName(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      deg.groupBy(expr("CAST(length(bin(deg)) AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),
+          max("deg").as("max_deg"), sum("deg").as("deg_mass"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH $sparseEdgesSql,
+          deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                    SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges) u
+                  GROUP BY n)
+          SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+                 CAST(SUM(deg) AS BIGINT) AS deg_mass
+          FROM deg GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles, qGraphLabelProp,
-    qGraphJaccardNbr, qGraphKcore)
+    qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist)
 }
