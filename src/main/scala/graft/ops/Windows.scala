@@ -436,8 +436,54 @@ object Windows {
             SELECT user_id, b.len AS best_len, -b.neg AS best_start, n_streaks
             FROM b ORDER BY best_len DESC, user_id LIMIT 20"""))
 
+  /** Event-transition matrix — the Markov-chain census behind
+    * next-action features and journey analytics (`q_win_pattern` finds
+    * specific chains; this measures ALL adjacent transitions): per user,
+    * each event paired with its successor under the (ts_us, event_id)
+    * total order (D1 — ties can't flip direction), counted into the
+    * |types|² from→to matrix with per-from row totals and share in
+    * basis points. Self-transitions included (the diagonal is the
+    * burstiness signal).
+    *
+    * Scale shape: ONE user-keyed window pass (`lead` over the same
+    * exchange `q_win_lag_lead` uses) immediately collapsed by a
+    * map-combinable count — the matrix is |types|²-sized whatever the
+    * corpus; the row-total join is a ≤ |types|-row broadcast.
+    */
+  private val qWinTransitions = Q(
+    "q_win_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = tr.groupBy("from_type").agg(sum("n").as("row_total"))
+      tr.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 10000L div row_total").as("share_bp"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                  FROM events),
+            t AS (SELECT event_type AS from_type,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS to_type
+                  FROM e),
+            tr AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM t WHERE to_type IS NOT NULL
+                   GROUP BY from_type, to_type),
+            tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+                    FROM tr GROUP BY from_type)
+            SELECT tr.from_type, tr.to_type, tr.n,
+                   tr.n * 10000 // tot.row_total AS share_bp
+            FROM tr JOIN tot ON tr.from_type = tot.from_type
+            ORDER BY tr.from_type, tr.to_type"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
-    qWinCumeDist, qWinPattern, qWinStreak)
+    qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions)
 }
