@@ -920,6 +920,27 @@ class InvariantsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("transition matrix: conserves adjacent pairs and rows sum to ~10000 bp") {
+    val out = SparkEntry.queries("q_win_transitions")(spark, sf).cache()
+    try {
+      // every event except each user's last contributes exactly one
+      // transition: Σ n = n_events − n_active_users
+      val ev = Tables.events(spark, sf)
+      val expected = ev.count() - ev.select("user_id").distinct().count()
+      assert(out.agg(sum("n")).collect()(0).getLong(0) == expected,
+        "transition counts must conserve adjacent pairs")
+      // per-from row: shares are floor(n·10⁴/total), so the row sums to
+      // within |types| bp below 10000
+      val rows = out.groupBy("from_type")
+        .agg(sum("share_bp").as("s"), count(lit(1)).as("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rows.foreach { case (f, s, k) =>
+        assert(s <= 10000 && s > 10000 - k,
+          s"$f: floor shares must sum into (10000-$k, 10000], got $s")
+      }
+    } finally out.unpersist()
+  }
+
   test("bitmap set algebra: inclusion-exclusion identities hold and sides match single-set counts") {
     val rows = SparkEntry.queries("q_agg_bitmap_setops")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
