@@ -391,6 +391,83 @@ object Llm {
              WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 >= 0.1
              ORDER BY d1, d2"""))
 
+  /** 1-in-DedupEvalMod docs get a planted near-duplicate twin. */
+  private[graft] val DedupEvalMod = 20
+
+  /** Dedup-pipeline EVALUATION with planted near-duplicates — the QA
+    * harness that closes the dedup family the way `q_sim_recall_eval`
+    * closes ANN: sample 1-in-[[DedupEvalMod]] docs (salt `dde_`,
+    * independent per the shared-seed-leakage rule), plant a perturbed
+    * twin (every 7th token deleted — a ~3/7 shingle disruption, well
+    * inside near-dup territory but far from exact), re-run the FULL
+    * `q_dedup_jaccard` machinery (same shingling, df cap, threshold)
+    * over corpus ∪ twins, and report planted-pair recall plus the
+    * non-twin pair noise the planting introduced. Twin ids are the
+    * NEGATIVE mirror (−doc_id − 1) — disjoint from any non-negative id
+    * at ANY corpus scale, no packed-offset collision hazard (the
+    * Graph.scala okey lesson).
+    *
+    * Scale shape: identical to `q_dedup_jaccard` on a corpus 5% larger
+    * (the planted frame is map-only); the metric assembly is two 1-row
+    * aggregates joined by a scalar cross join. A recall drop here is
+    * the regression signal for any change to shingling, caps, or
+    * thresholds.
+    */
+  private val qDedupEval = Q(
+    "q_dedup_eval",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(expr(
+          s"pmod(${md5Hex32Spark("concat('dde_', CAST(doc_id AS STRING))")}, $DedupEvalMod) = 0"))
+        .select((-col("doc_id") - 1).as("doc_id"),
+          expr("concat_ws(' ', filter(split(text, ' '), (x, i) -> (i + 1) % 7 != 0))").as("text"))
+      val corpus = docs.unionByName(planted)
+      val pairs = jaccardPairsFrom(shinglesRawFrom(corpus).distinct())
+        .filter(col("jac") >= 0.1)
+        .select("d1", "d2")
+      val m1 = planted.agg(count(lit(1)).as("n_planted"))
+      val m2 = pairs.agg(
+        sum(when(col("d1") === -col("d2") - lit(1), 1L).otherwise(0L)).as("n_caught"),
+        sum(when(col("d1") < 0 && col("d1") =!= -col("d2") - lit(1), 1L)
+          .otherwise(0L)).as("n_noise"))
+      m1.crossJoin(m2).select(col("n_planted"), col("n_caught"), col("n_noise"),
+        expr("CASE WHEN n_planted = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_caught * 10000L div n_planted END").as("recall_bp"))
+    },
+    Some(s"""WITH pd AS (SELECT -doc_id - 1 AS doc_id,
+                   array_to_string(list_filter(string_split(text, ' '),
+                     (x, i) -> i % 7 <> 0), ' ') AS text
+                  FROM documents
+                  WHERE (${md5Hex32Sql("'dde_' || CAST(doc_id AS VARCHAR)")}) % $DedupEvalMod = 0),
+            corp AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM pd),
+            toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM corp),
+            sh2 AS (SELECT DISTINCT doc_id, s FROM toks2,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)),
+            shc2 AS (SELECT doc_id, s FROM (
+                      SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh2)
+                     WHERE df <= $ShingleDfCap),
+            cnt2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                     FROM shc2 GROUP BY doc_id),
+            pr2 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                    FROM shc2 a JOIN shc2 b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id),
+            pairs2 AS (SELECT d1, d2
+                       FROM pr2 JOIN cnt2 c1 ON d1 = c1.doc_id
+                                JOIN cnt2 c2 ON d2 = c2.doc_id
+                       WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 >= 0.1),
+            met AS (SELECT
+                     CAST(COALESCE(SUM(CASE WHEN d1 = -d2 - 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught,
+                     CAST(COALESCE(SUM(CASE WHEN d1 < 0 AND d1 <> -d2 - 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_noise
+                    FROM pairs2),
+            np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM pd)
+            SELECT np.n_planted, met.n_caught, met.n_noise,
+                   CASE WHEN np.n_planted = 0 THEN CAST(0 AS BIGINT)
+                        ELSE met.n_caught * 10000 // np.n_planted END AS recall_bp
+            FROM np CROSS JOIN met"""))
+
   /** MinHash + LSH banding: 16 hash functions (xxhash64 with distinct salt
     * suffixes), 4 bands × 4 rows; docs sharing any band bucket become
     * candidates, then exact Jaccard verifies. Deterministic (no random
@@ -3827,7 +3904,7 @@ object Llm {
              FROM m ORDER BY cell"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
+    qDedupExact, qDedupJaccard, qDedupEval, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,

@@ -920,6 +920,18 @@ class InvariantsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("dedup eval: planted twins are caught at high recall, metrics internally consistent") {
+    val r = SparkEntry.queries("q_dedup_eval")(spark, sf).collect()(0)
+    val (np, nc, nn, bp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(np > 0, "the hash sample must plant some twins on the fixture")
+    assert(nc <= np && nn >= 0, "caught is a subset of planted")
+    assert(bp == nc * 10000 / np, "recall_bp must be the integer-division ratio")
+    // a 1/7 token deletion keeps ~4/7 of the trigram shingles — squarely
+    // near-dup territory; the pipeline missing these means shingling,
+    // the df cap, or the threshold regressed
+    assert(bp >= 9000, s"planted-twin recall collapsed: $bp bp")
+  }
+
   test("transition matrix: conserves adjacent pairs and rows sum to ~10000 bp") {
     val out = SparkEntry.queries("q_win_transitions")(spark, sf).cache()
     try {

@@ -59,6 +59,8 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcast centroid ARRAY fanned onto the vectors for the
       // map-only cell assignment — the q_sim_ivf class
       "q_vec_cluster_purity",
+      // two 1-row metric frames assembled by a scalar cross join
+      "q_dedup_eval",
       // the q_sim_recall_eval class: broadcast-m-queries × corpus exact
       // arm (fixed m keeps it linear) + 1-row threshold/centroid
       // broadcasts; the ANN arm's cell join is an equi-join
