@@ -2371,6 +2371,46 @@ object Llm {
         qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
                 FROM asg WHERE arn <= $IvfProbes)"""
 
+  /** Cluster-stratified CORESET — the diversity-sampling recipe
+    * (SemDeDup/D4-family "one representative per semantic cluster"):
+    * every document is assigned to its doc-ANN cell (the SHARED
+    * [[docIdxQry]] quantizer — the same cell map `q_sim_doc_topk`
+    * serves and `q_dedup_semantic` clusters by), and each cell elects
+    * ONE representative, hash-uniform within the cell (min over the
+    * salted hash `core_`, doc_id tie-break — the struct-extremum
+    * election inside one map-combinable agg). Where `q_source_cap`
+    * caps by PROVENANCE, this caps by embedding-space REGION: the
+    * coreset covers the corpus's semantic spread at √n size, the
+    * "seed a diverse eval set / curriculum head" primitive. Output is
+    * the per-cell manifest (cell, size, picked doc).
+    *
+    * Scale shape: one broadcast-centroid assignment pass (hidden
+    * behind [[docIdxQry]]'s checkpoint) + ONE map-combinable aggregate;
+    * the manifest is cells-sized (√n) at any corpus size.
+    */
+  private val qSampleCoreset = Q(
+    "q_sample_coreset",
+    (s, dir) => {
+      val (idx0, _) = docIdxQry(s, dir)
+      idx0.select(col("cell"), col("n_id").as("doc_id"))
+        .withColumn("hk",
+          expr(md5Hex32Spark("concat('core_', CAST(doc_id AS STRING))")))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("cell_size"),
+          expr("min(named_struct('hk', hk, 'doc_id', doc_id))").as("p"))
+        .select(col("cell"), col("cell_size"), col("p.doc_id").as("picked_doc"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $docAnnCtesSql,
+             a AS (SELECT n_id AS doc_id, cell FROM idx),
+             p AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_size,
+                     MIN(struct_pack(
+                       hk := ${md5Hex32Sql("'core_' || CAST(doc_id AS VARCHAR)")},
+                       doc_id := doc_id)) AS p
+                   FROM a GROUP BY cell)
+             SELECT cell, cell_size, p.doc_id AS picked_doc
+             FROM p ORDER BY cell"""))
+
   private val qSimDocTopk = Q(
     "q_sim_doc_topk",
     (s, dir) => {
@@ -3911,6 +3951,6 @@ object Llm {
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk,
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk, qSampleCoreset,
     qSimHybridRrf, qMultimodalJoin)
 }
