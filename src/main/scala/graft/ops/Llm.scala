@@ -2371,6 +2371,61 @@ object Llm {
         qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
                 FROM asg WHERE arn <= $IvfProbes)"""
 
+  /** Corpus DRIFT monitor — the two-population frequency-shift report a
+    * production ingest runs between crawl generations (C4→C4.1, monthly
+    * CommonCrawl snapshots) before letting a new generation into the
+    * mix: tokens ranked by absolute rate shift between the old-source
+    * half (src0–9) and the new half (src10–19). Rates are integer
+    * parts-per-million of each population's token mass (D1 — no float
+    * ratio), shift = ppm_a − ppm_b, top-20 by |shift| with the raw
+    * counts alongside. A vocabulary-level shift here is the upstream
+    * signal for re-tuning `q_mix_*` weights or quarantining a source.
+    *
+    * Scale shape: token explode → ONE map-combinable (token, gen)
+    * count agg (vocab-sized middle, corpus-sublinear), 1-row totals
+    * broadcast onto the vocab frame, TakeOrderedAndProject(20) head —
+    * no window, no global sort, nothing corpus-sized after the first
+    * aggregate.
+    */
+  private val qTextDrift = Q(
+    "q_text_drift",
+    (s, dir) => {
+      val cnt = Tables(s, dir, "documents")
+        .withColumn("gen", expr(
+          "CASE WHEN CAST(substring(source, 4) AS BIGINT) < 10 THEN 'a' ELSE 'b' END"))
+        .select(col("gen"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) >= 1)
+        .groupBy("token").agg(
+          sum(when(col("gen") === "a", 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("gen") === "b", 1L).otherwise(0L)).as("cnt_b"))
+        .localCheckpoint(true) // vocab-sized; feeds totals AND rates
+      cnt.crossJoin(broadcast(
+          cnt.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))))
+        .select(col("token"), col("cnt_a"), col("cnt_b"),
+          expr("cnt_a * 1000000L div tot_a").as("ppm_a"),
+          expr("cnt_b * 1000000L div tot_b").as("ppm_b"))
+        .withColumn("diff_ppm", col("ppm_a") - col("ppm_b"))
+        .orderBy(abs(col("diff_ppm")).desc, col("token"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT CASE WHEN CAST(substring(source, 4) AS BIGINT) < 10
+                    THEN 'a' ELSE 'b' END AS gen, u.tok AS token
+                  FROM documents, unnest(string_split(text, ' ')) u(tok)
+                  WHERE length(u.tok) >= 1),
+            cnt AS (SELECT token,
+                     CAST(SUM(CASE WHEN gen = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+                     CAST(SUM(CASE WHEN gen = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+                    FROM tok GROUP BY token),
+            tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+                     CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM cnt),
+            r AS (SELECT token, cnt_a, cnt_b,
+                    cnt_a * 1000000 // tot_a AS ppm_a,
+                    cnt_b * 1000000 // tot_b AS ppm_b
+                  FROM cnt CROSS JOIN tot)
+            SELECT token, cnt_a, cnt_b, ppm_a, ppm_b,
+                   ppm_a - ppm_b AS diff_ppm
+            FROM r ORDER BY abs(ppm_a - ppm_b) DESC, token LIMIT 20"""))
+
   /** Cluster-stratified CORESET — the diversity-sampling recipe
     * (SemDeDup/D4-family "one representative per semantic cluster"):
     * every document is assigned to its doc-ANN cell (the SHARED
@@ -3951,6 +4006,6 @@ object Llm {
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk, qSampleCoreset,
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qMultimodalJoin)
 }

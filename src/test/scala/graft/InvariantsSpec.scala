@@ -920,6 +920,27 @@ class InvariantsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("coreset: one distinct in-cell representative per cell, sizes conserve the corpus") {
+    val out = SparkEntry.queries("q_sample_coreset")(spark, sf).cache()
+    try {
+      val n = out.count()
+      assert(out.select("picked_doc").distinct().count() == n,
+        "each cell's representative must be distinct")
+      assert(out.select("cell").distinct().count() == n, "one row per cell")
+      // sizes conserve the featurized corpus (nrm > 0 docs)
+      val total = out.agg(sum("cell_size")).collect()(0).getLong(0)
+      val docs = ops.Llm.featurizeVec(spark, sf)
+        .filter(col("nrm") > 0).count()
+      assert(total == docs, s"cell sizes must sum to $docs, got $total")
+      // the pick is a member of its own cell: re-derive the assignment
+      // and check membership
+      val asg = ops.Llm.docIdxQry(spark, sf)._1
+        .select(col("n_id").as("picked_doc"), col("cell"))
+      assert(out.join(asg, Seq("picked_doc", "cell"), "left_anti").isEmpty,
+        "every representative must belong to the cell that elected it")
+    } finally out.unpersist()
+  }
+
   test("dedup eval: planted twins are caught at high recall, metrics internally consistent") {
     val r = SparkEntry.queries("q_dedup_eval")(spark, sf).collect()(0)
     val (np, nc, nn, bp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -61,6 +61,9 @@ class PlanLintSpec extends SparkSpec {
       "q_vec_cluster_purity",
       // two 1-row metric frames assembled by a scalar cross join
       "q_dedup_eval",
+      // 1-row broadcast (tot_a, tot_b) fanned onto the checkpointed
+      // vocab-sized count frame — the q_text_heavy_hitters shape
+      "q_text_drift",
       // the q_sim_recall_eval class: broadcast-m-queries × corpus exact
       // arm (fixed m keeps it linear) + 1-row threshold/centroid
       // broadcasts; the ANN arm's cell join is an equi-join
