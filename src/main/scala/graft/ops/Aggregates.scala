@@ -879,6 +879,54 @@ object Aggregates {
             FROM e GROUP BY event_type, bar
             ORDER BY event_type, bar"""))
 
+  /** Ingest-volume ANOMALY detection — the ops monitor every event
+    * pipeline runs on its own throughput: each day's event count
+    * compared to the EXACT median of the trailing 7 days (median, not
+    * mean — one bad day shouldn't poison the baseline it is judged
+    * against), deviation in integer basis points, flagged outside
+    * [50%, 200%]. All-integer (D1): the median of 7 BIGINT counts is
+    * element 4 of the sorted window array — no float percentile, no
+    * engine drift; days without a full 7-day history emit no verdict
+    * (NULL-free output, the warm-up rule every monitor has).
+    *
+    * Scale shape: the corpus collapses immediately to the per-day count
+    * frame (partial+final — calendar-sized forever after); the trailing
+    * window runs UNPARTITIONED over that ≤ |days| frame, which is the
+    * documented calendar-sized single-task exemption (the
+    * `q_etl_gapfill` spine class): ~365 rows per year of data, not a
+    * corpus-scaling concern.
+    */
+  private val qAggAnomaly = Q(
+    "q_agg_anomaly",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("trail", collect_list("cnt").over(w))
+        .filter(size(col("trail")) === 7)
+        .withColumn("med7", expr("element_at(sort_array(trail), 4)"))
+        .select(col("day"), col("cnt"), col("med7"),
+          expr("cnt * 10000L div med7").as("dev_bp"))
+        .withColumn("is_anomaly",
+          (col("dev_bp") < 5000 || col("dev_bp") > 20000).cast("boolean"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY 1),
+            t AS (SELECT day, cnt,
+                    list(cnt) OVER (ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail
+                  FROM d)
+            SELECT day, cnt,
+                   list_sort(trail)[4] AS med7,
+                   cnt * 10000 // list_sort(trail)[4] AS dev_bp,
+                   (cnt * 10000 // list_sort(trail)[4] < 5000 OR
+                    cnt * 10000 // list_sort(trail)[4] > 20000) AS is_anomaly
+            FROM t WHERE len(trail) = 7 ORDER BY day"""))
+
   /** The audience-overlap pairs the set-algebra query reports. Fixed and
     * ordered so both engines emit identical rows.
     */
@@ -960,5 +1008,5 @@ object Aggregates {
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay,
-    qAggRollingDistinct, qAggBitmapSetops, qAggOhlc)
+    qAggRollingDistinct, qAggBitmapSetops, qAggOhlc, qAggAnomaly)
 }
