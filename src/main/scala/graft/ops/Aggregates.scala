@@ -896,6 +896,48 @@ object Aggregates {
     * `q_etl_gapfill` spine class): ~365 rows per year of data, not a
     * corpus-scaling concern.
     */
+  /** Key-skew CENSUS over the event stream — the measurement half of the
+    * skew story whose mitigation half is `q_agg_salted` /
+    * `q_join_skew_salted`: per-user event counts bucketed into
+    * exact-integer log2 ranges (`length(bin(cnt))`, the
+    * `q_graph_degree_dist` discipline — never a float log), reporting
+    * per bucket the user count, the event MASS (where shuffle bytes
+    * live), and mass share in bp. A heavy top bucket here is the
+    * operational trigger for salting a user-keyed shuffle; the census
+    * itself never sorts or ranks users (a global rank is exactly the
+    * skewed shuffle this op exists to warn about).
+    *
+    * Scale shape: two stacked map-combinable integer aggs (user census →
+    * ≤ 64-row bucket census) + a 1-row total broadcast for the shares.
+    */
+  private val qAggActivityDist = Q(
+    "q_agg_activity_dist",
+    (s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val b = per
+        .groupBy(expr("CAST(length(bin(cnt)) AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("n_users"), sum("cnt").as("event_mass"),
+          min("cnt").as("min_cnt"), max("cnt").as("max_cnt"))
+        .localCheckpoint(true) // ≤ 64 rows; feeds totals AND shares
+      b.crossJoin(broadcast(b.agg(sum("event_mass").as("tot"))))
+        .select(col("bucket"), col("n_users"), col("event_mass"),
+          col("min_cnt"), col("max_cnt"),
+          expr("event_mass * 10000L div tot").as("mass_bp"))
+        .orderBy("bucket")
+    },
+    Some("""WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM events GROUP BY user_id),
+            b AS (SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(cnt) AS BIGINT) AS event_mass,
+                   MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt
+                  FROM per GROUP BY 1),
+            t AS (SELECT CAST(SUM(event_mass) AS BIGINT) AS tot FROM b)
+            SELECT bucket, n_users, event_mass, min_cnt, max_cnt,
+                   event_mass * 10000 // tot AS mass_bp
+            FROM b CROSS JOIN t ORDER BY bucket"""))
+
   private val qAggAnomaly = Q(
     "q_agg_anomaly",
     (s, dir) => {
@@ -1008,5 +1050,5 @@ object Aggregates {
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay,
-    qAggRollingDistinct, qAggBitmapSetops, qAggOhlc, qAggAnomaly)
+    qAggRollingDistinct, qAggBitmapSetops, qAggOhlc, qAggAnomaly, qAggActivityDist)
 }

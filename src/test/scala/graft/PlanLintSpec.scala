@@ -64,6 +64,8 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcast (tot_a, tot_b) fanned onto the checkpointed
       // vocab-sized count frame — the q_text_heavy_hitters shape
       "q_text_drift",
+      // 1-row broadcast total fanned onto the ≤ 64-row bucket census
+      "q_agg_activity_dist",
       // the q_sim_recall_eval class: broadcast-m-queries × corpus exact
       // arm (fixed m keeps it linear) + 1-row threshold/centroid
       // broadcasts; the ANN arm's cell join is an equi-join
