@@ -110,4 +110,31 @@ class EtlScaleSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("ohlc property: struct-extremum bars equal a brute-force reference on random event tables") {
+    import spark.implicits._
+    // rows deliberately collide on (type, bar) and on ts within a bar so
+    // the (ts, event_id) tie-break is exercised; event_id is unique
+    val rowGen = for {
+      ts <- Gen.choose(0L, 5L * 3600000000L) // ~5 bars
+      tpe <- Gen.oneOf("a", "b")
+      v <- Gen.choose(-1000, 1000).map(_ / 10.0)
+    } yield (ts, tpe, v)
+    val p = Prop.forAll(Gen.listOfN(60, rowGen)) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((ts, t, v), i) => (ts, i.toLong, t, v) }
+      val df = rows.toDF("ts_us", "event_id", "event_type", "value")
+      val got = graft.ops.Aggregates.ohlcFrom(df)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+      val want = rows.groupBy { case (ts, _, t, _) => (t, ts / 3600000000L) }
+        .map { case (k, g) =>
+          val sorted = g.sortBy { case (ts, id, _, _) => (ts, id) }
+          k -> (sorted.head._4, g.map(_._4).max, g.map(_._4).min,
+            sorted.last._4, g.size.toLong)
+        }
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
 }
