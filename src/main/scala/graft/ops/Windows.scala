@@ -402,22 +402,30 @@ object Windows {
     * window pass; two further skinny integer aggs; top-20 via
     * TakeOrderedAndProject.
     */
+  /** Best-streak election from a DISTINCT (user_id, day) frame — the
+    * islands core of [[qWinStreak]], factored so EtlScaleSpec can
+    * property-test it against a brute-force reference on random day
+    * sets.
+    */
+  private[graft] def streakFrom(days: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      .groupBy("user_id")
+      .agg(expr("max(named_struct('len', len, 'neg', -start_day))").as("b"),
+        count(lit(1)).as("n_streaks"))
+      .select(col("user_id"), col("b.len").as("best_len"),
+        (-col("b.neg")).as("best_start"), col("n_streaks"))
+  }
+
   private val qWinStreak = Q(
     "q_win_streak",
     (s, dir) => {
-      val days = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
-        .distinct()
-      val w = Window.partitionBy("user_id").orderBy("day")
-      days
-        .withColumn("grp", col("day") - row_number().over(w))
-        .groupBy("user_id", "grp")
-        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
-        .groupBy("user_id")
-        .agg(expr("max(named_struct('len', len, 'neg', -start_day))").as("b"),
-          count(lit(1)).as("n_streaks"))
-        .select(col("user_id"), col("b.len").as("best_len"),
-          (-col("b.neg")).as("best_start"), col("n_streaks"))
+      streakFrom(Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+          .distinct())
         .orderBy(col("best_len").desc, col("user_id"))
         .limit(20)
     },

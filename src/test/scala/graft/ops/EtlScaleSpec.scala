@@ -137,4 +137,31 @@ class EtlScaleSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("streak property: islands election equals a brute-force longest-run scan") {
+    import spark.implicits._
+    val rowGen = for {
+      u <- Gen.choose(1L, 5L)
+      d <- Gen.choose(0L, 20L)
+    } yield (u, d)
+    val p = Prop.forAll(Gen.listOfN(50, rowGen)) { rows0 =>
+      val rows = rows0.distinct
+      val got = graft.ops.Windows.streakFrom(rows.toDF("user_id", "day"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val want = rows.groupBy(_._1).map { case (u, g) =>
+        val ds = g.map(_._2).distinct.sorted
+        // split into maximal consecutive runs
+        val runs = ds.foldLeft(List.empty[List[Long]]) {
+          case (acc @ (h :: t), d) if h.nonEmpty && d == h.head + 1 => (d :: h) :: t
+          case (acc, d) => List(d) :: acc
+        }.map(_.reverse).reverse
+        val best = runs.map(r => (r.length.toLong, r.head))
+          .maxBy { case (len, start) => (len, -start) }
+        u -> (best._1, best._2, runs.length.toLong)
+      }
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
 }
