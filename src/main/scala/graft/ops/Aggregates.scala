@@ -881,13 +881,18 @@ object Aggregates {
 
   /** Ingest-volume ANOMALY detection — the ops monitor every event
     * pipeline runs on its own throughput: each day's event count
-    * compared to the EXACT median of the trailing 7 days (median, not
-    * mean — one bad day shouldn't poison the baseline it is judged
-    * against), deviation in integer basis points, flagged outside
-    * [50%, 200%]. All-integer (D1): the median of 7 BIGINT counts is
-    * element 4 of the sorted window array — no float percentile, no
-    * engine drift; days without a full 7-day history emit no verdict
-    * (NULL-free output, the warm-up rule every monitor has).
+    * compared to the EXACT median of the trailing 7 OBSERVED days
+    * (the 7 preceding days that had ≥ 1 event — a zero-event calendar
+    * day is absent from the daily frame, so a gap stretches the
+    * baseline window across it; gap-fill with the `q_etl_gapfill`
+    * spine first if strict calendar semantics are needed). Median,
+    * not mean — one bad day shouldn't poison the baseline it is
+    * judged against; deviation in integer basis points, flagged
+    * outside [50%, 200%]. All-integer (D1): the median of 7 BIGINT
+    * counts is element 4 of the sorted window array — no float
+    * percentile, no engine drift; days without a full 7-observed-day
+    * history emit no verdict (NULL-free output, the warm-up rule
+    * every monitor has).
     *
     * Scale shape: the corpus collapses immediately to the per-day count
     * frame (partial+final — calendar-sized forever after); the trailing

@@ -81,11 +81,24 @@ object AnnIndex {
     * from). Build-then-commit ordering means a crashed build leaves a
     * stale or absent marker, never a marker pointing at a half-written
     * artifact.
+    *
+    * The commit itself is write-temp-then-ATOMIC_MOVE: a reader
+    * concurrent with a commit sees either the old marker or the new
+    * one, never a torn half-written file (readAllLines of a partial
+    * marker could otherwise pass the fingerprint check with a
+    * truncated schema DDL). This makes the marker file itself safe
+    * under the single-WRITER contract ([[indexPath]]) even with
+    * concurrent READERS; two concurrent writers still need the
+    * versioned-generation scheme the docstring above prescribes.
     */
   private[graft] def commitMarker(path: String, fp: String,
-      schema: org.apache.spark.sql.types.StructType): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(path + ".marker"),
-      s"$fp\n${schema.toDDL}".getBytes("UTF-8"))
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = java.nio.file.Paths.get(path + ".marker.tmp")
+    java.nio.file.Files.write(tmp, s"$fp\n${schema.toDDL}".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path + ".marker"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private[graft] def freshArtifact(path: String, fp: String): Option[org.apache.spark.sql.types.StructType] = {
     val m = new java.io.File(path + ".marker")

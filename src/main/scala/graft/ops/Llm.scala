@@ -191,6 +191,40 @@ object Llm {
     */
   private[graft] val ShingleDfCap = 64
 
+  /** Document-frequency cap FLOOR for the BM25 pairing universe — the
+    * token twin of [[ShingleDfCap]], but RELATIVE: a token may GENERATE
+    * (query, candidate) pairs iff df ≤ max(BmDfCap, n_docs/8). An
+    * absolute cap silently empties under corpus growth (r9 measured: a
+    * 5%-support token pairs at sf0.01 where df=25≤64 but not at sf0.1
+    * where the SAME token has df=250 — the cap-scaling failure the sf1.0
+    * rehearsal hunts), while the relative form keeps the SAME stopword
+    * class excluded at every scale (>12.5% support ⇒ idf ≤ ln 8 — the
+    * tokens BM25 down-weights hardest). The cap only gates pairing;
+    * tf/dl/df/avgdl statistics — hence every surviving pair's score —
+    * are computed over the FULL token universe. Pair-space bound comes
+    * from [[BmPostCap]], not this cap. Declared up here with its
+    * [[ShingleDfCap]] sibling — ABOVE every consuming `Q` val: a query
+    * val earlier in the object would otherwise splice the uninitialized
+    * 0 into its oracle text (object vals initialize in declaration
+    * order — the r9 `bf.df <= 0` bug).
+    */
+  private[graft] val BmDfCap = 64
+
+  /** Posting-list truncation for BM25 pair GENERATION — the occupancy
+    * cap that makes total pair space LINEAR in corpus size: per pairing
+    * token, only the top-[[BmPostCap]] candidates by (tf desc, doc_id)
+    * receive pairs (impact-ordered posting truncation — the classic
+    * WAND-family pruning: high-tf postings are the ones that can place
+    * in a top-k). Query side is never truncated (every document is owed
+    * its result). Worst-case pairs per token = df_q · cap, summed over
+    * a bounded vocabulary ⇒ O(n · |V| · cap) total — no df² blow-up
+    * even when the relative df cap admits an Ω(n)-support token. Like
+    * [[CellTarget]], the cap trades bounded recall for bounded work;
+    * unlike capCells the truncation is VISIBLE in the oracle (same
+    * rank-≤-cap CTE) so capped Spark ≡ capped DuckDB exactly.
+    */
+  private[graft] val BmPostCap = 256
+
   /** Exact shingle-Jaccard for (d1 < d2) pairs sharing ≥1 df≤τ shingle.
     * Counts run over distinct (doc, shingle-hash) — identical to string
     * counts unless xxhash64 collides within the corpus (P ≈ n²/2⁶⁵;
@@ -208,15 +242,28 @@ object Llm {
     * then runs many analytics. Each consumer stays a pure function of
     * the corpus: a regenerated fixture invalidates the fingerprint.
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    corpusArtifact(s, dir, "shpairs")(jaccardPairsFrom(shingles(s, dir)))
+
+  /** The digest-guard persist-once pattern shared by every per-corpus
+    * derived artifact ([[jaccardPairs]], [[featurizeVecPersisted]],
+    * [[docTopKPersisted]]): content fingerprint of documents.parquet +
+    * build-then-commit marker (atomic rename — see
+    * [[AnnIndex.commitMarker]]), single-writer contract per
+    * [[AnnIndex.indexPath]]'s docstring. Each consumer stays a pure
+    * function of the corpus: a regenerated fixture invalidates the
+    * fingerprint and forces a rebuild.
+    */
+  private def corpusArtifact(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_shpairs_$h"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$h"
     val fp = AnnIndex.fingerprint(dir, "documents.parquet")
     AnnIndex.freshArtifact(path, fp) match {
       case Some(schema) => s.read.schema(schema).parquet(path)
       case None =>
-        val df = jaccardPairsFrom(shingles(s, dir))
+        val df = build
         df.write.mode("overwrite").parquet(path)
         AnnIndex.commitMarker(path, fp, df.schema)
         s.read.schema(df.schema).parquet(path)
@@ -427,10 +474,14 @@ object Llm {
         .filter(col("jac") >= 0.1)
         .select("d1", "d2")
       val m1 = planted.agg(count(lit(1)).as("n_planted"))
+      // coalesce mirrors the oracle's COALESCE(SUM(...), 0): on an empty
+      // pair frame (no pair clears the threshold) an ungrouped sum() is
+      // NULL, which would NULL-poison recall_bp where the oracle says 0
       val m2 = pairs.agg(
-        sum(when(col("d1") === -col("d2") - lit(1), 1L).otherwise(0L)).as("n_caught"),
-        sum(when(col("d1") < 0 && col("d1") =!= -col("d2") - lit(1), 1L)
-          .otherwise(0L)).as("n_noise"))
+        coalesce(sum(when(col("d1") === -col("d2") - lit(1), 1L).otherwise(0L)),
+          lit(0L)).as("n_caught"),
+        coalesce(sum(when(col("d1") < 0 && col("d1") =!= -col("d2") - lit(1), 1L)
+          .otherwise(0L)), lit(0L)).as("n_noise"))
       m1.crossJoin(m2).select(col("n_planted"), col("n_caught"), col("n_noise"),
         expr("CASE WHEN n_planted = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE n_caught * 10000L div n_planted END").as("recall_bp"))
@@ -2254,19 +2305,35 @@ object Llm {
     * re-featurize. Consumers that measure featurization itself
     * (`q_text_featurize`) keep calling the unpersisted spelling.
     */
-  private[graft] def featurizeVecPersisted(s: SparkSession, dir: String): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_featvec_$h"
-    val fp = AnnIndex.fingerprint(dir, "documents.parquet")
-    AnnIndex.freshArtifact(path, fp) match {
-      case Some(schema) => s.read.schema(schema).parquet(path)
-      case None =>
-        val df = featurizeVec(s, dir)
-        df.write.mode("overwrite").parquet(path)
-        AnnIndex.commitMarker(path, fp, df.schema)
-        s.read.schema(df.schema).parquet(path)
-    }
+  private[graft] def featurizeVecPersisted(s: SparkSession, dir: String): DataFrame =
+    corpusArtifact(s, dir, "featvec")(featurizeVec(s, dir))
+
+  /** The RANKED doc-ANN arm — `cellTopK(capCells(docIdxQry))`, i.e. the
+    * occupancy-capped featurized doc-ANN top-3 (q_id, rnk, n_id, cos) —
+    * PERSISTED once per corpus via [[corpusArtifact]] and reused by
+    * every consumer that treats the ranking as an INPUT rather than the
+    * thing it measures: `q_sim_doc_topk` (the declared search result
+    * itself), the RRF fusion's vector arm (`q_sim_hybrid_rrf`). r8's
+    * bench showed the two top entries (3.12 s + 2.91 s) each re-running
+    * the same capped cell-join + top-k; a production deployment ranks
+    * the corpus once, then fuses/serves/evaluates many times. Still a
+    * pure function of the corpus (deterministic quantizer, hash-elected
+    * centroids — no RNG), so the persisted frame and the inline
+    * spelling are bit-identical and the DuckDB oracles are unchanged.
+    */
+  private[graft] def docTopKPersisted(s: SparkSession, dir: String): DataFrame =
+    corpusArtifact(s, dir, "doctopk")(docTopKInline(s, dir))
+
+  /** The un-persisted spelling of the ranked arm — the plan PlanLintSpec
+    * audits (the artifact read-back would hide the aggregate shape).
+    */
+  private[graft] def docTopKInline(s: SparkSession, dir: String): DataFrame = {
+    val (idx0, qry0) = docIdxQry(s, dir)
+    // occupancy-capped join keys (r6 measured 4.7× max/avg cell skew
+    // on this corpus — the straggler task at 100×); result-identical,
+    // see [[capCells]]
+    val (idx, qry) = capCells(idx0, qry0, CellTarget)
+    cellTopK(idx, qry)
   }
 
   /** Multiplier packing (doc_id, chunk_id) into one BIGINT chunk-vector
@@ -2390,9 +2457,12 @@ object Llm {
   private val qTextDrift = Q(
     "q_text_drift",
     (s, dir) => {
+      // try_cast: a malformed source suffix is NULL → gen 'b' on BOTH
+      // engines (plain CAST would error in DuckDB's oracle run where
+      // Spark quietly NULLs — the ADVICE r8 degenerate-fixture split)
       val cnt = Tables(s, dir, "documents")
         .withColumn("gen", expr(
-          "CASE WHEN CAST(substring(source, 4) AS BIGINT) < 10 THEN 'a' ELSE 'b' END"))
+          "CASE WHEN try_cast(substring(source, 4) AS BIGINT) < 10 THEN 'a' ELSE 'b' END"))
         .select(col("gen"), explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) >= 1)
         .groupBy("token").agg(
@@ -2401,14 +2471,17 @@ object Llm {
         .localCheckpoint(true) // vocab-sized; feeds totals AND rates
       cnt.crossJoin(broadcast(
           cnt.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))))
+        // greatest(tot, 1): a generation with ZERO tokens divides by 1
+        // (ppm 0) on both engines — Spark div would yield NULL where
+        // DuckDB // raises division-by-zero (ADVICE r8)
         .select(col("token"), col("cnt_a"), col("cnt_b"),
-          expr("cnt_a * 1000000L div tot_a").as("ppm_a"),
-          expr("cnt_b * 1000000L div tot_b").as("ppm_b"))
+          expr("cnt_a * 1000000L div greatest(tot_a, 1L)").as("ppm_a"),
+          expr("cnt_b * 1000000L div greatest(tot_b, 1L)").as("ppm_b"))
         .withColumn("diff_ppm", col("ppm_a") - col("ppm_b"))
         .orderBy(abs(col("diff_ppm")).desc, col("token"))
         .limit(20)
     },
-    Some("""WITH tok AS (SELECT CASE WHEN CAST(substring(source, 4) AS BIGINT) < 10
+    Some("""WITH tok AS (SELECT CASE WHEN TRY_CAST(substring(source, 4) AS BIGINT) < 10
                     THEN 'a' ELSE 'b' END AS gen, u.tok AS token
                   FROM documents, unnest(string_split(text, ' ')) u(tok)
                   WHERE length(u.tok) >= 1),
@@ -2419,8 +2492,8 @@ object Llm {
             tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
                      CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM cnt),
             r AS (SELECT token, cnt_a, cnt_b,
-                    cnt_a * 1000000 // tot_a AS ppm_a,
-                    cnt_b * 1000000 // tot_b AS ppm_b
+                    cnt_a * 1000000 // greatest(tot_a, 1) AS ppm_a,
+                    cnt_b * 1000000 // greatest(tot_b, 1) AS ppm_b
                   FROM cnt CROSS JOIN tot)
             SELECT token, cnt_a, cnt_b, ppm_a, ppm_b,
                    ppm_a - ppm_b AS diff_ppm
@@ -2468,14 +2541,10 @@ object Llm {
 
   private val qSimDocTopk = Q(
     "q_sim_doc_topk",
-    (s, dir) => {
-      val (idx0, qry0) = docIdxQry(s, dir)
-      // occupancy-capped join keys (r6 measured 4.7× max/avg cell skew on
-      // this corpus — the straggler task at 100×); result-identical, see
-      // [[capCells]]
-      val (idx, qry) = capCells(idx0, qry0, CellTarget)
-      cellTopK(idx, qry)
-    },
+    // the declared search result IS the shared ranked arm ([[docTopKPersisted]]);
+    // the orderBy restores the declared presentation sort the parquet
+    // round-trip does not guarantee
+    (s, dir) => docTopKPersisted(s, dir).orderBy("q_id", "rnk"),
     Some(s"""WITH $docAnnCtesSql,
              $cellTopKSql"""))
 
@@ -2485,12 +2554,14 @@ object Llm {
     * arms and fuse by summed reciprocal ranks, so a candidate surfacing
     * high in either arm places, and one surfacing in both places first.
     *
-    *  - VECTOR arm: the occupancy-capped featurized doc-ANN top-3
-    *    (`q_sim_doc_topk`'s frames and ranking, verbatim).
-    *  - LEXICAL arm: the df-capped shared-shingle Jaccard pairs
-    *    (`q_dedup_jaccard`'s machinery), mirrored to directed
-    *    (query, candidate) rows and ranked per query by (jac desc, id) —
-    *    top-3, the same k as the vector arm.
+    *  - VECTOR arm: the occupancy-capped featurized doc-ANN top-3 —
+    *    read from the SHARED persisted ranked arm ([[docTopKPersisted]],
+    *    `q_sim_doc_topk`'s declared result verbatim).
+    *  - LEXICAL arm: the BM25-ranked top-3 ([[bm25Ranked]], r9 — was
+    *    raw shingle-Jaccard through r8; BM25 is the lexical ranker the
+    *    RRF literature assumes, with tf saturation and length
+    *    normalization raw Jaccard lacks), also read from its persisted
+    *    ranked-arm artifact.
     *  - FUSION: full-outer join of the two ranked lists on (query,
     *    candidate); score = Σ_arms 10⁶ div (60 + rank) in integer
     *    micro-units (k=60, the RRF paper's constant; integer division
@@ -2498,26 +2569,21 @@ object Llm {
     *    arms contribute 0. Top-3 fused per query by (score desc, id).
     *
     * Scale shape: both arms are already blocked/capped (no all-pairs
-    * anywhere); the fusion itself joins two ≤ 3-rows-per-query frames on
-    * their composite key and adds one per-query window over ≤ 6 rows.
-    * At 100 TB the fusion cost is dwarfed by either arm — exactly why
-    * RRF is the production fusion rule: no score calibration between
-    * incomparable metrics (cosine vs Jaccard), just ranks.
+    * anywhere) AND persisted rank-once artifacts — the fusion's own
+    * plan joins two ≤ 3-rows-per-query parquet frames on their
+    * composite key and adds one per-query window over ≤ 6 rows. At
+    * 100 TB the fusion cost is dwarfed by either arm's one-time build —
+    * exactly why RRF is the production fusion rule: no score
+    * calibration between incomparable metrics (cosine vs BM25), just
+    * ranks.
     */
   private val qSimHybridRrf = Q(
     "q_sim_hybrid_rrf",
     (s, dir) => {
-      val (idx0, qry0) = docIdxQry(s, dir)
-      val (idx, qry) = capCells(idx0, qry0, CellTarget)
-      val vec = cellTopK(idx, qry)
+      val vec = docTopKPersisted(s, dir)
         .select(col("q_id"), col("n_id"), col("rnk").as("r_vec"))
-      val jp = jaccardPairs(s, dir).select("d1", "d2", "jac")
-      val dp = jp.select(col("d1").as("q_id"), col("d2").as("n_id"), col("jac"))
-        .unionByName(jp.select(col("d2").as("q_id"), col("d1").as("n_id"), col("jac")))
-      val wl = Window.partitionBy("q_id").orderBy(col("jac").desc, col("n_id"))
-      val lex = dp.withColumn("r_lex", row_number().over(wl).cast("long"))
-        .filter(col("r_lex") <= 3)
-        .select("q_id", "n_id", "r_lex")
+      val lex = bm25Ranked(s, dir)
+        .select(col("q_id"), col("n_id"), col("rnk").as("r_lex"))
       val wf = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
       vec.join(lex, Seq("q_id", "n_id"), "full_outer")
         .withColumn("score",
@@ -2532,18 +2598,8 @@ object Llm {
     Some(s"""WITH $docAnnCtesSql,
              $cellTopKCtesSql,
              vec AS (SELECT q_id, n_id, rnk AS r_vec FROM r WHERE rnk <= 3),
-             $pairsSql,
-             jp AS (SELECT d1, d2,
-                      FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 AS jac
-                    FROM pr JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id),
-             dp AS (SELECT d1 AS q_id, d2 AS n_id, jac FROM jp
-                    UNION ALL
-                    SELECT d2 AS q_id, d1 AS n_id, jac FROM jp),
-             lexr AS (SELECT q_id, n_id,
-                        CAST(row_number() OVER (PARTITION BY q_id
-                          ORDER BY jac DESC, n_id) AS BIGINT) AS r_lex
-                      FROM dp),
-             lex AS (SELECT q_id, n_id, r_lex FROM lexr WHERE r_lex <= 3),
+             $bm25CtesSql,
+             lex AS (SELECT q_id, n_id, rnk AS r_lex FROM bmr WHERE rnk <= 3),
              fused AS (SELECT COALESCE(vec.q_id, lex.q_id) AS q,
                               COALESCE(vec.n_id, lex.n_id) AS c,
                               COALESCE(1000000 // (60 + r_vec), 0)
@@ -2855,6 +2911,147 @@ object Llm {
                      ORDER BY score DESC, term) AS BIGINT) AS rnk FROM sc)
             SELECT lang, rnk, term, score FROM r WHERE rnk <= 5
             ORDER BY lang, rnk"""))
+
+  /** One BM25 term contribution in integer 10⁻⁴ units (k1=1.2, b=0.75 —
+    * the standard defaults; Lucene's idf = ln(1 + (N − df + ½)/(df + ½))
+    * so idf > 0 always). ONE spelling evaluated verbatim by both engines:
+    * every literal is e-notation (forces DOUBLE in Spark AND DuckDB —
+    * bare `2.2` parses as DECIMAL with engine-specific product rules),
+    * and the per-term FLOOR to integer units makes the per-pair score an
+    * exact BIGINT SUM — float summation ORDER can never shift a result
+    * (the same reason the cosine family pre-rounds before comparing).
+    * Expects columns df, tf, dl (candidate side), n_docs, tot_tok.
+    */
+  private def bm25Term(df: String, tf: String, dl: String): String =
+    s"""CAST(FLOOR(ln(1.0e0 + (CAST(n_docs AS DOUBLE) - $df + 0.5e0) / ($df + 0.5e0))
+       | * ($tf * 2.2e0)
+       | / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * $dl / (CAST(tot_tok AS DOUBLE) / n_docs)))
+       | * 1.0e4) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  private val bm25ContribSql: String = bm25Term("df", "tf", "dl")
+
+  /** The BM25-RANKED lexical retrieval arm — every document scored as a
+    * query of its own distinct tokens against every candidate sharing a
+    * df-capped token, Okapi BM25 (k1=1.2, b=0.75, Lucene idf), top-3 per
+    * query by (score desc, n_id) — PERSISTED once per corpus via
+    * [[corpusArtifact]] (the [[docTopKPersisted]] discipline: rank once,
+    * fuse/serve/evaluate many). This replaces raw-Jaccard ranking as the
+    * hybrid fusion's lexical arm: BM25 is what the RRF literature
+    * (Cormack 2009, cited at `q_sim_hybrid_rrf`) assumes the lexical
+    * ranker to be — tf saturation (k1) and length normalization (b) are
+    * exactly what raw shingle-Jaccard lacks on length-skewed corpora.
+    *
+    * Scale shape: token explode → three stacked map-combinable aggs
+    * (tf / dl / df — the `q_text_tfidf` frames), a 1-row totals
+    * broadcast, and a token-keyed equi-join pair generation bounded
+    * LINEARLY in corpus size: relative df cap ([[BmDfCap]]) excludes
+    * the stopword class, impact-ordered posting truncation
+    * ([[BmPostCap]]) bounds each surviving token at df_q·cap pairs
+    * (never O(n²), never df² — the failure the sf0.1 empty-result bug
+    * exposed for a fixed absolute cap); the top-3 head is the
+    * O(k)-state [[graft.udf.TopKCand]] hash aggregate, no sort over
+    * candidates. All-integer output (D1): scores are exact BIGINT sums
+    * of per-term floor'd 10⁻⁴ units.
+    */
+  private[graft] def bm25Ranked(s: SparkSession, dir: String): DataFrame =
+    corpusArtifact(s, dir, "bm25arm")(bm25RankedInline(s, dir))
+
+  /** The un-persisted spelling of the BM25 arm (plan-auditable). */
+  private[graft] def bm25RankedInline(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(s, dir, "documents")
+      // single-file scan — fan out before the explode (see shingles());
+      // all three stat consumers share the exchange
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val tf = ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds dl, df, AND both pair sides
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint(true) // feeds totals AND the candidate-length join
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok"))
+    // NO broadcast hint on the df table (full vocabulary — the
+    // q_text_tfidf rule); only the 1-row totals are hint-broadcast.
+    // Pairing tokens: RELATIVE df cap (see [[BmDfCap]]) — needs n_docs,
+    // hence the 1-row totals cross in before the filter
+    val ptok = dfT.crossJoin(broadcast(tot))
+      .filter(expr(s"df <= greatest($BmDfCap, n_docs div 8)"))
+      .select("tok", "df")
+    // impact-ordered posting truncation ([[BmPostCap]]): per pairing
+    // token keep the top-cap candidates by (tf desc, doc_id) — the
+    // rank<=cap filter plans as WindowGroupLimit, so the per-token
+    // posting never rides the shuffle past cap rows per task
+    val wp = Window.partitionBy("tok").orderBy(col("tf").desc, col("n_id"))
+    val cand = tf.select(col("doc_id").as("n_id"), col("tok"), col("tf"))
+      .join(ptok, "tok")
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= BmPostCap)
+      .drop("pr")
+    val scored = tf.select(col("doc_id").as("q_id"), col("tok"))
+      .join(cand, "tok")
+      .filter(col("q_id") =!= col("n_id"))
+      .join(dl.withColumnRenamed("doc_id", "n_id"), "n_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", expr(bm25ContribSql))
+      .groupBy("q_id", "n_id")
+      .agg(sum("contrib").as("bm25"))
+    // TopKCand carries the score as Double — exact for these integer
+    // sums (≪ 2⁵³), cast back to the declared BIGINT on the way out
+    topKByScore(scored.select(col("q_id"), col("n_id"),
+        col("bm25").cast("double").as("bm25")), "bm25")
+      .withColumn("bm25", col("bm25").cast("long"))
+  }
+
+  /** Oracle twin of [[bm25RankedInline]]: full-universe tf/dl/df stats,
+    * df-capped pairing, the verbatim [[bm25ContribSql]] term, ending in
+    * ranked CTE bmr(q_id, n_id, bm25, rnk). Spliced by `q_text_bm25`
+    * AND the RRF fusion so the lexical ranking cannot drift.
+    */
+  private def bm25CtesSql: String =
+    s"""bmex AS (SELECT doc_id, u.tok AS tok
+                 FROM documents, unnest(string_split(text, ' ')) u(tok)
+                 WHERE length(u.tok) >= 1),
+        bmtf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM bmex GROUP BY doc_id, tok),
+        bmdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                 FROM bmtf GROUP BY doc_id),
+        bmdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM bmtf GROUP BY tok),
+        bmtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS tot_tok FROM bmdl),
+        bmpt AS (SELECT tok, df FROM bmdf CROSS JOIN bmtot
+                 WHERE df <= greatest($BmDfCap, n_docs // 8)),
+        bmcd AS (SELECT tok, n_id, tf, df FROM (
+                   SELECT bp.tok AS tok, bd.doc_id AS n_id, bd.tf AS tf,
+                          bp.df AS df,
+                          row_number() OVER (PARTITION BY bp.tok
+                            ORDER BY bd.tf DESC, bd.doc_id) AS pr
+                   FROM bmtf bd JOIN bmpt bp ON bd.tok = bp.tok)
+                 WHERE pr <= $BmPostCap),
+        bmsc AS (SELECT bq.doc_id AS q_id, bc.n_id AS n_id,
+                  CAST(SUM($bm25OracleTerm) AS BIGINT) AS bm25
+                 FROM bmtf bq
+                   JOIN bmcd bc ON bq.tok = bc.tok AND bq.doc_id <> bc.n_id
+                   JOIN bmdl bl ON bc.n_id = bl.doc_id
+                   CROSS JOIN bmtot
+                 GROUP BY bq.doc_id, bc.n_id),
+        bmr AS (SELECT q_id, n_id, bm25,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY bm25 DESC, n_id) AS BIGINT) AS rnk
+                FROM bmsc)"""
+
+  /** [[bm25Term]] with the oracle join's qualified column names. */
+  private def bm25OracleTerm: String = bm25Term("bc.df", "bc.tf", "bl.dl")
+
+  /** Okapi BM25 lexical retrieval — the declared read of the shared
+    * ranked arm ([[bm25Ranked]]): top-3 candidates per query document.
+    */
+  private val qTextBm25 = Q(
+    "q_text_bm25",
+    (s, dir) => bm25Ranked(s, dir).orderBy("q_id", "rnk"),
+    Some(s"""WITH $bm25CtesSql
+             SELECT q_id, rnk, n_id, bm25 FROM bmr WHERE rnk <= 3
+             ORDER BY q_id, rnk"""))
 
   /** Minimum bigram support for collocation candidacy — PMI is notoriously
     * noisy on rare pairs (a hapax bigram of two hapax unigrams maxes the
@@ -4007,5 +4204,5 @@ object Llm {
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk, qSampleCoreset, qTextDrift,
-    qSimHybridRrf, qMultimodalJoin)
+    qSimHybridRrf, qTextBm25, qMultimodalJoin)
 }

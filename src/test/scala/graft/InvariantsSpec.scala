@@ -1049,4 +1049,32 @@ class InvariantsSpec extends SparkSpec {
       }
     } finally out.unpersist()
   }
+
+  test("bm25 arm: relative df cap keeps the lexical arm populated across scales") {
+    // regression guard for the r9 cap-scaling bug: a FIXED df<=64 pairing
+    // cap produced a correct arm at sf0.01 and an EMPTY one at sf0.1 (the
+    // 5%-support token's df grew past the cap with the corpus). The
+    // relative cap (df <= max(64, n/8)) must keep the same token class
+    // pairing at every SF, so the arm is non-empty at both the spec
+    // fixture and the 10x corpus, with the declared rank structure.
+    Seq(sf, "/root/testdata/sf0.1").foreach { d =>
+      val arm = ops.Llm.bm25RankedInline(spark, d)
+        .select("q_id", "rnk", "n_id", "bm25").cache()
+      try {
+        assert(arm.count() > 0, s"$d: BM25 arm must not be empty")
+        assert(arm.filter(col("rnk") < 1 || col("rnk") > 3).isEmpty,
+          s"$d: ranks must lie in 1..3")
+        assert(arm.filter(col("bm25") <= 0).isEmpty,
+          s"$d: every admitted pair shares a below-cap token => idf>0 => score>0")
+        // per query: ranks are dense from 1 and scores non-increasing in rank
+        val bad = arm.groupBy("q_id").agg(
+            count(lit(1)).as("n"), max("rnk").as("mx"),
+            min(when(col("rnk") === 1, col("bm25"))).as("s1"),
+            min(when(col("rnk") === 3, col("bm25"))).as("s3"))
+          .filter(col("n") =!= col("mx") ||
+            (col("s3").isNotNull && col("s3") > col("s1")))
+        assert(bad.isEmpty, s"$d: rank structure must be dense and score-ordered")
+      } finally arm.unpersist()
+    }
+  }
 }

@@ -113,13 +113,31 @@ class PlanLintSpec extends SparkSpec {
     // WindowGroupLimit/Window pipeline — the window spelling sorts every
     // candidate run twice; the aggregate does O(k) inserts and never
     // sorts candidates at all (the final ORDER BY on ≤ 3n output rows is
-    // the declared presentation sort, not candidate work).
-    val plan = SparkEntry.queries("q_sim_doc_topk")(spark, sf)
+    // the declared presentation sort, not candidate work). Audited on
+    // the INLINE build spelling — the declared q_sim_doc_topk reads the
+    // persisted ranked-arm artifact (r9), whose scan plan would hide
+    // the aggregate shape this test pins.
+    val plan = ops.Llm.docTopKInline(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       s"doc-ANN top-k must plan as a typed hash aggregate:\n$plan")
     assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["),
       s"doc-ANN top-k must not plan a window pipeline:\n$plan")
+  }
+
+  test("doc_topk and hybrid fusion read the persisted ranked arms, not inline rebuilds") {
+    // the rank-once-fuse-many claim (r9): q_sim_doc_topk must scan the
+    // doctopk artifact; the fusion must scan BOTH ranked-arm artifacts
+    // and must NOT re-shingle/re-featurize documents inline.
+    val topk = SparkEntry.queries("q_sim_doc_topk")(spark, sf).inputFiles.toSeq
+    assert(topk.nonEmpty && topk.forall(_.contains("graft_doctopk_")),
+      s"q_sim_doc_topk must read only the ranked-arm artifact:\n${topk.mkString("\n")}")
+    val rrf = SparkEntry.queries("q_sim_hybrid_rrf")(spark, sf).inputFiles.toSeq
+    assert(rrf.exists(_.contains("graft_doctopk_")) &&
+      rrf.exists(_.contains("graft_bm25arm_")),
+      s"fusion must read both ranked-arm artifacts:\n${rrf.mkString("\n")}")
+    assert(!rrf.exists(_.contains("documents")),
+      s"fusion must not re-derive the arms from documents.parquet:\n${rrf.mkString("\n")}")
   }
 
   test("q_ann_index_delete serves off index + tombstones only — embeddings absent from the scan set") {
