@@ -1050,6 +1050,50 @@ class InvariantsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("weighted near-dup: idf weighting beats unweighted precision at equal recall on planted boilerplate") {
+    import spark.implicits._
+    // Planted corpus: 40 content docs; 30 of them share a 15-token
+    // boilerplate tail (df ~38 with twins — UNDER the hard df cap, so
+    // the cap alone cannot save the unweighted scorer); every 4th doc
+    // gets a perturbed near-dup twin (every 7th token deleted — the
+    // q_dedup_eval recipe). Ground truth: exactly the (doc, twin)
+    // pairs. Boilerplate-only pairs share ~13 mid-df shingles, which
+    // clears the unweighted 0.1 Jaccard threshold (false positives)
+    // but scores ~170 bp weighted (idf ln(n/38) vs content ln(n/2)).
+    val boiler = (1 to 15).map(i => s"boil$i").mkString(" ")
+    val base = (0 until 40).map { i =>
+      val content = (0 until 28).map(j => s"c${i}x$j").mkString(" ")
+      (i.toLong, if (i < 30) s"$content $boiler" else content)
+    }
+    val twins = (0 until 40 by 4).map { i =>
+      val t = base(i)._2.split(" ").zipWithIndex
+        .filter(_._2 % 7 != 6).map(_._1).mkString(" ")
+      (1000L + i, t)
+    }
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val truePairs = (0 until 40 by 4).map(i => (i.toLong, 1000L + i)).toSet
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unweighted = pairsOf(ops.Llm
+      .jaccardPairsFrom(ops.Llm.shinglesRawFrom(docs).distinct())
+      .filter(col("jac") >= 0.1))
+    val weighted = pairsOf(ops.Llm.weightedPairsFrom(docs)
+      .filter(col("wjac_bp") >= 1000))
+    // EQUAL RECALL: both scorers catch every planted twin...
+    assert(truePairs.subsetOf(unweighted),
+      s"unweighted must catch all twins; missed ${truePairs -- unweighted}")
+    assert(truePairs.subsetOf(weighted),
+      s"weighted must catch all twins; missed ${truePairs -- weighted}")
+    // ...but the boilerplate bait must actually work on the unweighted
+    // scorer, and idf weighting must strictly improve precision
+    val fpU = unweighted -- truePairs
+    val fpW = weighted -- truePairs
+    assert(fpU.nonEmpty, "fixture must bait the unweighted scorer into false positives")
+    assert(fpW.size < fpU.size,
+      s"weighted precision must beat unweighted: fp ${fpW.size} vs ${fpU.size}")
+  }
+
   test("bm25 arm: relative df cap keeps the lexical arm populated across scales") {
     // regression guard for the r9 cap-scaling bug: a FIXED df<=64 pairing
     // cap produced a correct arm at sf0.01 and an EMPTY one at sf0.1 (the

@@ -71,15 +71,43 @@ class PlanLintSpec extends SparkSpec {
       // broadcasts; the ANN arm's cell join is an equi-join
       "q_sim_recall_sweep")
 
+  // The SURVEY single-partition-window exemption, now lint instead of
+  // prose (judge r8, observation 3): every Window WITHOUT partition keys
+  // moves its whole input to one task, so each site must run over a
+  // frame bounded by something other than corpus size. Exactly these
+  // query keys may carry one, each over its declared bounded class:
+  //   q_agg_anomaly      — per-day count frame (calendar-bounded ≤|days|)
+  //   q_pack_sequences   — per-shard offset frame (≤ 32 rows, one per shard)
+  //   q_text_vocab_prune — the top-K vocab frame (≤ 64 rows post-TakeOrdered)
+  //   q_join_dpp         — 1-row share-of-total census
+  // A new partition-less window anywhere else — or a second one at these
+  // sites — fails the per-query lint below.
+  private val unpartitionedWindowOk =
+    Map("q_agg_anomaly" -> 1, "q_pack_sequences" -> 1,
+      "q_text_vocab_prune" -> 1, "q_join_dpp" -> 1)
+
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
-      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      val qe = q.fn(spark, sf).queryExecution
+      val plan = qe.executedPlan.toString
       if (!cartesianOk(q.name)) {
         assert(!plan.contains("CartesianProduct"),
           s"${q.name} plans a CartesianProduct:\n$plan")
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"${q.name} plans a BroadcastNestedLoopJoin:\n$plan")
       }
+      // single-partition-window lint: count partition-less logical
+      // Window nodes (the optimized plan sees through AQE wrapping;
+      // artifact-BUILD windows behind a persisted read are audited by
+      // the artifact's own inline-spelling tests)
+      val unparted = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
+      val cap = unpartitionedWindowOk.getOrElse(q.name, 0)
+      assert(unparted <= cap,
+        s"${q.name}: $unparted partition-less window(s), declared bound $cap — " +
+          s"a new unbounded single-task window site?\n${qe.optimizedPlan}")
     }
   }
 
