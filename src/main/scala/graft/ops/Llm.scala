@@ -1379,6 +1379,153 @@ object Llm {
                      FROM asg WHERE arn <= $IvfProbes),
              $cellTopKSql"""))
 
+  /** Out-degree bound of the NSW k-NN graph (each node links to its M
+    * best IVF-candidate neighbors; the symmetrized edge list is ≤ 2M
+    * per node in expectation, hubs bounded by how often OTHERS elect
+    * them — itself ≤ M per electing node).
+    */
+  private[ops] val NswM = 8
+  /** Beam width kept per query between expansion rounds. */
+  private[ops] val NswBeam = 8
+  /** Fixed expansion rounds — fixed (not to-convergence) so the oracle
+    * stays a finite CTE chain, the `q_graph_kcore` discipline. Two hops
+    * over an M=8 graph reach ≤ beam·2M·steps ≈ 256 scored candidates
+    * per query — constant in corpus size, vs IVF's 4√n.
+    */
+  private[ops] val NswSteps = 2
+  /** Coarse seeds per query taken from the IVF probe join. */
+  private[ops] val NswSeeds = 4
+
+  /** Graph-based ANN — the NSW/HNSW family member (Malkov 2014): beam
+    * search over a bounded-degree k-NN graph, seeded by a cheap coarse
+    * candidate set. The production recipe behind DiskANN/Vamana-style
+    * "graph refinement over a coarse index": IVF probes place a query
+    * in roughly the right region; following neighbor-of-neighbor links
+    * then crosses CELL BOUNDARIES — exactly the candidates quantization
+    * loses (a vector whose nearest neighbor lands in an unprobed cell is
+    * unreachable to IVF at any nprobe < k, but is 1–2 graph hops away).
+    * InvariantsSpec pins recall@3 ≥ `q_sim_ivf`'s on the same corpus at
+    * a comparable (constant-per-query, see [[NswSteps]]) candidate
+    * volume.
+    *
+    *  - GRAPH BUILD: candidates = the `q_sim_ivf` probe join (same
+    *    quantizer, same scoring spelling — apples-to-apples with the
+    *    recall baseline); per node keep the top-[[NswM]] by (cos desc,
+    *    id) and SYMMETRIZE (undirected NSW links: a→b implies b can
+    *    route to a — the half of graph connectivity a directed top-M
+    *    list loses).
+    *  - SEARCH: seed each query's beam with its top-[[NswSeeds]] IVF
+    *    candidates, then [[NswSteps]] supersteps of: expand the beam's
+    *    out-edges, score cos(q, ·) once per NEW candidate (distinct
+    *    before the vector join — the frontier dedup that keeps scored
+    *    volume at candidates, not paths), keep the top-[[NswBeam]].
+    *    Top-3 of the final beam is the declared result.
+    *
+    * Scale shape: every superstep is two equi-joins (beam×edges on the
+    * node id, candidates×vectors on the id) + one per-query
+    * WindowGroupLimit — no cross join anywhere after the (checkpointed)
+    * broadcast centroid assignment; beam/edge frames are O(n·beam) /
+    * O(n·2M) rows of fixed width; localCheckpoint per round truncates
+    * the superstep lineage exactly like the CC/pagerank loops. At 100 TB
+    * the graph build's candidate source would page through the
+    * persisted AnnIndex artifact instead of an inline probe join — the
+    * search recursion is unchanged.
+    */
+  private[graft] def nswTopk(s: SparkSession, dir: String): DataFrame = {
+    val probed = vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+      .filter(expr("size(cents) > 0"))
+      .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
+      .localCheckpoint(true)
+    val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+    val pairs = probedQry(probed).join(idx, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosCol)
+      .select("q_id", "n_id", "cos")
+      .localCheckpoint(true) // seeds AND the graph build share this frame
+    val wq = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val ranked = pairs.withColumn("rn", row_number().over(wq))
+    val seeds = ranked.filter(col("rn") <= NswSeeds).select("q_id", "n_id", "cos")
+    val out = ranked.filter(col("rn") <= NswM)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+    val edges = out
+      .unionByName(out.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val vq = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val vn = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      col("nrm").as("nn"))
+    var beam = seeds
+    for (_ <- 1 to NswSteps) {
+      val expand = beam.select(col("q_id"), col("n_id").as("src"))
+        .join(edges, "src")
+        .filter(col("q_id") =!= col("dst"))
+        .select(col("q_id"), col("dst").as("n_id")).distinct()
+        .join(vq, "q_id").join(vn, "n_id")
+        .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos")
+      beam = beam.unionByName(expand)
+        // dedup on the pair: both spellings score identically, max is
+        // just "the value"; the revisit set never re-scores (distinct
+        // runs before the vector join, union dedups after)
+        .groupBy("q_id", "n_id").agg(max("cos").as("cos"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= NswBeam).select("q_id", "n_id", "cos")
+        .localCheckpoint(true)
+    }
+    topKByScore(beam, "cos")
+  }
+
+  /** One oracle beam-search superstep: expand b{i-1} along ed, score the
+    * deduped frontier, keep the top-[[NswBeam]] as b{i}. */
+  private def nswStepSql(i: Int): String = {
+    val prev = s"b${i - 1}"
+    s"""x$i AS (SELECT DISTINCT b.q_id, e.dst AS n_id
+                FROM $prev b JOIN ed e ON b.n_id = e.src
+                WHERE e.dst <> b.q_id),
+        s$i AS (SELECT x.q_id, x.n_id,
+                 ROUND(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 4) AS cos
+                FROM x$i x JOIN n a ON x.q_id = a.vec_id
+                           JOIN n c ON x.n_id = c.vec_id),
+        u$i AS (SELECT q_id, n_id, MAX(cos) AS cos FROM
+                 (SELECT * FROM $prev UNION ALL SELECT * FROM s$i)
+                GROUP BY q_id, n_id),
+        b$i AS MATERIALIZED (SELECT q_id, n_id, cos FROM
+                 (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, n_id) AS rn FROM u$i)
+                WHERE rn <= $NswBeam)"""
+  }
+
+  private val qSimNsw = Q(
+    "q_sim_nsw",
+    (s, dir) => nswTopk(s, dir),
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             $ivfAsgSql,
+             idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg WHERE arn = 1),
+             qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                     FROM asg WHERE arn <= $IvfProbes),
+             p AS MATERIALIZED (SELECT q_id, n_id,
+                   ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                  FROM qry JOIN idx USING (cell) WHERE q_id <> n_id),
+             pr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, n_id) AS rn FROM p),
+             b0 AS MATERIALIZED (SELECT q_id, n_id, cos FROM pr
+                  WHERE rn <= $NswSeeds),
+             eo AS (SELECT q_id AS src, n_id AS dst FROM pr WHERE rn <= $NswM),
+             ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM eo
+                   UNION ALL SELECT dst AS src, src AS dst FROM eo)),
+             ${(1 to NswSteps).map(nswStepSql).mkString(",\n")},
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+                   FROM b$NswSteps)
+             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
+             ORDER BY q_id, rnk"""))
+
   /** Filtered ANN search — top-3 same-label neighbors per query: the
     * metadata-constrained vector search every production vector store
     * exposes (Faiss IDSelector, Milvus/Vespa filtered HNSW), and the
@@ -4284,7 +4431,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qDedupWeighted, qDedupEval, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
