@@ -210,20 +210,37 @@ object Llm {
     */
   private[graft] val BmDfCap = 64
 
-  /** Posting-list truncation for BM25 pair GENERATION — the occupancy
-    * cap that makes total pair space LINEAR in corpus size: per pairing
+  /** Posting-list truncation for BM25 pair GENERATION — per pairing
     * token, only the top-[[BmPostCap]] candidates by (tf desc, doc_id)
     * receive pairs (impact-ordered posting truncation — the classic
     * WAND-family pruning: high-tf postings are the ones that can place
-    * in a top-k). Query side is never truncated (every document is owed
-    * its result). Worst-case pairs per token = df_q · cap, summed over
-    * a bounded vocabulary ⇒ O(n · |V| · cap) total — no df² blow-up
-    * even when the relative df cap admits an Ω(n)-support token. Like
-    * [[CellTarget]], the cap trades bounded recall for bounded work;
-    * unlike capCells the truncation is VISIBLE in the oracle (same
-    * rank-≤-cap CTE) so capped Spark ≡ capped DuckDB exactly.
+    * in a top-k). Together with [[BmTermCap]] this bounds total pair
+    * space at n·R·C — LINEAR in corpus size by construction, with no
+    * dependence on the df profile at all (the r9 sf1.0 rehearsal
+    * demonstrated the failure otherwise: an untruncated query side let
+    * ~1000 mid-band tokens each contribute df·cap pairs → 308 M pairs,
+    * a ~712 s build). Like [[CellTarget]], the cap trades bounded
+    * recall for bounded work; unlike capCells the truncation is VISIBLE
+    * in the oracle (same rank-≤-cap CTE) so capped Spark ≡ capped
+    * DuckDB exactly.
     */
-  private[graft] val BmPostCap = 256
+  private[graft] val BmPostCap = 64
+
+  /** Per-QUERY term budget for BM25 pair generation — each query
+    * document generates candidates only through its [[BmTermCap]]
+    * RAREST admitted tokens (df asc, tok — the standard IR query
+    * optimization: rare terms carry the idf mass, so they are the ones
+    * that decide a top-k; a stopword-adjacent term contributes ≈0 per
+    * Robertson idf anyway). Every document keeps ≥1 term (its rarest),
+    * so every document is still owed a result — term selection bounds
+    * WHICH tokens pair, not WHO may query. Worst-case pairs =
+    * n · [[BmTermCap]] · [[BmPostCap]] — the linear-in-n bound the r9
+    * rehearsal demanded. Scores become WAND-style lower bounds of the
+    * full BM25 sum (exact when a pair's shared tokens are all
+    * selected); the oracle applies the identical two-sided truncation
+    * so Spark ≡ DuckDB row-for-row.
+    */
+  private[graft] val BmTermCap = 4
 
   /** Exact shingle-Jaccard for (d1 < d2) pairs sharing ≥1 df≤τ shingle.
     * Counts run over distinct (doc, shingle-hash) — identical to string
@@ -3176,14 +3193,16 @@ object Llm {
     * Scale shape: token explode → three stacked map-combinable aggs
     * (tf / dl / df — the `q_text_tfidf` frames), a 1-row totals
     * broadcast, and a token-keyed equi-join pair generation bounded
-    * LINEARLY in corpus size: relative df cap ([[BmDfCap]]) excludes
-    * the stopword class, impact-ordered posting truncation
-    * ([[BmPostCap]]) bounds each surviving token at df_q·cap pairs
-    * (never O(n²), never df² — the failure the sf0.1 empty-result bug
-    * exposed for a fixed absolute cap); the top-3 head is the
-    * O(k)-state [[graft.udf.TopKCand]] hash aggregate, no sort over
-    * candidates. All-integer output (D1): scores are exact BIGINT sums
-    * of per-term floor'd 10⁻⁴ units.
+    * LINEARLY in corpus size on BOTH sides: relative df cap
+    * ([[BmDfCap]]) excludes the stopword class from pairing,
+    * impact-ordered posting truncation ([[BmPostCap]]) bounds the
+    * candidate side per token, and per-query term selection
+    * ([[BmTermCap]] rarest admitted tokens) bounds the query side —
+    * total pairs ≤ n·R·C regardless of the df profile (the r9 sf1.0
+    * rehearsal's 308 M-pair blow-up is impossible by construction);
+    * the top-3 head is the O(k)-state [[graft.udf.TopKCand]] hash
+    * aggregate, no sort over candidates. All-integer output (D1):
+    * scores are exact BIGINT sums of per-term floor'd 10⁻⁴ units.
     */
   private[graft] def bm25Ranked(s: SparkSession, dir: String): DataFrame =
     corpusArtifact(s, dir, "bm25arm")(bm25RankedInline(s, dir))
@@ -3219,7 +3238,17 @@ object Llm {
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= BmPostCap)
       .drop("pr")
-    val scored = tf.select(col("doc_id").as("q_id"), col("tok"))
+    // query-side term selection ([[BmTermCap]]): each query doc pairs
+    // only through its R rarest admitted tokens — rank<=R plans as
+    // WindowGroupLimit just like the posting cap, so the query side of
+    // the pair join carries ≤ R rows per document into the exchange
+    val wq = Window.partitionBy("q_id").orderBy(col("df").asc, col("tok"))
+    val qsel = tf.select(col("doc_id").as("q_id"), col("tok"))
+      .join(ptok.select("tok", "df"), "tok")
+      .withColumn("tr", row_number().over(wq))
+      .filter(col("tr") <= BmTermCap)
+      .select("q_id", "tok")
+    val scored = qsel
       .join(cand, "tok")
       .filter(col("q_id") =!= col("n_id"))
       .join(dl.withColumnRenamed("doc_id", "n_id"), "n_id")
@@ -3235,9 +3264,11 @@ object Llm {
   }
 
   /** Oracle twin of [[bm25RankedInline]]: full-universe tf/dl/df stats,
-    * df-capped pairing, the verbatim [[bm25ContribSql]] term, ending in
-    * ranked CTE bmr(q_id, n_id, bm25, rnk). Spliced by `q_text_bm25`
-    * AND the RRF fusion so the lexical ranking cannot drift.
+    * df-capped pairing, the identical two-sided truncation (posting cap
+    * [[BmPostCap]] + query term budget [[BmTermCap]]), the verbatim
+    * [[bm25ContribSql]] term, ending in ranked CTE
+    * bmr(q_id, n_id, bm25, rnk). Spliced by `q_text_bm25` AND the RRF
+    * fusion so the lexical ranking cannot drift.
     */
   private def bm25CtesSql: String =
     s"""bmex AS (SELECT doc_id, u.tok AS tok
@@ -3260,13 +3291,19 @@ object Llm {
                             ORDER BY bd.tf DESC, bd.doc_id) AS pr
                    FROM bmtf bd JOIN bmpt bp ON bd.tok = bp.tok)
                  WHERE pr <= $BmPostCap),
-        bmsc AS (SELECT bq.doc_id AS q_id, bc.n_id AS n_id,
+        bmqs AS (SELECT q_id, tok FROM (
+                   SELECT bq.doc_id AS q_id, bq.tok AS tok,
+                          row_number() OVER (PARTITION BY bq.doc_id
+                            ORDER BY bp.df ASC, bq.tok) AS tr
+                   FROM bmtf bq JOIN bmpt bp ON bq.tok = bp.tok)
+                 WHERE tr <= $BmTermCap),
+        bmsc AS (SELECT bq.q_id AS q_id, bc.n_id AS n_id,
                   CAST(SUM($bm25OracleTerm) AS BIGINT) AS bm25
-                 FROM bmtf bq
-                   JOIN bmcd bc ON bq.tok = bc.tok AND bq.doc_id <> bc.n_id
+                 FROM bmqs bq
+                   JOIN bmcd bc ON bq.tok = bc.tok AND bq.q_id <> bc.n_id
                    JOIN bmdl bl ON bc.n_id = bl.doc_id
                    CROSS JOIN bmtot
-                 GROUP BY bq.doc_id, bc.n_id),
+                 GROUP BY bq.q_id, bc.n_id),
         bmr AS (SELECT q_id, n_id, bm25,
                  CAST(row_number() OVER (PARTITION BY q_id
                    ORDER BY bm25 DESC, n_id) AS BIGINT) AS rnk

@@ -1115,8 +1115,13 @@ class InvariantsSpec extends SparkSpec {
         assert(arm.count() > 0, s"$d: BM25 arm must not be empty")
         assert(arm.filter(col("rnk") < 1 || col("rnk") > 3).isEmpty,
           s"$d: ranks must lie in 1..3")
-        assert(arm.filter(col("bm25") <= 0).isEmpty,
-          s"$d: every admitted pair shares a below-cap token => idf>0 => score>0")
+        // idf>0 for every admitted token (df below the pairing cap), so
+        // contributions are >=0; a single contribution can still FLOOR
+        // to 0 when a candidate's dl vastly exceeds avgdl, so score>0 is
+        // a property of these fixtures, not of the scorer — assert the
+        // universal bound (>=0) only
+        assert(arm.filter(col("bm25") < 0).isEmpty,
+          s"$d: admitted pairs only have below-cap tokens => idf>0 => score>=0")
         // per query: ranks are dense from 1 and scores non-increasing in rank
         val bad = arm.groupBy("q_id").agg(
             count(lit(1)).as("n"), max("rnk").as("mx"),

@@ -25,19 +25,21 @@ class ArtifactMarkerSpec extends AnyFunSuite {
     val commits = Map("fpA" -> schemaA, "fpB" -> schemaB)
     AnnIndex.commitMarker(path, "fpA", schemaA)
 
+    // The atomic-move contract guarantees a SINGLE read observes a
+    // complete committed (fp, schema) pair. Two sequential freshArtifact
+    // probes are NOT one observation — a commit landing between them can
+    // legitimately make both miss — so the reader takes exactly one
+    // marker snapshot per iteration and checks membership in the
+    // committed set.
+    val committed = commits.map { case (fp, s) => s"$fp\n${s.toDDL}" }.toSet
     val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val reader = new Thread(() => {
+      val marker = java.nio.file.Paths.get(path + ".marker")
       while (!stop.get() && torn.get() == null) {
-        // probe under BOTH committed fingerprints: exactly one must hit,
-        // and the schema it returns must be that fingerprint's schema
-        val hits = commits.flatMap { case (fp, want) =>
-          AnnIndex.freshArtifact(path, fp).map(fp -> want -> _)
-        }
-        hits.foreach { case ((fp, want), got) =>
-          if (got != want) torn.set(s"$fp returned torn schema ${got.toDDL}")
-        }
-        if (hits.isEmpty) torn.set("no fingerprint matched: torn marker content")
+        val content = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        if (!committed.contains(content))
+          torn.set(s"torn marker content: ${content.replace("\n", "\\n")}")
       }
     })
     reader.start()
@@ -47,7 +49,11 @@ class ArtifactMarkerSpec extends AnyFunSuite {
     }
     stop.set(true)
     reader.join(10000)
-    assert(torn.get() == null, torn.get())
+    assert(torn.get() == null, String.valueOf(torn.get()))
+    // quiescent check: with no writer racing, the freshArtifact probe
+    // must hit the last-committed fingerprint with its exact schema
+    assert(AnnIndex.freshArtifact(path, "fpA").contains(schemaA))
+    assert(AnnIndex.freshArtifact(path, "fpB").isEmpty)
   }
 
   test("a crashed writer's leftover tmp file never satisfies the guard") {
