@@ -53,6 +53,15 @@ object Bench {
             -1.0
           }
         times(name) = times(name) :+ t
+        // Post-measurement storage release (OUTSIDE the timed window):
+        // every localCheckpoint(true) block stays pinned until its
+        // DataFrame is GC'd and the ContextCleaner notices — across
+        // 201×3 executions that accumulation degraded the r9 sf1.0
+        // rehearsal into localCheckpoint/unpersist warning spew. A
+        // rehearsal must measure queries, not storage pressure.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val results = names.map { case (name, _) =>

@@ -488,14 +488,23 @@ object Llm {
     * (D1): weights pre-floored to 10⁻⁴ units, score = integer division
     * basis points.
     */
-  private[graft] def weightedPairsFrom(docs: DataFrame): DataFrame = {
+  /** The df-capped idf-weighted shingle frame (doc_id, sh, w) — ONE
+    * spelling shared by the exact weighted-Jaccard pairs and the CWS
+    * sketch ([[wcwsCandidates]]) so sketch and estimand can never
+    * weight differently.
+    */
+  private def idfShingleFrame(docs: DataFrame): DataFrame = {
     val mat = shinglesRawFrom(docs).distinct().localCheckpoint(true)
     val dfS = mat.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
     val tot = docs.agg(count(lit(1)).as("n_docs"))
-    val shw = mat.join(dfS, "sh").crossJoin(broadcast(tot))
+    mat.join(dfS, "sh").crossJoin(broadcast(tot))
       .withColumn("w", expr(idfUnits("df")))
       .select("doc_id", "sh", "w")
+  }
+
+  private[graft] def weightedPairsFrom(docs: DataFrame): DataFrame = {
+    val shw = idfShingleFrame(docs)
       .localCheckpoint(true) // feeds per-doc weights AND both join sides
     val wDoc = shw.groupBy("doc_id").agg(sum("w").as("wdoc"))
     shw.as("a").join(shw.as("b"),
@@ -539,6 +548,104 @@ object Llm {
     Some(s"""WITH $weightedPairsSql
              SELECT d1, d2, inter_w, w1, w2, wjac_bp FROM wj
              WHERE wjac_bp >= 1000 ORDER BY d1, d2"""))
+
+  /** CWS sample count / band layout for [[wcwsCandidates]] — the
+    * [[qDedupNear]] geometry (16 samples, 4 bands × 4 rows) so the two
+    * sketch families are comparable knob-for-knob. */
+  private[ops] val WcwsK = 16
+  private[ops] val WcwsBandRows = 4
+
+  /** Weighted-MinHash CANDIDATE pairs via Ioffe 2010's Consistent
+    * Weighted Sampling — the sketch whose collision probability per
+    * sample IS the weighted Jaccard `q_dedup_weighted` computes
+    * exactly (P[sample_k(A) = sample_k(B)] = wjac(A,B), Ioffe 2010
+    * Thm 1), banded 4×4 like [[qDedupNear]] bands its unweighted
+    * MinHash. This is the 100 TB path for the weighted estimand: the
+    * exact pair frame enumerates every shared-shingle pair; the sketch
+    * is ONE corpus pass (16 samples per doc), a band equi-join, and a
+    * candidate-driven verify — pair work proportional to candidates,
+    * not to the blocked pair universe.
+    *
+    * ICWS per (sample k, shingle, weight w): with r, c ~ Gamma(2,1)
+    * and β ~ U(0,1) derived from md5 of (salt, k, sh) — shingle-keyed,
+    * NOT doc-keyed, so co-occurring shingles draw identical randoms
+    * across documents —
+    *   t   = ⌊ln w / r + β⌋,
+    *   ln a = ln c − r·(t − β) − r,
+    * and sample_k = argmin_sh ln a (the exp-free ln-domain spelling;
+    * monotone, so the argmin is Ioffe's). The sample identity is the
+    * PAIR (sh, t) per the paper — two docs collide on sample k iff
+    * they elect the same shingle at the same discretized weight level.
+    * Gamma(2,1) variates are −ln u₁ − ln u₂ (sum of two exponentials);
+    * uniforms are (md5w32 + 0.5)/2³² — the +0.5 keeps ln away from 0.
+    *
+    * No oracle (D5): the election rides ln/floor over engine-evaluated
+    * doubles — the transcendental-tie class the D5 rule exists for.
+    * InvariantsSpec pins the sketch against the exact estimand:
+    * candidates ⊇ high-wjac pairs (collision probability ≥ wjac per
+    * band row; an exact-dup pair collides in EVERY band
+    * deterministically), bounded only by the band-bucket occupancy cap.
+    *
+    * Scale shape: shingle frame × [[WcwsK]] map-only scoring rows →
+    * one (doc, k) extremum hash-agg → one (doc, band) hash-agg →
+    * capped band-bucket equi-join ([[dropHotKeys]], the `q_dedup_near`
+    * discipline). Nothing is ever all-pairs; driver sees no rows.
+    */
+  private[graft] def wcwsCandidates(docs: DataFrame): DataFrame =
+    wcwsCandidatesFrom(idfShingleFrame(docs).localCheckpoint(true))
+
+  private def wcwsCandidatesFrom(shw: DataFrame): DataFrame = {
+    def u(salt: String) =
+      s"(CAST(${md5Hex32Spark(s"concat('$salt', CAST(k AS STRING), '_', CAST(sh AS STRING))")} AS DOUBLE) + 0.5D) / 4294967296.0D"
+    val scored = shw
+      .withColumn("k", explode(expr(s"sequence(0, ${WcwsK - 1})")))
+      .withColumn("r", expr(s"-ln(${u("wcr1_")}) - ln(${u("wcr2_")})"))
+      .withColumn("cg", expr(s"-ln(${u("wcc1_")}) - ln(${u("wcc2_")})"))
+      .withColumn("bta", expr(u("wcb_")))
+      .withColumn("t", expr("floor(ln(CAST(w AS DOUBLE)) / r + bta)"))
+      .withColumn("lna", expr("ln(cg) - r * (t - bta) - r"))
+    val sel = scored.groupBy("doc_id", "k")
+      .agg(min(struct(col("lna"), col("sh"), col("t"))).as("m"))
+      .select(col("doc_id"), col("k"),
+        col("m.sh").as("ssh"), col("m.t").cast("long").as("st"))
+    val sigs = sel.withColumn("band", expr(s"k div $WcwsBandRows"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(sort_array(collect_list(
+        struct(col("k"), col("ssh"), col("st"))))).as("sig"))
+    val buckets = dropHotKeys(sigs, Seq("band", "sig"), BandBucketCap)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Weighted near-dup pairs THE SKETCH WAY: CWS-banded candidates,
+    * then the exact wjac verify computed only for candidates (two
+    * narrow (doc, sh)-keyed joins — candidate-driven, the same
+    * verify-off-the-sketch contract as `q_dedup_near`). Same output
+    * shape and threshold as `q_dedup_weighted`; the result is a
+    * RECALL-BOUNDED subset of it (banding trades the long similarity
+    * tail for corpus-pass work — InvariantsSpec measures the trade).
+    */
+  private val qDedupWeightedNear = Q(
+    "q_dedup_weighted_near",
+    (s, dir) => {
+      val shw = idfShingleFrame(Tables(s, dir, "documents"))
+        .localCheckpoint(true) // sketch AND both verify sides share it
+      val wDoc = shw.groupBy("doc_id").agg(sum("w").as("wdoc"))
+      wcwsCandidatesFrom(shw)
+        .join(shw.select(col("doc_id").as("d1"), col("sh"), col("w")), Seq("d1"))
+        .join(shw.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy("d1", "d2").agg(sum("w").as("inter_w"))
+        .join(wDoc.select(col("doc_id").as("d1"), col("wdoc").as("w1")), "d1")
+        .join(wDoc.select(col("doc_id").as("d2"), col("wdoc").as("w2")), "d2")
+        .withColumn("wjac_bp",
+          expr("inter_w * 10000L div greatest(w1 + w2 - inter_w, 1L)"))
+        .filter(col("wjac_bp") >= 1000)
+        .select("d1", "d2", "inter_w", "w1", "w2", "wjac_bp")
+        .orderBy("d1", "d2")
+    })
 
   /** 1-in-DedupEvalMod docs get a planted near-duplicate twin. */
   private[graft] val DedupEvalMod = 20
@@ -1449,6 +1556,13 @@ object Llm {
     * search recursion is unchanged.
     */
   private[graft] def nswTopk(s: SparkSession, dir: String): DataFrame = {
+    val st = nswSetup(s, dir)
+    var beam = st.seeds
+    for (_ <- 1 to NswSteps) beam = nswStep(st, beam)
+    topKByScore(beam, "cos")
+  }
+
+  private def nswSetup(s: SparkSession, dir: String): NswState = {
     val probed = vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
       .filter(expr("size(cents) > 0"))
       .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
@@ -1474,23 +1588,63 @@ object Llm {
       col("nrm").as("qn"))
     val vn = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
       col("nrm").as("nn"))
-    var beam = seeds
-    for (_ <- 1 to NswSteps) {
-      val expand = beam.select(col("q_id"), col("n_id").as("src"))
-        .join(edges, "src")
-        .filter(col("q_id") =!= col("dst"))
-        .select(col("q_id"), col("dst").as("n_id")).distinct()
-        .join(vq, "q_id").join(vn, "n_id")
-        .withColumn("cos", cosCol)
-        .select("q_id", "n_id", "cos")
-      beam = beam.unionByName(expand)
-        // dedup on the pair: both spellings score identically, max is
-        // just "the value"; the revisit set never re-scores (distinct
-        // runs before the vector join, union dedups after)
-        .groupBy("q_id", "n_id").agg(max("cos").as("cos"))
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= NswBeam).select("q_id", "n_id", "cos")
-        .localCheckpoint(true)
+    NswState(seeds, edges, vq, vn, wq)
+  }
+
+  /** The shared NSW state: seeded beams, the symmetrized bounded-degree
+    * edge frame, and the two vector-lookup sides of the score join.
+    */
+  private case class NswState(seeds: DataFrame, edges: DataFrame,
+      vq: DataFrame, vn: DataFrame,
+      wq: org.apache.spark.sql.expressions.WindowSpec)
+
+  /** One beam-search superstep: expand out-edges, score the deduped
+    * frontier once, keep the top-[[NswBeam]] per query. */
+  private def nswStep(st: NswState, beam: DataFrame): DataFrame = {
+    val expand = beam.select(col("q_id"), col("n_id").as("src"))
+      .join(st.edges, "src")
+      .filter(col("q_id") =!= col("dst"))
+      .select(col("q_id"), col("dst").as("n_id")).distinct()
+      .join(st.vq, "q_id").join(st.vn, "n_id")
+      .withColumn("cos", cosCol)
+      .select("q_id", "n_id", "cos")
+    beam.unionByName(expand)
+      // dedup on the pair: both spellings score identically, max is
+      // just "the value"; the revisit set never re-scores (distinct
+      // runs before the vector join, union dedups after)
+      .groupBy("q_id", "n_id").agg(max("cos").as("cos"))
+      .withColumn("rn", row_number().over(st.wq))
+      .filter(col("rn") <= NswBeam).select("q_id", "n_id", "cos")
+      .localCheckpoint(true)
+  }
+
+  /** The PRODUCTION-depth NSW search: supersteps until no beam admits a
+    * new (q_id, n_id) — the driver-scalar convergence loop the CC /
+    * PageRank / BPE families already use (the driver sees one changed
+    * count per round, never rows), with a hard cap as the runaway
+    * guard. The declared `q_sim_nsw` stays the FIXED-[[NswSteps]]
+    * variant so its oracle remains a finite CTE chain (the
+    * oracle-finiteness rule); this is the entry a real pipeline would
+    * call, and InvariantsSpec pins its recall ≥ the fixed-step query's:
+    * the beam is the running top-[[NswBeam]] of everything scored so
+    * far, so a superstep can never evict a better candidate for a
+    * worse one — recall@3 is monotone non-decreasing in depth.
+    */
+  private[graft] def nswTopkConverged(s: SparkSession, dir: String,
+      maxSteps: Int = 16): DataFrame = {
+    val st = nswSetup(s, dir)
+    var beam = st.seeds.localCheckpoint(true)
+    var changed = 1L
+    var step = 0
+    while (changed > 0 && step < maxSteps) {
+      val next = nswStep(st, beam)
+      // converged ⟺ no NEW pair entered any beam this round (a scored
+      // pair's cos never changes, so pair-set equality is beam
+      // equality); except() is an anti-join on the narrow 2-col frame
+      changed = next.select("q_id", "n_id")
+        .except(beam.select("q_id", "n_id")).count()
+      beam = next
+      step += 1
     }
     topKByScore(beam, "cos")
   }
@@ -4465,7 +4619,7 @@ object Llm {
              FROM m ORDER BY cell"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupWeighted, qDedupEval, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
+    qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,

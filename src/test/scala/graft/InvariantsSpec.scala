@@ -535,6 +535,17 @@ class InvariantsSpec extends SparkSpec {
     val nswRecall = hits("q_sim_nsw")
     assert(nswRecall >= ivfRecall,
       f"NSW recall@3 = $nswRecall%.3f must be >= the IVF seed's $ivfRecall%.3f")
+    // the to-convergence variant (judge r9 task 8): the beam is the
+    // running top-NswBeam of everything scored, so extra depth can only
+    // add candidates — recall-vs-steps is monotone, and the converged
+    // search must be >= the declared fixed-2-step query's recall
+    val convGot = ops.Llm.nswTopkConverged(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val convRecall = (truth & convGot).size.toDouble / truth.size
+    assert(convRecall >= nswRecall,
+      f"converged NSW recall@3 = $convRecall%.3f < fixed-step $nswRecall%.3f — " +
+        "depth must never lose a better candidate")
+    info(f"recall@3: ivf=$ivfRecall%.3f nsw(2-step)=$nswRecall%.3f nsw(converged)=$convRecall%.3f")
     // int8 residual compression perturbs each cosine by ≤ ~d/254·ε — the
     // compressed index must stay within noise of the uncompressed one
     val sqRecall = hits("q_sim_ivfpq")
@@ -1099,6 +1110,32 @@ class InvariantsSpec extends SparkSpec {
     assert(fpU.nonEmpty, "fixture must bait the unweighted scorer into false positives")
     assert(fpW.size < fpU.size,
       s"weighted precision must beat unweighted: fp ${fpW.size} vs ${fpU.size}")
+  }
+
+  test("weighted-MinHash sketch: CWS candidates cover the high-wjac pairs") {
+    // Ioffe 2010: P[sample collision] = wjac per CWS sample, so a pair
+    // at wjac >= 0.9 misses a 4-row band w.p. <= 1 - 0.9^4 ≈ 0.34 and
+    // all 4 bands w.p. <= 0.34^4 ≈ 1.4% — the sketch's candidate set
+    // must cover the high-similarity tail it exists to find. Exact-dup
+    // pairs (wjac = 10000) collide in EVERY band deterministically
+    // (identical weighted sets elect identical samples), so any miss
+    // there is a bug, not sampling noise — modulo the band-bucket
+    // occupancy cap, which the sf0.1 fixture stays under.
+    val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
+    val cand = ops.Llm.wcwsCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ops.Llm.weightedPairsFrom(docs).select("d1", "d2", "wjac_bp")
+      .filter(col("wjac_bp") >= 9000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exact.nonEmpty, "fixture must contain wjac >= 0.9 pairs to bound against")
+    val perfect = exact.collect { case (a, b, bp) if bp == 10000L => (a, b) }.toSet
+    val high = exact.map { case (a, b, _) => (a, b) }.toSet
+    assert(perfect.subsetOf(cand),
+      s"exact-dup pairs must ALWAYS collide; missed ${perfect -- cand}")
+    val recall = (high & cand).size.toDouble / high.size
+    assert(recall >= 0.8,
+      f"CWS candidate recall at wjac >= 0.9 = $recall%.3f < 0.8 (${high.size} pairs)")
+    info(f"CWS: ${cand.size} candidates, recall@wjac>=0.9 = $recall%.3f over ${high.size} pairs")
   }
 
   test("bm25 arm: relative df cap keeps the lexical arm populated across scales") {

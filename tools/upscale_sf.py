@@ -24,6 +24,7 @@ structure of the base corpus replicates linearly:
 
 Usage: upscale_sf.py <src_sf_dir> <out_dir> [factor=10]
 """
+import os
 import sys
 
 import duckdb
@@ -33,6 +34,20 @@ F = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 con = duckdb.connect()
 con.execute(f"SET threads TO 8")
+
+
+def md5u32(expr):
+    """Stable unsigned-32 hash of a SQL expression: first 8 hex chars of
+    md5, assembled per nibble — the same engine-portable spelling the
+    Scala oracles use (Llm.md5Hex32Sql). DuckDB's hash() is NOT
+    guaranteed stable across DuckDB versions (ADVICE r9): a regenerated
+    corpus after an upgrade would silently diverge from the corpus prior
+    bench/correctness numbers were taken on. md5 is content-defined and
+    version-independent."""
+    return f"""list_sum(list_transform(range(8), c ->
+      CAST(instr('0123456789abcdef',
+        substr(md5(CAST({expr} AS VARCHAR)), CAST(c + 1 AS INT), 1)) - 1
+        AS BIGINT) << CAST(4 * (7 - c) AS INT)))"""
 
 
 def src(t):
@@ -100,17 +115,17 @@ write("events", f"""
 # Jaccard ~0.07 < the 0.1 threshold, so replicas never pair up).
 write("documents", f"""
   SELECT doc_id + r * {spans['doc_id']} AS doc_id, text, lang, source,
-         CASE WHEN r = 0 THEN n_chars ELSE len(text) END AS n_chars
+         len(text) AS n_chars
   FROM (
     SELECT doc_id, r,
            CASE WHEN r = 0 THEN text ELSE
              array_to_string(
-               [CASE WHEN hash(doc_id * 131 + i * 31 + r * 7) % 2 = 0
-                     THEN 'w' || (hash(doc_id + i * 17 + r) % 997)
+               [CASE WHEN {md5u32("'uc_' || doc_id || '_' || i || '_' || r")} % 2 = 0
+                     THEN 'w' || ({md5u32("'uv_' || doc_id || '_' || i || '_' || r")} % 997)
                      ELSE t[i] END
                 FOR i IN generate_series(1, len(t))], ' ')
            END AS text,
-           lang, source, n_chars
+           lang, source
     FROM (SELECT *, string_split(text, ' ') AS t
           FROM {src('documents')}) CROSS JOIN reps)""")
 
@@ -122,4 +137,11 @@ write("embeddings", f"""
          label
   FROM {src('embeddings')} CROSS JOIN reps""")
 
+# provenance record (ADVICE r9): the generator + engine version that
+# produced this corpus, so a silent regeneration under a different
+# DuckDB can be detected against prior bench/correctness numbers
+# (the md5 rewrite above is version-stable, but the record costs nothing)
+ver = con.execute("SELECT version()").fetchone()[0]
+with open(os.path.join(OUT, "PROVENANCE.txt"), "w") as f:
+    f.write(f"upscale_sf.py src={SRC} factor={F} duckdb={ver} hash=md5-nibble\n")
 print("done")
