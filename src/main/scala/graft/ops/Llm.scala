@@ -349,9 +349,26 @@ object Llm {
   private def cosCol: org.apache.spark.sql.Column =
     round(graft.functions.graft_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
 
-  /** Brute-force cosine top-k per query within an id-modulo block. */
+  /** Per-block occupancy anchor for [[blockTopK]]: block COUNT =
+    * max(block, n/[[BlockOccupancy]]), so block SIZE — hence per-query
+    * candidate volume and total pair space n·occupancy — is capped at
+    * ~[[BlockOccupancy]] regardless of corpus growth (the BmDfCap
+    * relative-cap discipline; with a FIXED 50-block modulo the r10
+    * sf1.0 rehearsal measured the brute-force baseline going n²/50:
+    * 0.49 s → 9.7 s on 10× data). At both driver SFs the floor of 50
+    * binds, so declared results are unchanged there.
+    */
+  private[ops] val BlockOccupancy = 400
+
+  /** Brute-force cosine top-k per query within an id-modulo block —
+    * the declared BASELINE arm of the similarity family (the ANN
+    * indexes are the scale path); linear-bounded via [[BlockOccupancy]].
+    */
   private def blockTopK(s: SparkSession, dir: String, block: Int, k: Int): DataFrame = {
-    val e = vecs(s, dir).withColumn("blk", pmod(col("vec_id"), lit(block.toLong)))
+    val nb = vecs(s, dir).agg(count(lit(1)).as("n"))
+      .select(expr(s"greatest(CAST($block AS BIGINT), n div $BlockOccupancy)").as("nblk"))
+    val e = vecs(s, dir).crossJoin(broadcast(nb))
+      .withColumn("blk", pmod(col("vec_id"), col("nblk")))
     val a = e.select(col("blk"), col("vec_id").as("q_id"), col("label").as("q_label"),
       col("v").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("blk"), col("vec_id").as("n_id"), col("label").as("n_label"),
@@ -365,11 +382,14 @@ object Llm {
 
   private def blockTopKSql(block: Int, k: Int) =
     s"""WITH $vecsSql,
+        nb AS (SELECT greatest(CAST($block AS BIGINT),
+                 CAST(COUNT(*) AS BIGINT) // $BlockOccupancy) AS nblk FROM n),
         p AS (SELECT a.vec_id AS q_id, a.label AS q_label,
                      b.vec_id AS n_id, b.label AS n_label,
                      ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
               FROM n a JOIN n b
-                ON a.vec_id % $block = b.vec_id % $block AND a.vec_id <> b.vec_id),
+                ON a.vec_id % (SELECT nblk FROM nb) = b.vec_id % (SELECT nblk FROM nb)
+                 AND a.vec_id <> b.vec_id),
         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                 ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)"""
 
@@ -595,13 +615,20 @@ object Llm {
     wcwsCandidatesFrom(idfShingleFrame(docs).localCheckpoint(true))
 
   private def wcwsCandidatesFrom(shw: DataFrame): DataFrame = {
-    def u(salt: String) =
-      s"(CAST(${md5Hex32Spark(s"concat('$salt', CAST(k AS STRING), '_', CAST(sh AS STRING))")} AS DOUBLE) + 0.5D) / 4294967296.0D"
+    // TWO digests per (k, shingle) row, not five: one graft_md5w32 array
+    // yields the four Gamma uniforms, a second (different salt) the β —
+    // the multi-hash discipline Count–Min / bloom already use (derive D
+    // values from ONE digest per key)
+    def uw(i: Int) =
+      s"(CAST(element_at(hg, $i) AS DOUBLE) + 0.5D) / 4294967296.0D"
     val scored = shw
       .withColumn("k", explode(expr(s"sequence(0, ${WcwsK - 1})")))
-      .withColumn("r", expr(s"-ln(${u("wcr1_")}) - ln(${u("wcr2_")})"))
-      .withColumn("cg", expr(s"-ln(${u("wcc1_")}) - ln(${u("wcc2_")})"))
-      .withColumn("bta", expr(u("wcb_")))
+      .withColumn("hg", expr(
+        "graft_md5w32(concat('wcg_', CAST(k AS STRING), '_', CAST(sh AS STRING)))"))
+      .withColumn("r", expr(s"-ln(${uw(1)}) - ln(${uw(2)})"))
+      .withColumn("cg", expr(s"-ln(${uw(3)}) - ln(${uw(4)})"))
+      .withColumn("bta", expr(
+        s"(CAST(${md5Hex32Spark("concat('wcb_', CAST(k AS STRING), '_', CAST(sh AS STRING))")} AS DOUBLE) + 0.5D) / 4294967296.0D"))
       .withColumn("t", expr("floor(ln(CAST(w AS DOUBLE)) / r + bta)"))
       .withColumn("lna", expr("ln(cg) - r * (t - bta) - r"))
     val sel = scored.groupBy("doc_id", "k")
