@@ -33,7 +33,13 @@ object Bench {
     // a spike is diagnosable from the round record instead of costing a
     // round of investigation. A query with zero successful runs reports
     // -1 (a sentinel, never a latency) and lands in "failed".
+    // trailing args restrict the run (dev-loop convenience, mirroring
+    // Verify's convention; the driver always passes none). A restricted
+    // run must NOT masquerade as a round record: it writes
+    // bench_subset.json and skips the history append.
+    val only = args.toSet
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val orders = Seq(
       names,
       names.reverse,
@@ -90,7 +96,9 @@ object Bench {
       "\"" + k + "\":[" + times(k).map(f2).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"min-of-3-passes","queries":$qs,"runs":$runsJson,"sf":$sfNum$failedJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        if (only.isEmpty) "bench_queries.json" else "bench_subset.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // bench_queries.json holds only the CURRENT run; round-over-round
     // per-query regression checks need history, so every run also APPENDS
@@ -98,11 +106,12 @@ object Bench {
     // machine-diffable without archaeology through prose notes.
     val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL",
       java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.json"),
-      s"""{"label":"$label","sf":$sfNum,"n_queries":${results.size},"total":${f2(total)},"queries":$qs}\n"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.json"),
+        s"""{"label":"$label","sf":$sfNum,"n_queries":${results.size},"total":${f2(total)},"queries":$qs}\n"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"queries_file":"bench_queries.json"$failedJson}""")
   }

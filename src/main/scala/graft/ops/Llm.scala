@@ -47,11 +47,13 @@ object Llm {
     * band keeps expected bucket size ~constant as n grows, so per-band
     * candidate volume is O(n · target) — linear, never O(n²/2^const).
     * At n = 10⁹ this gives rb ≈ 22 (4M buckets/band), at the sf0.1
-    * fixture rb = 3 (8 buckets/band, measured recall@3 = 0.90 vs brute
-    * force with 8 OR-bands — the round-4 retune from 500, which
-    * measured 0.98: halving the bucket target halves per-query
-    * candidate volume at EVERY scale, and 0.90 is the standard ANN
-    * operating point; the InvariantsSpec floor is 0.8).
+    * fixture rb = 3, at the sf1.0 rehearsal rb = 7. The growing rb is
+    * also why the search is MULTI-PROBE (see [[lshCandidates]]): exact
+    * per-band collision probability decays as p^rb, and the sf1.0 floor
+    * re-proof measured exactly that collapse (recall@3 0.34 exact-probe
+    * vs the 0.8 floor); with 4 margin-directed probes per band recall@3
+    * is 1.000 at sf0.1 and holds the floor at sf1.0 while per-query
+    * candidate volume stays ~4·LshBands·target at every corpus size.
     */
   private val LshBucketTarget = 250
 
@@ -59,7 +61,7 @@ object Llm {
     * 4 is the standard recall knob — candidate volume stays
     * nprobe·√n per query.
     */
-  private[ops] val IvfProbes = 4
+  private[graft] val IvfProbes = 4
 
   /** Occupancy cap for LSH-style buckets (MinHash bands, SimHash bands,
     * hyperplane sign buckets). A bucket with more members than this is
@@ -1002,13 +1004,12 @@ object Llm {
   private val qDedupEmbed = Q(
     "q_dedup_embed",
     (s, dir) => {
-      // Embedding-cosine near-dup, blocked by the SAME scale-true LSH
-      // buckets as q_sim_ann_lsh (previously a 10-value class label —
-      // O(n²/10) pair space at any scale). A pair is scored iff the two
-      // vectors share any of the 8 band signatures (98% recall at cos
-      // levels far below the 0.3 threshold here, measured at sf0.1);
-      // candidate volume is ~bands · bucket_target per vector, corpus-
-      // size independent.
+      // Embedding-cosine near-dup, blocked by the SAME scale-true
+      // multi-probe LSH buckets as q_sim_ann_lsh (previously a 10-value
+      // class label — O(n²/10) pair space at any scale). A pair is
+      // scored iff either side's 4-probe set reaches the other's bucket
+      // in any of the 8 bands; candidate volume is ~4 · bands ·
+      // bucket_target per vector, corpus-size independent.
       val e = vecs(s, dir)
       val a = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
       val b = e.select(col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
@@ -1226,14 +1227,34 @@ object Llm {
   private def lshBuckets(s: SparkSession, dir: String): DataFrame =
     dropHotKeys(
       vecs(s, dir).crossJoin(broadcast(lshPlanes(s, dir)))
+        // per band, keep the raw hyperplane dots for one extra select:
+        // the SIGNS make the signature, the MAGNITUDES are the probe
+        // margins (a near neighbor most plausibly lands across the
+        // planes this vector barely cleared)
         .select(col("vec_id"), explode(expr(
           s"""transform(sequence(0, $LshBands - 1), b -> named_struct(
                 'band', CAST(b AS BIGINT),
-                'sig', aggregate(transform(sequence(0, rb - 1), r ->
-                  IF(graft_dot(v, element_at(pl, b * rb + r + 1)) > 0D,
-                     shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))),
-                  CAST(0 AS BIGINT), (acc, x) -> acc + x)))""")).as("bs"))
-        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig")),
+                'ds', transform(sequence(0, rb - 1), r ->
+                  graft_dot(v, element_at(pl, b * rb + r + 1)))))""")).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.ds").as("ds"))
+        .withColumn("sig", expr(
+          """aggregate(transform(sequence(0, size(ds) - 1), r ->
+               IF(element_at(ds, r + 1) > 0D, shiftleft(CAST(1 AS BIGINT), r),
+                  CAST(0 AS BIGINT))),
+             CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+        .withColumn("ads", expr("transform(ds, x -> abs(x))"))
+        // f1/f2 = positions of the two smallest |margin| bits, first-
+        // occurrence tie-break (array_position), second min via masking
+        // f1 to a sentinel; at rb = 1 both collapse to bit 0 and the
+        // probe set dedups back to 2 entries
+        .withColumn("f1", expr("CAST(array_position(ads, array_min(ads)) - 1 AS INT)"))
+        .withColumn("f2", expr(
+          """CAST(array_position(
+               transform(sequence(0, size(ads) - 1), r ->
+                 IF(r = f1, 1.0E308D, element_at(ads, r + 1))),
+               array_min(transform(sequence(0, size(ads) - 1), r ->
+                 IF(r = f1, 1.0E308D, element_at(ads, r + 1))))) - 1 AS INT)"""))
+        .select(col("vec_id"), col("band"), col("sig"), col("f1"), col("f2")),
       // pathological-skew guard (see SignBucketCap): an over-cap sign
       // bucket is a mega-cluster of (near-)identical vectors; its
       // members keep their other 7 bands' candidates
@@ -1245,10 +1266,13 @@ object Llm {
     * (half the rows of a directed formulation through the self-join, the
     * dedup, and the downstream array-attach joins; consumers that need
     * both directions mirror AFTER computing the symmetric cosine).
-    * Candidate volume ≈ LshBands · bucket_target per vector.
+    * Candidate volume ≈ LshBands · bucket_target per vector — the LOW-
+    * COST operating point; on uniform data its top-3 recall decays as
+    * rb grows with the corpus (measured 0.90 at sf0.1 / 0.339 at the
+    * sf1.0 rehearsal). [[lshCandidatesProbed]] is the recall knob.
     */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bk = lshBuckets(s, dir)
+  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bk = lshBuckets(s, dir).select("vec_id", "band", "sig")
     bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1256,12 +1280,58 @@ object Llm {
       .distinct()
   }
 
-  /** Oracle twin of planes→buckets→candidates (CTEs `prm`/`pl`/`bk`/`cand`).
-    * A `def`, not a `val`: q_dedup_embed's oracle string interpolates it
-    * from EARLIER in the object initializer, where a val would still be
-    * null.
+  /** UNDIRECTED candidate pairs under query-directed MULTI-PROBE
+    * (Lv, Josephson, Wang, Charikar, Li, "Multi-probe LSH", VLDB 2007):
+    * besides its own bucket, each vector probes the buckets reached by
+    * flipping its lowest-|margin| sign bits f1, f2 and their
+    * combination — 4 probes per band. Rationale: rb grows as
+    * log2(n/target) to keep occupancy bounded, so EXACT per-band
+    * collision probability p^rb decays as the corpus grows; the near
+    * neighbors a wider band loses are overwhelmingly across the planes
+    * the query barely cleared, exactly the bits multi-probe flips. The
+    * probe count is CONSTANT (not rb-sized), so per-query candidate
+    * volume stays ~4 · LshBands · bucket_target at every corpus size —
+    * the multi-probe paper's point is precisely that probing more
+    * buckets per table replaces growing the number of tables. Measured
+    * trade on the near-uniform fixture: recall@3 1.000 at sf0.1 /
+    * 0.882 at the sf1.0 rehearsal (where exact-probe collapses to
+    * 0.339), at ~4-5× the exact path's candidate volume and runtime —
+    * the cost of recall on structureless data is real work, so the
+    * knob is a SEPARATE declared query (q_sim_ann_lsh_probed), not a
+    * silent default.
+    *
+    * The probe→build join is directional (a's low-margin bits are not
+    * b's), so pairs are normalized with least/greatest + distinct
+    * rather than an a < b join predicate — an (a, b) pair is kept when
+    * EITHER side's probe set reaches the other's bucket. The build
+    * side is exact buckets only, so bucket occupancy, not probe
+    * fan-out, bounds each task's match volume. The probe set CONTAINS
+    * the exact signature, so the candidate set is a deterministic
+    * SUPERSET of [[lshCandidates]]'s — pinned in InvariantsSpec.
     */
-  private def lshCandSql: String =
+  private[graft] def lshCandidatesProbed(s: SparkSession, dir: String): DataFrame = {
+    val bk = lshBuckets(s, dir)
+    val probes = bk.select(col("vec_id"), col("band"), explode(expr(
+      """array_distinct(array(sig,
+           sig ^ shiftleft(CAST(1 AS BIGINT), f1),
+           sig ^ shiftleft(CAST(1 AS BIGINT), f2),
+           sig ^ shiftleft(CAST(1 AS BIGINT), f1)
+               ^ shiftleft(CAST(1 AS BIGINT), f2)))""")).as("sig"))
+    probes.as("a").join(bk.select("vec_id", "band", "sig").as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("d1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("d2"))
+      .distinct()
+  }
+
+  /** Oracle twin of planes→buckets (CTEs `prm`/`pl`/`bk`): the shared
+    * prefix of the exact and multi-probe candidate SQL, so the bucket
+    * derivation cannot drift between the two declared queries. A `def`,
+    * not a `val`: q_dedup_embed's oracle string interpolates it from
+    * EARLIER in the object initializer, where a val would still be null.
+    */
+  private def lshBkSql: String =
     s"""prm AS (SELECT COUNT(*) AS n, MAX(len(embedding)) AS d,
                 greatest(1, CAST(ceil(log2(COUNT(*) / CAST($LshBucketTarget AS DOUBLE))) AS INT)) AS rb
                FROM embeddings),
@@ -1269,18 +1339,88 @@ object Llm {
                 list_transform(range($LshBands * rb), t ->
                   list_transform(range(d), i -> ${planeWeightSql("t", "i")})) AS planes
                FROM prm),
-        bk0 AS (SELECT vec_id, CAST(bb.b AS BIGINT) AS band,
-                CAST(list_sum(list_transform(range(rb), r ->
-                  CASE WHEN list_dot_product(v, planes[bb.b * rb + r + 1]) > 0
-                       THEN (CAST(1 AS BIGINT) << CAST(r AS INT)) ELSE 0 END)) AS BIGINT) AS sig
+        bk0 AS (SELECT vec_id, CAST(bb.b AS BIGINT) AS band, rb,
+                list_transform(range(rb), r ->
+                  list_dot_product(v, planes[bb.b * rb + r + 1])) AS ds
                FROM n CROSS JOIN pl CROSS JOIN range(0, $LshBands) bb(b)),
-        hotbk AS (SELECT band, sig FROM bk0 GROUP BY band, sig
+        bk1 AS (SELECT vec_id, band, rb,
+                CAST(list_sum(list_transform(range(rb), r ->
+                  CASE WHEN ds[r + 1] > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(r AS INT)) ELSE 0 END)) AS BIGINT) AS sig,
+                list_transform(ds, x -> abs(x)) AS ads
+               FROM bk0),
+        bk2 AS (SELECT vec_id, band, rb, sig, ads,
+                CAST(list_position(ads, list_min(ads)) - 1 AS INT) AS f1
+               FROM bk1),
+        bk3 AS (SELECT vec_id, band, sig, f1,
+                CAST(list_position(a2, list_min(a2)) - 1 AS INT) AS f2
+               FROM (SELECT *, list_transform(range(rb), r ->
+                       CASE WHEN r = f1 THEN 1.0E308 ELSE ads[r + 1] END) AS a2
+                     FROM bk2)),
+        hotbk AS (SELECT band, sig FROM bk3 GROUP BY band, sig
                   HAVING COUNT(*) > $SignBucketCap),
-        bk AS (SELECT * FROM bk0 b WHERE NOT EXISTS
-                (SELECT 1 FROM hotbk h WHERE h.band = b.band AND h.sig = b.sig)),
+        bk AS (SELECT * FROM bk3 b WHERE NOT EXISTS
+                (SELECT 1 FROM hotbk h WHERE h.band = b.band AND h.sig = b.sig))"""
+
+  /** Exact-probe candidates (`cand`, directed) over [[lshBkSql]]'s `bk`. */
+  private def lshCandSql: String =
+    s"""$lshBkSql,
         cand AS (SELECT DISTINCT a.vec_id AS q_id, b2.vec_id AS n_id
                  FROM bk a JOIN bk b2
                    ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id <> b2.vec_id)"""
+
+  /** Multi-probe candidates (`cand`, directed, symmetrized) — the SQL
+    * twin of [[lshCandidatesProbed]].
+    */
+  private def lshCandProbedSql: String =
+    s"""$lshBkSql,
+        pr AS (SELECT vec_id, band, unnest(list_distinct([sig,
+                 xor(sig, CAST(1 AS BIGINT) << f1),
+                 xor(sig, CAST(1 AS BIGINT) << f2),
+                 xor(xor(sig, CAST(1 AS BIGINT) << f1),
+                     CAST(1 AS BIGINT) << f2)])) AS sig
+               FROM bk),
+        cand0 AS (SELECT a.vec_id AS q_id, b2.vec_id AS n_id
+                  FROM pr a JOIN bk b2
+                    ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id <> b2.vec_id),
+        cand AS (SELECT DISTINCT q_id, n_id FROM
+                  (SELECT q_id, n_id FROM cand0
+                   UNION ALL SELECT n_id AS q_id, q_id AS n_id FROM cand0))"""
+
+  /** Shared scoring tail of the two LSH ANN queries: attach vectors to
+    * the UNDIRECTED candidate pairs, score each pair's cosine ONCE
+    * (cosine is symmetric — the arrays join to half the rows), mirror
+    * to directed form, per-query top-3. The mirror is a 2-way EXPLODE,
+    * not a union: Union(Project(X), Project(X)) physically executes the
+    * joins+cosine subtree twice (Spark does not CSE plan subtrees),
+    * while the explode fans each scored row out in the same single pass.
+    */
+  private def lshTopk(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
+    val nn = e.select(col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
+    val scored = cands
+      .join(q, "d1").join(nn, "d2")
+      .withColumn("cos", cosCol)
+      .select("d1", "d2", "cos")
+    val directed = scored.select(explode(array(
+        struct(col("d1").as("q_id"), col("d2").as("n_id"), col("cos")),
+        struct(col("d2").as("q_id"), col("d1").as("n_id"), col("cos")))).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"), col("p.cos").as("cos"))
+    topKByScore(directed, "cos")
+  }
+
+  /** The shared SQL tail (score + window) over whichever `cand` CTE. */
+  private def lshTopkSql(candSql: String): String =
+    s"""WITH $vecsSql,
+        $candSql,
+        p AS (SELECT q_id, n_id,
+                     ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+              FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON n_id = b.vec_id),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
+        SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
+        ORDER BY q_id, rnk"""
 
   private val qSimAnnLsh = Q(
     "q_sim_ann_lsh",
@@ -1289,37 +1429,33 @@ object Llm {
       // LshBands OR-ed random-hyperplane signatures of rb =
       // ceil(log2(n/250)) bits each; candidates share any band bucket;
       // cosine top-3 over candidates only. Work per query is
-      // ~LshBands · LshBucketTarget candidate cosines INDEPENDENT of corpus size —
-      // the property the previous 3-fixed-hyperplane design lacked.
-      val e = vecs(s, dir)
-      val q = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
-      val nn = e.select(col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
-      // score each unordered pair ONCE (cosine is symmetric), then mirror
-      // the skinny (id, id, cos) rows to directed form for the per-query
-      // window — the vector arrays attach to half the rows
-      val scored = lshCandidates(s, dir)
-        .join(q, "d1").join(nn, "d2")
-        .withColumn("cos", cosCol)
-        .select("d1", "d2", "cos")
-      // mirror via a 2-way EXPLODE, not a union: Union(Project(X),
-      // Project(X)) physically executes the joins+cosine subtree twice
-      // (Spark does not CSE plan subtrees), while the explode fans each
-      // scored row out in the same single pass
-      val directed = scored.select(explode(array(
-          struct(col("d1").as("q_id"), col("d2").as("n_id"), col("cos")),
-          struct(col("d2").as("q_id"), col("d1").as("n_id"), col("cos")))).as("p"))
-        .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"), col("p.cos").as("cos"))
-      topKByScore(directed, "cos")
+      // ~LshBands · LshBucketTarget candidate cosines INDEPENDENT of
+      // corpus size — the property the previous 3-fixed-hyperplane
+      // design lacked. This is the LOW-COST endpoint of the declared
+      // recall dial; q_sim_ann_lsh_probed is the other.
+      lshTopk(s, dir, lshCandidates(s, dir))
     },
-    Some(s"""WITH $vecsSql,
-             $lshCandSql,
-             p AS (SELECT q_id, n_id,
-                          ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-                   FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON n_id = b.vec_id),
-             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
-             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
-             ORDER BY q_id, rnk"""))
+    Some(lshTopkSql(lshCandSql)))
+
+  private val qSimAnnLshProbed = Q(
+    "q_sim_ann_lsh_probed",
+    (s, dir) => {
+      // The multi-probe endpoint of the LSH recall dial (Lv et al.
+      // VLDB'07 — see lshCandidatesProbed): same planes, same buckets,
+      // same scoring tail as q_sim_ann_lsh, but each vector also probes
+      // its 2 lowest-|margin| bit flips and their combination per band.
+      // ~4-5x the exact path's candidate volume and runtime, bought for
+      // recall@3 = 1.000 at sf0.1 and 0.882 at the sf1.0 rehearsal
+      // where the exact path's recall decays to 0.339 (rb = 7). The
+      // trade is declared as its own query because on structureless
+      // data recall IS candidate volume — a user picks the endpoint
+      // (or an intermediate probe set) per corpus and SLA; the floor
+      // that must survive scale is pinned on THIS query in
+      // InvariantsSpec, while the exact query's floor is its candidate
+      // economy.
+      lshTopk(s, dir, lshCandidatesProbed(s, dir))
+    },
+    Some(lshTopkSql(lshCandProbedSql)))
 
   /** One row holding the k ≈ √n hash-sampled IVF centroids as a sorted
     * struct array (u(vec_id) < 1/√n with u = md5-derived uniform in
@@ -4649,7 +4785,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,

@@ -20,7 +20,13 @@ class PlanLintSpec extends SparkSpec {
     // them — keeping them un-exempted means a refactor that drops the
     // checkpoint (exposing a real NLJ over the vectors) fails the lint.
     Set("q_join_cross", "q_text_tfidf", "q_sim_ivf", "q_sim_mips",
-      "q_text_langid_ngram", "q_sim_ann_lsh", "q_dedup_embed",
+      "q_text_langid_ngram", "q_sim_ann_lsh", "q_sim_ann_lsh_probed",
+      "q_dedup_embed",
+      // 1-row broadcast block-count census (n div BlockOccupancy) fanned
+      // onto the vectors to derive the modulo block key — the r10
+      // occupancy-capped brute-force baseline; the pair join proper is
+      // an equi-join on blk, asserted separately below
+      "q_sim_topk", "q_sim_knn_label",
       // 1-row broadcast total joined onto already-aggregated skinny rows
       "q_text_heavy_hitters", "q_text_commonness",
       // 1-row broadcast reference day (max ts) fanned onto the fact scan;
@@ -115,7 +121,7 @@ class PlanLintSpec extends SparkSpec {
     // the scale claim of the ANN family: candidates come from an
     // equi-join on (band, sig) / cell — a CartesianProduct over the
     // vectors themselves would be the O(n²) regression this pins.
-    Seq("q_sim_ann_lsh", "q_dedup_embed").foreach { name =>
+    Seq("q_sim_ann_lsh", "q_sim_ann_lsh_probed", "q_dedup_embed").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -123,6 +129,19 @@ class PlanLintSpec extends SparkSpec {
       assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band""".r
         .findFirstIn(plan).isDefined,
         s"$name must equi-join on the (band, sig) bucket key:\n$plan")
+    }
+    // the brute-force baseline arm is exempted from the blanket NLJ lint
+    // (its 1-row block-count census is a legitimate broadcast fanout),
+    // so pin its pair-bounding structure here instead: the vector pair
+    // join must be an equi-join on the modulo block key
+    Seq("q_sim_topk", "q_sim_knn_label").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not cartesian-join the vectors:\n$plan")
+      assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[blk""".r
+        .findFirstIn(plan).isDefined,
+        s"$name must equi-join on the modulo block key:\n$plan")
     }
     Seq("q_sim_ivf", "q_sim_mips", "q_sim_ivfpq", "q_sim_pq",
         "q_sample_hard_negatives", "q_sim_recall_eval",
