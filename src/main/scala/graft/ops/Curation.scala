@@ -887,9 +887,209 @@ object Curation {
             GROUP BY 1, 2
             ORDER BY score_dfreq DESC, doc_id LIMIT 20"""))
 
+  /** Hashed-feature dimensionality for the trainable quality classifier:
+    * like [[DsirF]], the fixed model size is the point — the weight
+    * vector is 256 rows broadcast however big the corpus.
+    */
+  private[graft] val LrF = 256
+
+  /** Fixed-point scale: labels, hard-sigmoid outputs, and weights all
+    * live in micro-units (1e6 = 1.0), so every training quantity is an
+    * exact BIGINT in both engines.
+    */
+  private val LrMicro = 1000000L
+
+  /** Learning-rate denominator K: w ← w − grad div (n·K). With ~40-token
+    * docs and F = 256 buckets this puts step-1 weights at ~10³ micro
+    * (0.001 real) — 2 steps move σ̂ a few percent off ½, a sane batch-GD
+    * trajectory, while the integer division stays exact (Spark `div`
+    * and DuckDB `//` both truncate toward zero, including negatives —
+    * verified, so no sign-splitting spelling is needed).
+    */
+  private val LrRate = 100L
+
+  /** Label: docs from the first ten sources are the positive class —
+    * the q_text_drift generation split, giving a stable ~balanced
+    * binary target on every fixture. try_cast: a malformed suffix is
+    * NULL → class 0 on BOTH engines.
+    */
+  private val lrLabelSpark =
+    s"CASE WHEN try_cast(substring(source, 4) AS BIGINT) < 10 THEN ${LrMicro}L ELSE 0L END"
+  private val lrLabelSql =
+    s"CASE WHEN TRY_CAST(substring(source, 4) AS BIGINT) < 10 THEN $LrMicro ELSE 0 END"
+
+  /** The (doc, feature) count matrix + per-doc label, the shared input
+    * of the declared 2-step query and the [[lrTrain]] library loop (one
+    * spelling, so the two cannot drift). x is corpus-bounded: ≤
+    * min(doc_len, [[LrF]]) rows per doc.
+    */
+  private def lrInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables(s, dir, "documents")
+    val x = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .withColumn("f",
+        expr(s"pmod(${Llm.md5Hex32Spark("concat('lr_', w)")}, $LrF)"))
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // reused every gradient step
+    val y = docs.select(col("doc_id"), expr(lrLabelSpark).as("y"))
+    (x, y)
+  }
+
+  /** One batch-gradient step: score every doc under the current weights
+    * (broadcast join on the F-row model), hard-sigmoid in micro-units
+    * (σ̂ = clamp(½ + z/4, 0, 1) — the piecewise-linear sigmoid of
+    * binarized-net training, exact in integer arithmetic where the
+    * transcendental σ is not engine-portable: the repo's D1 rule),
+    * then one map-combinable (f)-keyed gradient agg and the integer
+    * update. `w` may be null-weighted (step 1 from w = 0 passes null).
+    */
+  private def lrStep(x: DataFrame, y: DataFrame,
+      w: Option[DataFrame]): DataFrame = {
+    val err = w match {
+      case None =>
+        // w = 0 ⇒ z = 0 ⇒ σ̂ = ½ exactly for every doc
+        y.select(col("doc_id"), (lit(LrMicro / 2) - col("y")).as("err"))
+      case Some(wf) =>
+        x.join(broadcast(wf.select(col("f"), col("w"))), "f")
+          .groupBy("doc_id").agg(sum(col("w") * col("x")).as("z"))
+          .join(y, "doc_id")
+          .select(col("doc_id"),
+            (expr(s"greatest(0L, least(${LrMicro}L, ${LrMicro / 2}L + z div 4))")
+              - col("y")).as("err"))
+    }
+    x.join(err, "doc_id")
+      .groupBy("f").agg(sum(col("x") * col("err")).as("g"))
+  }
+
+  /** Train the classifier for `steps` batch-gradient rounds and return
+    * the F-row weight frame — the production-depth library twin of the
+    * declared 2-step query (the kmeans_step / bpe_iterate pattern:
+    * fixed-step oracle, driver-loop library). Each round is two
+    * map-combinable shuffles (doc-keyed scoring agg, f-keyed gradient
+    * agg) with the F-row model broadcast both ways; the driver holds
+    * only the loop counter and the frame handle, never rows.
+    */
+  private[graft] def lrTrain(s: SparkSession, dir: String, steps: Int): DataFrame = {
+    val (x, y) = lrInputs(s, dir)
+    val nDocs = Tables(s, dir, "documents").count()
+    var w: Option[DataFrame] = None
+    for (_ <- 1 to steps) {
+      val g = lrStep(x, y, w)
+      val next = w match {
+        case None =>
+          g.select(col("f"),
+            (lit(0L) - expr(s"g div (${nDocs}L * ${LrRate}L)")).as("w"))
+        case Some(wf) =>
+          wf.join(g, Seq("f"), "full_outer")
+            .select(col("f"),
+              (coalesce(col("w"), lit(0L)) -
+                coalesce(expr(s"g div (${nDocs}L * ${LrRate}L)"), lit(0L))).as("w"))
+      }
+      w = Some(next.localCheckpoint(true))
+    }
+    w.get
+  }
+
+  /** Score every document under a weight frame: (doc_id, y, sig) with
+    * sig = the micro-unit hard-sigmoid. The InvariantsSpec accuracy
+    * audit uses this to prove the trained model separates the classes
+    * better than the majority baseline — docs with no in-vocabulary
+    * tokens score z = 0 ⇒ sig = ½ (the left join's coalesce).
+    */
+  private[graft] def lrScore(s: SparkSession, dir: String, w: DataFrame): DataFrame = {
+    val (x, y) = lrInputs(s, dir)
+    val z = x.join(broadcast(w.select(col("f"), col("w"))), "f")
+      .groupBy("doc_id").agg(sum(col("w") * col("x")).as("z"))
+    y.join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        expr(s"greatest(0L, least(${LrMicro}L, " +
+          s"${LrMicro / 2}L + coalesce(z, 0L) div 4))").as("sig"))
+  }
+
+  /** Trainable QUALITY-CLASSIFIER step — the model-based curation filter
+    * of the CCNet / GPT-3 / LLaMA pipelines (Wenzek et al. 2020: a
+    * linear classifier over hashed text features separates "looks like
+    * the reference corpus" from the rest; docs are then kept by score).
+    * Where `q_sample_dsir` scores with two FIXED bag models, this one
+    * LEARNS the separating weights by batch gradient descent — the
+    * §2.14 family's one trainable member, declared as exactly TWO
+    * fixed-point gradient steps so the oracle stays a finite CTE chain
+    * (the `q_vec_kmeans_step` / `q_text_bpe_step` discipline;
+    * [[lrTrain]] is the to-depth library twin, InvariantsSpec pins its
+    * step-2 agreement with this query and the trained model's
+    * training-set accuracy over the majority baseline).
+    *
+    * All arithmetic is exact BIGINT micro-units (D1): labels ∈
+    * {0, 10⁶}, hard-sigmoid σ̂ = clamp(½ + z/4, 0, 1) instead of the
+    * non-portable transcendental σ, updates w ← w − g div (n·K).
+    * Output: the 20 largest-|w| features after step 2 with both steps'
+    * weights — the vocabulary the classifier actually learned to
+    * weigh, flat and deterministically ordered.
+    *
+    * Scale shape: token explode → ONE (doc, f) count agg (map-
+    * combinable, ≤ min(len, F) rows/doc); per step ONE broadcast join
+    * of the F = 256-row model + doc-keyed agg + f-keyed gradient agg —
+    * nothing wider than F rows ever sits on the driver side of a
+    * broadcast, and no step's shuffle exceeds the (doc, f) frame. At
+    * 100 TB the same two aggs pipeline per step; steps are few and
+    * fixed (quality filters converge in single-digit epochs).
+    */
+  private val qCurateLrStep = Q(
+    "q_curate_lr_step",
+    (s, dir) => {
+      val (x, y) = lrInputs(s, dir)
+      val cnt = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+      // step 1 from w = 0: σ̂ = ½ exactly, err = ½ − y
+      val g1 = x.join(y.select(col("doc_id"),
+          (lit(LrMicro / 2) - col("y")).as("err")), "doc_id")
+        .groupBy("f").agg(sum(col("x") * col("err")).as("g1"))
+      val w1 = g1.crossJoin(broadcast(cnt))
+        .select(col("f"), expr(s"0L - g1 div (n * ${LrRate}L)").as("w1"))
+        .localCheckpoint(true) // scored against below
+      // step 2: score under w1, hard-sigmoid, second gradient
+      val err2 = x.join(broadcast(w1), "f")
+        .groupBy("doc_id").agg(sum(col("w1") * col("x")).as("z"))
+        .join(y, "doc_id")
+        .select(col("doc_id"),
+          (expr(s"greatest(0L, least(${LrMicro}L, ${LrMicro / 2}L + z div 4))")
+            - col("y")).as("err"))
+      val w2 = x.join(err2, "doc_id")
+        .groupBy("f").agg(sum(col("x") * col("err")).as("g2"))
+        .join(w1, "f")
+        .crossJoin(broadcast(cnt))
+        .select(col("f"), col("w1"),
+          expr(s"w1 - g2 div (n * ${LrRate}L)").as("w2"))
+      w2.orderBy(abs(col("w2")).desc, col("f")).limit(20)
+    },
+    Some(s"""WITH xt AS (SELECT doc_id,
+                   CAST((${Llm.md5Hex32Sql("'lr_' || u.tok")}) % $LrF AS BIGINT) AS f
+                  FROM documents, unnest(string_split(text, ' ')) u(tok)
+                  WHERE length(u.tok) >= 1),
+            x AS (SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS x
+                  FROM xt GROUP BY doc_id, f),
+            y AS (SELECT doc_id, CAST($lrLabelSql AS BIGINT) AS y FROM documents),
+            cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            g1 AS (SELECT f, CAST(SUM(x.x * (${LrMicro / 2} - y.y)) AS BIGINT) AS g1
+                   FROM x JOIN y USING (doc_id) GROUP BY f),
+            w1 AS (SELECT f, CAST(0 - g1 // (n * $LrRate) AS BIGINT) AS w1
+                   FROM g1 CROSS JOIN cnt),
+            z AS (SELECT doc_id, CAST(SUM(w1.w1 * x.x) AS BIGINT) AS z
+                  FROM x JOIN w1 USING (f) GROUP BY doc_id),
+            e2 AS (SELECT z.doc_id,
+                    greatest(0, least($LrMicro, ${LrMicro / 2} + z // 4)) - y.y AS err
+                   FROM z JOIN y USING (doc_id)),
+            g2 AS (SELECT f, CAST(SUM(x.x * e2.err) AS BIGINT) AS g2
+                   FROM x JOIN e2 USING (doc_id) GROUP BY f),
+            w2 AS (SELECT f, w1.w1,
+                    CAST(w1.w1 - g2.g2 // (n * $LrRate) AS BIGINT) AS w2
+                   FROM g2 JOIN w1 USING (f) CROSS JOIN cnt)
+            SELECT f, w1, w2 FROM w2
+            ORDER BY abs(w2) DESC, f LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
-    qSampleDsir)
+    qSampleDsir, qCurateLrStep)
 }

@@ -663,6 +663,40 @@ class InvariantsSpec extends SparkSpec {
       f"rerank=$rerankRecall%.3f (volume-matched baseline $volBaseline%.3f)")
   }
 
+  test("lr quality classifier: library step-2 matches the declared query and training beats the majority baseline") {
+    // (a) the declared 2-step query and lrTrain(2) are the same
+    // computation — their weight vectors must agree exactly on the
+    // query's declared top-20 (integer arithmetic: no tolerance)
+    val declared = SparkEntry.queries("q_curate_lr_step")(spark, sf)
+      .select("f", "w2").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lib = ops.Curation.lrTrain(spark, sf, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    declared.foreach { case (f, w2) =>
+      assert(lib.get(f).contains(w2),
+        s"feature $f: declared w2 = $w2, lrTrain(2) = ${lib.get(f)}")
+    }
+    // (b) the trained model must actually separate the classes: exact
+    // training accuracy (prediction = sig >= 1/2, the decision rule of
+    // the hard sigmoid; ties count as the positive class) above the
+    // majority-class share — a linear model on hashed unigrams that
+    // can't beat "always guess the bigger class" learned nothing
+    val scored = ops.Curation.lrScore(spark, sf,
+      ops.Curation.lrTrain(spark, sf, 4)).cache()
+    try {
+      val n = scored.count().toDouble
+      val acc = scored.filter(
+        (col("sig") >= 500000L && col("y") === 1000000L) ||
+        (col("sig") < 500000L && col("y") === 0L)).count() / n
+      val majority = {
+        val pos = scored.filter(col("y") === 1000000L).count().toDouble
+        math.max(pos, n - pos) / n
+      }
+      info(f"lr training accuracy after 4 steps: $acc%.4f (majority baseline $majority%.4f)")
+      assert(acc > majority,
+        f"trained accuracy $acc%.4f did not beat the majority baseline $majority%.4f")
+    } finally scored.unpersist()
+  }
+
   test("hnsw layering: the upper layer is a deterministic ~sqrt(n) hash election") {
     // the layered search's entry quality rests on the upper layer being
     // (a) non-empty, (b) ~sqrt(n)-sized (hash threshold n^(-1/2) — a

@@ -37,6 +37,10 @@ class PlanLintSpec extends SparkSpec {
       "q_etl_gapfill",
       // 1-row broadcast corpus count feeding the map-only candidate hash
       "q_sample_negatives",
+      // 1-row broadcast doc count fanned onto the F-row gradient frames
+      // for the integer learning-rate division; the per-doc joins are
+      // broadcast EQUI-joins on f / doc_id
+      "q_curate_lr_step",
       // 1-row broadcast (max-dims scalar → plane frame) feeding the
       // map-only JL projection; no per-pair join exists in the query
       "q_vec_project",
