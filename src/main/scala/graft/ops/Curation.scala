@@ -1035,34 +1035,44 @@ object Curation {
     * 100 TB the same two aggs pipeline per step; steps are few and
     * fixed (quality filters converge in single-digit epochs).
     */
-  private val qCurateLrStep = Q(
-    "q_curate_lr_step",
-    (s, dir) => {
-      val (x, y) = lrInputs(s, dir)
-      val cnt = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
-      // step 1 from w = 0: σ̂ = ½ exactly, err = ½ − y
-      val g1 = x.join(y.select(col("doc_id"),
-          (lit(LrMicro / 2) - col("y")).as("err")), "doc_id")
-        .groupBy("f").agg(sum(col("x") * col("err")).as("g1"))
-      val w1 = g1.crossJoin(broadcast(cnt))
-        .select(col("f"), expr(s"0L - g1 div (n * ${LrRate}L)").as("w1"))
-        .localCheckpoint(true) // scored against below
-      // step 2: score under w1, hard-sigmoid, second gradient
-      val err2 = x.join(broadcast(w1), "f")
-        .groupBy("doc_id").agg(sum(col("w1") * col("x")).as("z"))
-        .join(y, "doc_id")
-        .select(col("doc_id"),
-          (expr(s"greatest(0L, least(${LrMicro}L, ${LrMicro / 2}L + z div 4))")
-            - col("y")).as("err"))
-      val w2 = x.join(err2, "doc_id")
-        .groupBy("f").agg(sum(col("x") * col("err")).as("g2"))
-        .join(w1, "f")
-        .crossJoin(broadcast(cnt))
-        .select(col("f"), col("w1"),
-          expr(s"w1 - g2 div (n * ${LrRate}L)").as("w2"))
-      w2.orderBy(abs(col("w2")).desc, col("f")).limit(20)
-    },
-    Some(s"""WITH xt AS (SELECT doc_id,
+  /** The declared two-step training trajectory, shared by the step query
+    * (which REPORTS the weights) and the filter query (which APPLIES
+    * them) — one spelling, so the reported model and the applied model
+    * cannot drift. Returns (x, w2): the checkpointed (doc, f) count
+    * matrix and the F-row weight frame carrying both steps' weights.
+    */
+  private def lrTwoStep(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (x, y) = lrInputs(s, dir)
+    val cnt = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+    // step 1 from w = 0: σ̂ = ½ exactly, err = ½ − y
+    val g1 = x.join(y.select(col("doc_id"),
+        (lit(LrMicro / 2) - col("y")).as("err")), "doc_id")
+      .groupBy("f").agg(sum(col("x") * col("err")).as("g1"))
+    val w1 = g1.crossJoin(broadcast(cnt))
+      .select(col("f"), expr(s"0L - g1 div (n * ${LrRate}L)").as("w1"))
+      .localCheckpoint(true) // scored against below
+    // step 2: score under w1, hard-sigmoid, second gradient
+    val err2 = x.join(broadcast(w1), "f")
+      .groupBy("doc_id").agg(sum(col("w1") * col("x")).as("z"))
+      .join(y, "doc_id")
+      .select(col("doc_id"),
+        (expr(s"greatest(0L, least(${LrMicro}L, ${LrMicro / 2}L + z div 4))")
+          - col("y")).as("err"))
+    val w2 = x.join(err2, "doc_id")
+      .groupBy("f").agg(sum(col("x") * col("err")).as("g2"))
+      .join(w1, "f")
+      .crossJoin(broadcast(cnt))
+      .select(col("f"), col("w1"),
+        expr(s"w1 - g2 div (n * ${LrRate}L)").as("w2"))
+    (x, w2)
+  }
+
+  /** The oracle CTE chain of the two-step training — through `w2 (f,
+    * w1, w2)` — shared verbatim by both lr oracles (the SQL twin of
+    * [[lrTwoStep]]).
+    */
+  private val lrOracleCtes =
+    s"""xt AS (SELECT doc_id,
                    CAST((${Llm.md5Hex32Sql("'lr_' || u.tok")}) % $LrF AS BIGINT) AS f
                   FROM documents, unnest(string_split(text, ' ')) u(tok)
                   WHERE length(u.tok) >= 1),
@@ -1083,13 +1093,80 @@ object Curation {
                    FROM x JOIN e2 USING (doc_id) GROUP BY f),
             w2 AS (SELECT f, w1.w1,
                     CAST(w1.w1 - g2.g2 // (n * $LrRate) AS BIGINT) AS w2
-                   FROM g2 JOIN w1 USING (f) CROSS JOIN cnt)
+                   FROM g2 JOIN w1 USING (f) CROSS JOIN cnt)"""
+
+  private val qCurateLrStep = Q(
+    "q_curate_lr_step",
+    (s, dir) => {
+      val (_, w2) = lrTwoStep(s, dir)
+      w2.orderBy(abs(col("w2")).desc, col("f")).limit(20)
+    },
+    Some(s"""WITH $lrOracleCtes
             SELECT f, w1, w2 FROM w2
             ORDER BY abs(w2) DESC, f LIMIT 20"""))
+
+  /** Classifier-filter APPLICATION — the keep decision the trained
+    * quality model exists for (GPT-3's documented corpus filter, Brown
+    * et al. 2020 Appendix A: documents are kept STOCHASTICALLY with
+    * probability driven by the classifier score, not by a hard
+    * threshold — soft keeping preserves a tail of low-scoring docs and
+    * avoids a cliff at the decision boundary; CCNet/LLaMA apply the
+    * same family of model-based filters). Trains the declared 2-step
+    * model ([[lrTwoStep]] — the exact weights `q_curate_lr_step`
+    * reports), scores every document (hard-sigmoid micro-units; docs
+    * with no in-vocabulary token score exactly ½), then keeps each doc
+    * iff salted-hash u < σ̂ — P(keep) = the learned score, decided
+    * deterministically per row (independent "lrf" salt; shared-seed
+    * leakage rule). Output is the per-source audit of
+    * `q_sample_importance`'s shape — docs, score mass (= expected
+    * keeps, micro), actual keeps, kept-id checksum — so the two keys
+    * are directly comparable: importance keeps by a HEURISTIC per-row
+    * weight, this keeps by the LEARNED one.
+    *
+    * Scale shape: the training CTE's aggregates (nothing wider than the
+    * (doc, f) frame shuffles, F = 256-row model broadcast), then ONE
+    * more broadcast model join + doc-keyed agg for scoring, a map-side
+    * hash-compare keep, and a map-combinable ≤ |sources|-row audit agg.
+    * No new corpus-sized shuffle beyond the training passes.
+    */
+  private val qCurateLrFilter = Q(
+    "q_curate_lr_filter",
+    (s, dir) => {
+      val (x, w2) = lrTwoStep(s, dir)
+      val z2 = x.join(broadcast(w2.select(col("f"), col("w2"))), "f")
+        .groupBy("doc_id").agg(sum(col("w2") * col("x")).as("z"))
+      Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(z2, Seq("doc_id"), "left")
+        .withColumn("sig", expr(s"greatest(0L, least(${LrMicro}L, " +
+          s"${LrMicro / 2}L + coalesce(z, 0L) div 4))"))
+        .withColumn("kept", expr(s"CASE WHEN pmod(${u32Spark("lrf")}, ${LrMicro}L) " +
+          "< sig THEN 1L ELSE 0L END"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("sig").as("sig_mass"),
+          sum("kept").as("n_kept"),
+          sum(expr("kept * doc_id")).as("kept_id_sum"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $lrOracleCtes,
+            z2 AS (SELECT doc_id, CAST(SUM(w2.w2 * x.x) AS BIGINT) AS z
+                   FROM x JOIN w2 USING (f) GROUP BY doc_id),
+            sc AS (SELECT doc_id, source,
+                    greatest(0, least($LrMicro, ${LrMicro / 2} + COALESCE(z2.z, 0) // 4)) AS sig
+                   FROM documents LEFT JOIN z2 USING (doc_id)),
+            k AS (SELECT doc_id, source, sig,
+                   CASE WHEN (${u32Sql("lrf")}) % $LrMicro < sig
+                     THEN 1 ELSE 0 END AS kept
+                  FROM sc)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(sig) AS BIGINT) AS sig_mass,
+                   CAST(SUM(kept) AS BIGINT) AS n_kept,
+                   CAST(SUM(kept * doc_id) AS BIGINT) AS kept_id_sum
+            FROM k GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
-    qSampleDsir, qCurateLrStep)
+    qSampleDsir, qCurateLrStep, qCurateLrFilter)
 }

@@ -697,6 +697,39 @@ class InvariantsSpec extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("lr filter: audit conserves the corpus, keeps track expectation, and favors the learned class") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = docs.count()
+    val audit = SparkEntry.queries("q_curate_lr_filter")(spark, sf).collect()
+    // (a) every document is audited exactly once, keeps never exceed docs
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"),
+        s"source ${r.getAs[String]("source")}: kept > docs")
+    }
+    // (b) actual keeps track the score mass (= expected keeps in micro):
+    // the keep decision is a fixed salted hash, so this is deterministic —
+    // an 8-sigma binomial envelope that either holds forever or never
+    val kept = audit.map(_.getAs[Long]("n_kept")).sum.toDouble
+    val expected = audit.map(_.getAs[Long]("sig_mass")).sum / 1e6
+    assert(math.abs(kept - expected) <= 4 * math.sqrt(nDocs.toDouble),
+      f"actual keeps $kept%.0f vs expected $expected%.1f outside the binomial envelope")
+    // (c) the filter keeps MORE of the class the classifier was trained
+    // toward: per-doc score mass over positive-label sources (id < 10)
+    // strictly above the rest — exact integer masses, no sampling noise
+    def massPerDoc(rows: Seq[org.apache.spark.sql.Row]): Double =
+      rows.map(_.getAs[Long]("sig_mass")).sum.toDouble /
+        rows.map(_.getAs[Long]("n_docs")).sum
+    val (pos, neg) = audit.toSeq.partition { r =>
+      val id = r.getAs[String]("source").drop(3)
+      scala.util.Try(id.toLong).toOption.exists(_ < 10)
+    }
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture lost a label class")
+    val (mp, mn) = (massPerDoc(pos), massPerDoc(neg))
+    info(f"score mass/doc: positive sources $mp%.0f vs others $mn%.0f (micro)")
+    assert(mp > mn, f"learned filter does not favor the trained-toward class ($mp%.0f <= $mn%.0f)")
+  }
+
   test("hnsw layering: the upper layer is a deterministic ~sqrt(n) hash election") {
     // the layered search's entry quality rests on the upper layer being
     // (a) non-empty, (b) ~sqrt(n)-sized (hash threshold n^(-1/2) — a

@@ -41,6 +41,9 @@ class PlanLintSpec extends SparkSpec {
       // for the integer learning-rate division; the per-doc joins are
       // broadcast EQUI-joins on f / doc_id
       "q_curate_lr_step",
+      // same training chain (same 1-row count broadcast) feeding the
+      // map-side keep decision and the ≤|sources| audit agg
+      "q_curate_lr_filter",
       // 1-row broadcast (max-dims scalar → plane frame) feeding the
       // map-only JL projection; no per-pair join exists in the query
       "q_vec_project",
