@@ -1164,9 +1164,129 @@ object Curation {
                    CAST(SUM(kept * doc_id) AS BIGINT) AS kept_id_sum
             FROM k GROUP BY source ORDER BY source"""))
 
+  // ------------------------------------------------- DoReMi reweighting
+
+  /** Exponentiated-gradient amplification η on the relative excess
+    * signal (micro-units): dimensionless step size of the one declared
+    * EG round. The fixture's near-uniform sources carry only ~0.2%
+    * relative drift, so a production-plausible η makes the tilt
+    * visible without drowning the baseline share.
+    */
+  private val EgEta = 200L
+
+  /** Trust region for one EG step: the multiplicative upweight is
+    * clipped at 1 + [[EgMultCap]]/1e6 = 4× baseline — the single-step
+    * analogue of DoReMi's per-round normalization keeping any one
+    * domain from swallowing the budget on a noisy loss estimate.
+    */
+  private val EgMultCap = 3000000L
+
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023 —
+    * arXiv:2305.10429): domains where the proxy model's loss exceeds
+    * the reference's get UP-weighted by exponentiated gradient,
+    * q_i ∝ p_i · exp(η · excess_i), then the budget is split by the
+    * new shares with uniform smoothing. Distinct from every sibling:
+    * `q_mix_temperature` reweights by SIZE (τ-law), this reweights by
+    * a measured DIFFICULTY signal — the operator a data-mixing loop
+    * runs between training rounds.
+    *
+    * Engine substitutions, both declared: (1) the excess-loss signal is
+    * the unigram-LM surrogate — a domain's token-weighted mean corpus
+    * commonness vs the corpus-global mean (`q_text_commonness`'s
+    * integer probability machinery; domains whose tokens are rarer
+    * than average are exactly the ones a reference-trained LM finds
+    * harder), clipped at 0 and expressed RELATIVE in micro-units;
+    * (2) D1: exp(η·λ) is linearized to 1 + η·λ (exact integer, the
+    * same one-step direction; O(η²λ²) apart for the ≤0.4% drifts the
+    * fixture carries) and clipped by the [[EgMultCap]] trust region.
+    * Smoothing is DoReMi's uniform mix: final = 0.8·share + 0.2/k.
+    *
+    * Integer bounds (D1): pm ≤ 1e6, Σ(c·pm) ≤ n_tokens·1e6 — exact in
+    * BIGINT through ~1e12 tokens per source; share division is spelled
+    * `u div (tu div 1e6)` so the numerator never multiplies past the
+    * total's scale. Output per domain: docs, relative excess, raw EG
+    * share, smoothed share, and the doc budget under half the corpus.
+    *
+    * Scale shape: token explode → vocab census (map-combinable) →
+    * vocab-sized probability join; per-source means are (source, w)-
+    * keyed aggs; everything after is ≤ |sources| rows with 1-row
+    * totals broadcast. Two corpus scans, no corpus-sized shuffle
+    * beyond the (source, w) census.
+    */
+  private val qMixDoremi = Q(
+    "q_mix_doremi",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val t = docs
+        // single-file scan — fan out before the explode (vocab_prune idiom)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+      val v = t.groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // three consumers: totals, probs, global mean
+      val n = v.agg(sum("c").as("nt"))
+      val p = v.crossJoin(broadcast(n))
+        .select(col("w"), expr("c * 1000000L div nt").as("pm"))
+        .localCheckpoint(true) // two consumers: global + per-source mean
+      val g = v.join(p, "w").agg(expr("sum(c * pm) div sum(c)").as("mpg"))
+      val mp = t.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .join(p, "w").groupBy("source")
+        .agg(expr("sum(c * pm) div sum(c)").as("mpi"))
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val base = nd.join(mp, "source").crossJoin(broadcast(g))
+        .withColumn("excess_micro",
+          expr("greatest(0L, mpg - mpi) * 1000000L div mpg"))
+        .withColumn("u", expr(s"n_docs * (1000000L + " +
+          s"least(${EgMultCap}L, ${EgEta}L * excess_micro))"))
+      val tot = base.agg(sum("u").as("tu"), sum("n_docs").as("td"),
+        count(lit(1)).as("k"))
+      base.crossJoin(broadcast(tot))
+        .withColumn("share_micro", expr("u div (tu div 1000000L)"))
+        .withColumn("final_micro",
+          expr("(8L * share_micro + 2L * (1000000L div k)) div 10L"))
+        .withColumn("budget_docs",
+          expr("(td div 2L) * final_micro div 1000000L"))
+        .select(col("source"), col("n_docs"), col("excess_micro"),
+          col("share_micro"), col("final_micro"), col("budget_docs"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT source, u.tok AS w
+                   FROM documents, unnest(string_split(text, ' ')) u(tok)
+                   WHERE length(u.tok) >= 1),
+            v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY w),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM v),
+            p AS (SELECT w, c * 1000000 // nt AS pm FROM v CROSS JOIN n),
+            g AS (SELECT SUM(v.c * p.pm) // SUM(v.c) AS mpg
+                  FROM v JOIN p USING (w)),
+            mp AS (SELECT source, SUM(st.c * p.pm) // SUM(st.c) AS mpi
+                   FROM (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM t GROUP BY source, w) st
+                   JOIN p USING (w) GROUP BY source),
+            nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY source),
+            b AS (SELECT source, n_docs,
+                   greatest(0, mpg - mpi) * 1000000 // mpg AS excess_micro
+                  FROM nd JOIN mp USING (source) CROSS JOIN g),
+            b2 AS (SELECT *, n_docs * (1000000 +
+                    least($EgMultCap, $EgEta * excess_micro)) AS u FROM b),
+            tot AS (SELECT CAST(SUM(u) AS BIGINT) AS tu,
+                     CAST(SUM(n_docs) AS BIGINT) AS td,
+                     CAST(COUNT(*) AS BIGINT) AS k FROM b2),
+            f AS (SELECT source, n_docs, excess_micro,
+                   u // (tu // 1000000) AS share_micro, td, k
+                  FROM b2 CROSS JOIN tot),
+            f2 AS (SELECT source, n_docs, excess_micro, share_micro,
+                    (8 * share_micro + 2 * (1000000 // k)) // 10 AS final_micro, td
+                   FROM f)
+            SELECT source, n_docs, CAST(excess_micro AS BIGINT) AS excess_micro,
+                   CAST(share_micro AS BIGINT) AS share_micro,
+                   CAST(final_micro AS BIGINT) AS final_micro,
+                   CAST((td // 2) * final_micro // 1000000 AS BIGINT) AS budget_docs
+            FROM f2 ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
-    qSampleDsir, qCurateLrStep, qCurateLrFilter)
+    qSampleDsir, qCurateLrStep, qCurateLrFilter, qMixDoremi)
 }

@@ -730,6 +730,41 @@ class InvariantsSpec extends SparkSpec {
     assert(mp > mn, f"learned filter does not favor the trained-toward class ($mp%.0f <= $mn%.0f)")
   }
 
+  test("doremi reweighting: shares normalize, no domain starves, budget bounded, excess upweights") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = SparkEntry.queries("q_mix_doremi")(spark, sf).collect()
+    val k = rows.length.toLong
+    // (a) every document is censused exactly once
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // (b) smoothed shares form a distribution (integer-truncation slack)
+    val sumFinal = rows.map(_.getAs[Long]("final_micro")).sum
+    assert(math.abs(sumFinal - 1000000L) <= 5000L,
+      s"smoothed shares sum to $sumFinal, not ~1e6")
+    // (c) the uniform mix is a hard floor: no domain falls below its
+    // 20%-of-uniform allotment — DoReMi's no-starvation property
+    val floor = 2L * (1000000L / k) / 10L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("final_micro") >= floor,
+        s"source ${r.getAs[String]("source")} starved below the uniform floor")
+    }
+    // (d) the budget never exceeds its declared half-corpus cap
+    assert(rows.map(_.getAs[Long]("budget_docs")).sum <= docs.count() / 2)
+    // (e) EG direction: the hardest domain's per-doc share strictly
+    // exceeds every zero-excess domain's (the fixture carries real
+    // drift — assert it, so a regenerated fixture that loses the
+    // signal fails loudly instead of testing nothing)
+    val hardest = rows.maxBy(_.getAs[Long]("excess_micro"))
+    assert(hardest.getAs[Long]("excess_micro") > 0L, "fixture lost its drift signal")
+    val zeros = rows.filter(_.getAs[Long]("excess_micro") == 0L)
+    assert(zeros.nonEmpty, "fixture lost its easy domains")
+    def perDoc(r: org.apache.spark.sql.Row): Long =
+      r.getAs[Long]("share_micro") / r.getAs[Long]("n_docs")
+    zeros.foreach { z =>
+      assert(perDoc(hardest) >= perDoc(z),
+        s"hardest domain ${hardest.getAs[String]("source")} not upweighted over ${z.getAs[String]("source")}")
+    }
+  }
+
   test("hnsw layering: the upper layer is a deterministic ~sqrt(n) hash election") {
     // the layered search's entry quality rests on the upper layer being
     // (a) non-empty, (b) ~sqrt(n)-sized (hash threshold n^(-1/2) — a

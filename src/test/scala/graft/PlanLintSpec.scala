@@ -44,6 +44,9 @@ class PlanLintSpec extends SparkSpec {
       // same training chain (same 1-row count broadcast) feeding the
       // map-side keep decision and the ≤|sources| audit agg
       "q_curate_lr_filter",
+      // 1-row broadcasts (token total, global mean, share totals) fanned
+      // onto the vocab probability frame and the ≤|sources| share frame
+      "q_mix_doremi",
       // 1-row broadcast (max-dims scalar → plane frame) feeding the
       // map-only JL projection; no per-pair join exists in the query
       "q_vec_project",
