@@ -667,9 +667,9 @@ class InvariantsSpec extends SparkSpec {
     // (a) the declared 2-step query and lrTrain(2) are the same
     // computation — their weight vectors must agree exactly on the
     // query's declared top-20 (integer arithmetic: no tolerance)
-    val declared = SparkEntry.queries("q_curate_lr_step")(spark, sf)
+    val declared = SparkEntry.queries("q_curate_lr_step")(spark, floorDir)
       .select("f", "w2").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val lib = ops.Curation.lrTrain(spark, sf, 2)
+    val lib = ops.Curation.lrTrain(spark, floorDir, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     declared.foreach { case (f, w2) =>
       assert(lib.get(f).contains(w2),
@@ -680,8 +680,8 @@ class InvariantsSpec extends SparkSpec {
     // the hard sigmoid; ties count as the positive class) above the
     // majority-class share — a linear model on hashed unigrams that
     // can't beat "always guess the bigger class" learned nothing
-    val scored = ops.Curation.lrScore(spark, sf,
-      ops.Curation.lrTrain(spark, sf, 4)).cache()
+    val scored = ops.Curation.lrScore(spark, floorDir,
+      ops.Curation.lrTrain(spark, floorDir, 4)).cache()
     try {
       val n = scored.count().toDouble
       val acc = scored.filter(
@@ -698,9 +698,9 @@ class InvariantsSpec extends SparkSpec {
   }
 
   test("lr filter: audit conserves the corpus, keeps track expectation, and favors the learned class") {
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val docs = spark.read.parquet(s"$floorDir/documents.parquet")
     val nDocs = docs.count()
-    val audit = SparkEntry.queries("q_curate_lr_filter")(spark, sf).collect()
+    val audit = SparkEntry.queries("q_curate_lr_filter")(spark, floorDir).collect()
     // (a) every document is audited exactly once, keeps never exceed docs
     assert(audit.map(_.getAs[Long]("n_docs")).sum == nDocs)
     audit.foreach { r =>
@@ -731,8 +731,8 @@ class InvariantsSpec extends SparkSpec {
   }
 
   test("doremi reweighting: shares normalize, no domain starves, budget bounded, excess upweights") {
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val rows = SparkEntry.queries("q_mix_doremi")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$floorDir/documents.parquet")
+    val rows = SparkEntry.queries("q_mix_doremi")(spark, floorDir).collect()
     val k = rows.length.toLong
     // (a) every document is censused exactly once
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
