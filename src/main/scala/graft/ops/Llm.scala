@@ -4730,6 +4730,98 @@ object Llm {
                    ELSE sc.n_top * 10000 // sc.n_bigrams END AS lm_bp
             FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** CCNet perplexity-BUCKET assignment (Wenzek et al. 2020 §4.4 — the
+    * shipped form of the LM quality signal: the corpus is split into
+    * head / middle / tail TERCILES by language-model score, and
+    * downstream recipes train on head+middle or reweight by bucket).
+    * D1 surrogate as everywhere in this family: the score is the
+    * per-doc token-weighted mean corpus-unigram probability in
+    * micro-units (`q_text_commonness`'s integer machinery — monotone
+    * INVERSE of unigram perplexity, so CCNet's "low perplexity" is our
+    * "high commonness" and head = the top tercile). Docs with no
+    * tokens score 0 (tail).
+    *
+    * The tercile cut is EXACT and scale-safe without a corpus sort:
+    * scores live on the bounded integer grid [0, 1e6], so the
+    * distribution collapses to a ≤ 1e6-row histogram (fixture: ~350
+    * rows), ONE bounded partition-less cumulative window ranks it, and
+    * the two boundary scores come back as a 1-row broadcast. Ties sit
+    * wholly in the upper bucket (bucket = pure comparison vs the
+    * thresholds), so buckets are deterministic but only ~equal-sized
+    * under heavy ties — CCNet's own discrete-cut property. Output:
+    * per (source, bucket) census with mean/min/max score — the table a
+    * mixing recipe reads to decide per-bucket sampling rates.
+    *
+    * Scale shape: token explode → vocab census → vocab-sized
+    * probability join → doc-keyed mean agg; histogram agg (≤ 1e6
+    * rows) + bounded window + 1-row threshold broadcast; census agg is
+    * map-combinable over (source, bucket). Two corpus scans, no
+    * corpus-sized shuffle past the doc-keyed mean.
+    */
+  private val qTextPplBuckets = Q(
+    "q_text_ppl_buckets",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val t = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+      val v = t.groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // two consumers: token total + prob table
+      val n = v.agg(sum("c").as("nt"))
+      val p = v.crossJoin(broadcast(n))
+        .select(col("w"), expr("c * 1000000L div nt").as("pm"))
+      val sc = t.join(p, "w").groupBy("doc_id")
+        .agg(expr("sum(pm) div count(1)").as("mp"))
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("source"), coalesce(col("mp"), lit(0L)).as("mp"))
+        .localCheckpoint(true) // two consumers: histogram + census
+      val tot = scored.agg(count(lit(1)).as("n"))
+      val wcum = Window.orderBy("mp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val thr = scored.groupBy("mp").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wcum))
+        .crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("mp"))).as("t1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("mp"))).as("t2"))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("bucket", expr(
+          "CASE WHEN mp < t1 THEN 'tail' WHEN mp < t2 THEN 'middle' ELSE 'head' END"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(mp) div count(1)").as("mean_micro"),
+          min("mp").as("min_micro"), max("mp").as("max_micro"))
+        .orderBy("source", "bucket")
+    },
+    Some("""WITH t AS (SELECT doc_id, u.tok AS w
+                  FROM documents, unnest(string_split(text, ' ')) u(tok)
+                  WHERE length(u.tok) >= 1),
+            v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY w),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM v),
+            p AS (SELECT w, c * 1000000 // nt AS pm FROM v CROSS JOIN n),
+            sc AS (SELECT doc_id, SUM(p.pm) // COUNT(*) AS mp
+                   FROM t JOIN p USING (w) GROUP BY doc_id),
+            s2 AS (SELECT d.source, COALESCE(sc.mp, 0) AS mp
+                   FROM documents d LEFT JOIN sc USING (doc_id)),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+            h AS (SELECT mp, CAST(COUNT(*) AS BIGINT) AS c FROM s2 GROUP BY mp),
+            cu AS (SELECT mp, SUM(c) OVER (ORDER BY mp
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                   FROM h),
+            thr AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN mp END) AS t1,
+                     MIN(CASE WHEN cum * 3 >= n * 2 THEN mp END) AS t2
+                    FROM cu CROSS JOIN tot),
+            bk AS (SELECT source,
+                    CASE WHEN mp < t1 THEN 'tail'
+                         WHEN mp < t2 THEN 'middle' ELSE 'head' END AS bucket, mp
+                   FROM s2 CROSS JOIN thr)
+            SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(mp) // COUNT(*) AS BIGINT) AS mean_micro,
+                   CAST(MIN(mp) AS BIGINT) AS min_micro,
+                   CAST(MAX(mp) AS BIGINT) AS max_micro
+            FROM bk GROUP BY source, bucket ORDER BY source, bucket"""))
+
   /** Probe levels the recall sweep reports — ending at [[IvfProbes]], so
     * the last row IS the shipped search contract.
     */
@@ -4920,6 +5012,6 @@ object Llm {
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qSimDocTopk, qSampleCoreset, qTextDrift,
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)
 }

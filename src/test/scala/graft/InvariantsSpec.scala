@@ -765,6 +765,35 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ppl buckets: corpus conserved, terciles balanced, buckets strictly score-ordered") {
+    val docs = spark.read.parquet(s"$floorDir/documents.parquet")
+    val rows = SparkEntry.queries("q_text_ppl_buckets")(spark, floorDir).collect()
+    val n = docs.count()
+    // (a) every document lands in exactly one (source, bucket) cell
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    // (b) tercile balance: the cut is exact on the integer score grid,
+    // so each bucket holds ~n/3 up to tie mass at the two thresholds —
+    // a [n/6, n/2] envelope catches a degenerate (all-one-bucket) split
+    // without assuming a tie-free distribution
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"buckets present: ${byBucket.keySet}")
+    byBucket.foreach { case (b, c) =>
+      assert(c >= n / 6 && c <= n / 2, s"bucket $b holds $c of $n docs — degenerate tercile")
+    }
+    // (c) buckets are disjoint score BANDS: every head score ≥ every
+    // middle score ≥ every tail score (the cut is a pure threshold
+    // compare, so band overlap would mean the thresholds are wrong)
+    def band(b: String): (Long, Long) = {
+      val rs = rows.filter(_.getAs[String]("bucket") == b)
+      (rs.map(_.getAs[Long]("min_micro")).min, rs.map(_.getAs[Long]("max_micro")).max)
+    }
+    val (hMin, _) = band("head"); val (mMin, mMax) = band("middle"); val (_, tMax) = band("tail")
+    assert(hMin > mMax, s"head min $hMin overlaps middle max $mMax")
+    assert(mMin > tMax, s"middle min $mMin overlaps tail max $tMax")
+  }
+
   test("hnsw layering: the upper layer is a deterministic ~sqrt(n) hash election") {
     // the layered search's entry quality rests on the upper layer being
     // (a) non-empty, (b) ~sqrt(n)-sized (hash threshold n^(-1/2) — a

@@ -82,6 +82,12 @@ class PlanLintSpec extends SparkSpec {
       "q_text_drift",
       // 1-row broadcast total fanned onto the ≤ 64-row bucket census
       "q_agg_activity_dist",
+      // 1-row broadcasts: token total onto the vocab frame, corpus count
+      // onto the score histogram, and the 1-row (t1, t2) tercile
+      // thresholds fanned onto the checkpointed per-doc score frame for
+      // the map-only bucket compare; the scoring join is a broadcast
+      // EQUI-join on w
+      "q_text_ppl_buckets",
       // the q_sim_recall_eval class: broadcast-m-queries × corpus exact
       // arm (fixed m keeps it linear) + 1-row threshold/centroid
       // broadcasts; the ANN arm's cell join is an equi-join
@@ -96,11 +102,15 @@ class PlanLintSpec extends SparkSpec {
   //   q_pack_sequences   — per-shard offset frame (≤ 32 rows, one per shard)
   //   q_text_vocab_prune — the top-K vocab frame (≤ 64 rows post-TakeOrdered)
   //   q_join_dpp         — 1-row share-of-total census
+  //   q_text_ppl_buckets — cumulative rank over the score HISTOGRAM,
+  //                        bounded by the ≤1e6-value integer score grid
+  //                        (~350 rows at the fixture), never the corpus
   // A new partition-less window anywhere else — or a second one at these
   // sites — fails the per-query lint below.
   private val unpartitionedWindowOk =
     Map("q_agg_anomaly" -> 1, "q_pack_sequences" -> 1,
-      "q_text_vocab_prune" -> 1, "q_join_dpp" -> 1)
+      "q_text_vocab_prune" -> 1, "q_join_dpp" -> 1,
+      "q_text_ppl_buckets" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
