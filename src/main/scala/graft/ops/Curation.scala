@@ -1284,9 +1284,109 @@ object Curation {
                    CAST((td // 2) * final_micro // 1000000 AS BIGINT) AS budget_docs
             FROM f2 ORDER BY source"""))
 
+  // ------------------------------------------------- repeat-epoch budget
+
+  /** Repeat-epoch value decay in micro-units: the k-th epoch over the
+    * same domain is worth (3/4)^(k-1) of a fresh one, truncated at each
+    * step (successive `v*3 div 4` — BOTH engines spell the table the
+    * same way), hard-capped at [[MaxEpochs]]. The 3/4-per-epoch /
+    * worthless-past-8 shape is the D1 integer surrogate of the
+    * data-constrained scaling fit (Muennighoff et al. NeurIPS'23,
+    * arXiv:2305.16264: repeated epochs decay smoothly, ~4 epochs are
+    * near-free, >8 add nothing).
+    */
+  private[graft] val MaxEpochs = 8
+  private[graft] val EpochDecayMicro: Seq[Long] = {
+    val b = Seq.newBuilder[Long]; var v = 1000000L
+    (1 to MaxEpochs).foreach { _ => b += v; v = v * 3 / 4 }
+    b.result()
+  }
+
+  /** Token budget as a multiple of the unique corpus: 2× forces epoching
+    * (the data-constrained regime — budget exceeds unique data).
+    */
+  private val EpochBudgetMult = 2L
+
+  /** Data-constrained epoch allocation (Muennighoff et al. NeurIPS'23):
+    * given a token budget of [[EpochBudgetMult]]× the unique corpus,
+    * decide how many REPEAT EPOCHS each domain trains for when value
+    * decays per [[EpochDecayMicro]]. Marginal values are exactly
+    * decreasing within a domain, so greedy-by-marginal-value is the
+    * optimal allocation — all (domain, epoch ≤ 8) candidates are ranked
+    * by value v = uniq_tok·decay div 1e6 (total order: v desc, source,
+    * epoch — deterministic under truncation ties) and admitted while the
+    * running token cost BEFORE the row is under budget (the
+    * `q_mix_token_budget` greedy-fill rule, so admitted epochs are a
+    * prefix and per-domain contiguous 1..e). Domains priced out entirely
+    * report 0 epochs — unlike `q_mix_doremi` there is deliberately no
+    * smoothing floor; the starvation behavior IS the allocation's
+    * property. Exact in BIGINT through ~9e12 tokens per domain
+    * (uniq_tok·1e6 < 2⁶³).
+    *
+    * Scale shape: one corpus scan → map-combinable per-source token agg;
+    * everything after runs on the ≤ 8·|sources| candidate frame
+    * (map-only posexplode of the 8-literal decay array — no join), with
+    * the 1-row budget broadcast and ONE partition-less cumulative window
+    * over that bounded frame (PlanLintSpec registry). Output ≤ |sources|
+    * rows.
+    */
+  private[graft] def mixEpochsFrom(docs: DataFrame): DataFrame = {
+    val uq = docs.groupBy("source")
+      .agg(expr("CAST(SUM(size(split(text, ' '))) AS BIGINT)").as("uniq_tok"))
+      .localCheckpoint(true) // three consumers: budget total, candidates, report spine
+    val tot = uq.agg(expr(s"CAST(SUM(uniq_tok) * $EpochBudgetMult AS BIGINT)").as("bud"))
+    val cand = uq.select(col("source"), col("uniq_tok"),
+        posexplode(array(EpochDecayMicro.map(lit(_)): _*)).as(Seq("i", "decay_micro")))
+      .withColumn("epoch", (col("i") + 1).cast("long")).drop("i")
+      .withColumn("v_micro", expr("uniq_tok * decay_micro DIV 1000000"))
+    val w = Window.orderBy(col("v_micro").desc, col("source"), col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = cand
+      .withColumn("pre", coalesce(sum("uniq_tok").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .filter(col("pre") < col("bud"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("epochs"), sum("uniq_tok").as("alloc_tok"),
+        sum("v_micro").as("eff_micro"))
+    uq.join(per, Seq("source"), "left")
+      .select(col("source"), col("uniq_tok"),
+        coalesce(col("epochs"), lit(0L)).as("epochs"),
+        coalesce(col("alloc_tok"), lit(0L)).as("alloc_tok"),
+        coalesce(col("eff_micro"), lit(0L)).as("eff_micro"))
+      .orderBy("source")
+  }
+
+  private val qMixEpochs = Q(
+    "q_mix_epochs",
+    (s, dir) => mixEpochsFrom(Tables(s, dir, "documents")),
+    Some(s"""WITH uq AS (SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS uniq_tok
+                  FROM documents GROUP BY source),
+            tot AS (SELECT CAST(SUM(uniq_tok) * $EpochBudgetMult AS BIGINT) AS bud FROM uq),
+            dk AS (SELECT * FROM (VALUES ${EpochDecayMicro.zipWithIndex
+              .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")})
+                   AS t(epoch, decay_micro)),
+            cand AS (SELECT source, uniq_tok, CAST(epoch AS BIGINT) AS epoch,
+                      uniq_tok * decay_micro // 1000000 AS v_micro
+                     FROM uq CROSS JOIN dk),
+            adm AS (SELECT *, COALESCE(SUM(uniq_tok) OVER (
+                      ORDER BY v_micro DESC, source, epoch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+                    FROM cand),
+            kept AS (SELECT * FROM adm CROSS JOIN tot WHERE pre < bud),
+            per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS epochs,
+                     CAST(SUM(uniq_tok) AS BIGINT) AS alloc_tok,
+                     CAST(SUM(v_micro) AS BIGINT) AS eff_micro
+                    FROM kept GROUP BY source)
+            SELECT uq.source, uniq_tok,
+             CAST(COALESCE(epochs, 0) AS BIGINT) AS epochs,
+             CAST(COALESCE(alloc_tok, 0) AS BIGINT) AS alloc_tok,
+             CAST(COALESCE(eff_micro, 0) AS BIGINT) AS eff_micro
+            FROM uq LEFT JOIN per USING (source) ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
-    qSampleDsir, qCurateLrStep, qCurateLrFilter, qMixDoremi)
+    qSampleDsir, qCurateLrStep, qCurateLrFilter, qMixDoremi, qMixEpochs)
 }

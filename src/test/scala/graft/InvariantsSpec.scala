@@ -794,6 +794,38 @@ class InvariantsSpec extends SparkSpec {
     assert(mMin > tMax, s"middle min $mMin overlaps tail max $tMax")
   }
 
+  test("epoch allocation: conserved, budget-crossing, capped, and beats uniform-2-epoch value") {
+    val docs = spark.read.parquet(s"$floorDir/documents.parquet")
+    val rows = SparkEntry.queries("q_mix_epochs")(spark, floorDir).collect()
+    // (a) the unique-token census covers the corpus exactly
+    val corpusTok = docs.selectExpr("CAST(SUM(size(split(text, ' '))) AS BIGINT)")
+      .collect()(0).getLong(0)
+    val uniq = rows.map(_.getAs[Long]("uniq_tok")).sum
+    assert(uniq == corpusTok, s"census $uniq != corpus $corpusTok tokens")
+    // (b) greedy-fill envelope: the prefix rule crosses the budget
+    // (candidate mass 8× always exceeds the 2× budget) and overshoots
+    // by at most the last admitted row's cost
+    val bud = 2L * uniq
+    val alloc = rows.map(_.getAs[Long]("alloc_tok")).sum
+    val maxU = rows.map(_.getAs[Long]("uniq_tok")).max
+    assert(alloc >= bud && alloc < bud + maxU,
+      s"allocated $alloc outside the greedy-fill envelope [$bud, ${bud + maxU})")
+    // (c) the epoch cap holds per domain, and alloc = epochs · uniq
+    rows.foreach { r =>
+      val e = r.getAs[Long]("epochs")
+      assert(e >= 0L && e <= ops.Curation.MaxEpochs,
+        s"${r.getAs[String]("source")}: $e epochs outside [0, 8]")
+      assert(r.getAs[Long]("alloc_tok") == e * r.getAs[Long]("uniq_tok"))
+    }
+    // (d) greedy optimality vs the obvious alternative: total effective
+    // value must beat uniform 2-epochs-everywhere at the same budget
+    // (value (1 + 0.75)·T — the greedy prefix spends ≥ that cost on the
+    // highest value-per-token rows; 1.74 absorbs truncation slack)
+    val eff = rows.map(_.getAs[Long]("eff_micro")).sum
+    assert(eff * 100L >= uniq * 174L,
+      s"greedy value $eff below the uniform-2-epoch floor ${uniq * 174L / 100L}")
+  }
+
   test("hnsw layering: the upper layer is a deterministic ~sqrt(n) hash election") {
     // the layered search's entry quality rests on the upper layer being
     // (a) non-empty, (b) ~sqrt(n)-sized (hash threshold n^(-1/2) — a

@@ -47,6 +47,9 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcasts (token total, global mean, share totals) fanned
       // onto the vocab probability frame and the ≤|sources| share frame
       "q_mix_doremi",
+      // 1-row broadcast budget fanned onto the ≤ 8·|sources| epoch
+      // candidate frame (map-only posexplode, no per-doc join at all)
+      "q_mix_epochs",
       // 1-row broadcast (max-dims scalar → plane frame) feeding the
       // map-only JL projection; no per-pair join exists in the query
       "q_vec_project",
@@ -105,12 +108,14 @@ class PlanLintSpec extends SparkSpec {
   //   q_text_ppl_buckets — cumulative rank over the score HISTOGRAM,
   //                        bounded by the ≤1e6-value integer score grid
   //                        (~350 rows at the fixture), never the corpus
+  //   q_mix_epochs       — running cost over the ≤ 8·|sources| epoch
+  //                        candidate frame
   // A new partition-less window anywhere else — or a second one at these
   // sites — fails the per-query lint below.
   private val unpartitionedWindowOk =
     Map("q_agg_anomaly" -> 1, "q_pack_sequences" -> 1,
       "q_text_vocab_prune" -> 1, "q_join_dpp" -> 1,
-      "q_text_ppl_buckets" -> 1)
+      "q_text_ppl_buckets" -> 1, "q_mix_epochs" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
