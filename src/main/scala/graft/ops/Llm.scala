@@ -3537,6 +3537,77 @@ object Llm {
              FROM tok GROUP BY token
              ORDER BY token_cnt DESC, token LIMIT 30"""))
 
+  /** Tokenizer FERTILITY audit per language (Rust et al. ACL'21 "How Good
+    * is Your Tokenizer?" — fertility = subword tokens emitted per word;
+    * the multilingual-fairness table a tokenizer review reads to see
+    * which languages a shared vocabulary serves worse, the BLOOM/NLLB
+    * report staple). The corpus-trained [[bpeMerges]] list (the SAME
+    * 3-merge model `q_text_bpe_apply` ships — one training run, shared
+    * CTE spelling, so audit and tokenizer cannot drift) is applied to
+    * the per-language word-count table and each language reports: words,
+    * emitted tokens, characters, fertility (tokens/word) and compression
+    * (chars/token), both floor-truncated micro-ratios.
+    *
+    * Scale shape: training is the established corpus-sublinear
+    * word-count superstep loop; the audit itself is one (lang, w)
+    * map-combinable count agg, map-only chained literal replaces over
+    * that vocab-sized frame (no shuffle between merges), and a final
+    * ≤|langs|-row agg. Nothing corpus-sized past the word census.
+    */
+  private val qTextFertility = Q(
+    "q_text_fertility",
+    (s, dir) => {
+      val merges = bpeMerges(s, dir)
+      val vc0 = Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("lang", "w").agg(count(lit(1)).as("wc"))
+        .select(col("lang"), col("w"), col("wc"), concat_ws(BpeSep, expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym_str"))
+      val tokenized = merges.foldLeft(vc0) { case (vc, (_, l, r, _)) =>
+        vc.select(col("lang"), col("w"), col("wc"),
+          bpeApplyMerge(col("sym_str"), l, r).as("sym_str"))
+      }
+      tokenized
+        .select(col("lang"), col("wc"),
+          length(col("w")).cast("long").as("nc"),
+          size(split(col("sym_str"),
+            java.util.regex.Pattern.quote(BpeSep))).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(sum("wc").as("n_words"),
+          sum(expr("nt * wc")).as("n_tokens"),
+          sum(expr("nc * wc")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          expr("n_tokens * 1000000L div n_words").as("fert_micro"),
+          expr("n_chars * 1000000L div n_tokens").as("cpt_micro"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $bpeTrainSql,
+             aw AS (SELECT lang, u.tok AS w
+                    FROM documents, unnest(string_split(text, ' ')) u(tok)
+                    WHERE length(u.tok) >= 1),
+             awc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wc
+                     FROM aw GROUP BY lang, w),
+             fv0 AS (SELECT lang, w, wc, array_to_string(list_transform(
+                       range(1, length(w) + 1),
+                       i -> substr(w, CAST(i AS INT), 1)), chr(31)) AS s FROM awc),
+             fv1 AS (SELECT lang, w, wc, replace(s, l || chr(31) || r, l || r) AS s
+                     FROM fv0 CROSS JOIN t1),
+             fv2 AS (SELECT lang, w, wc, replace(s, l || chr(31) || r, l || r) AS s
+                     FROM fv1 CROSS JOIN t2),
+             fv3 AS (SELECT lang, w, wc, replace(s, l || chr(31) || r, l || r) AS s
+                     FROM fv2 CROSS JOIN t3),
+             fin AS (SELECT lang, wc, CAST(length(w) AS BIGINT) AS nc,
+                      CAST(len(string_split(s, chr(31))) AS BIGINT) AS nt FROM fv3),
+             ag AS (SELECT lang, CAST(SUM(wc) AS BIGINT) AS n_words,
+                     CAST(SUM(nt * wc) AS BIGINT) AS n_tokens,
+                     CAST(SUM(nc * wc) AS BIGINT) AS n_chars
+                    FROM fin GROUP BY lang)
+             SELECT lang, n_words, n_tokens, n_chars,
+                    n_tokens * 1000000 // n_words AS fert_micro,
+                    n_chars * 1000000 // n_tokens AS cpt_micro
+             FROM ag ORDER BY lang"""))
+
   private val qTextStats = Q(
     "q_text_stats",
     (s, dir) => {
@@ -5012,6 +5083,6 @@ object Llm {
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextLmScore, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)
 }

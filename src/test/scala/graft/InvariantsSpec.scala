@@ -826,6 +826,25 @@ class InvariantsSpec extends SparkSpec {
       s"greedy value $eff below the uniform-2-epoch floor ${uniq * 174L / 100L}")
   }
 
+  test("fertility audit: bounds hold per language and the trained merges compress the corpus") {
+    val rows = SparkEntry.queries("q_text_fertility")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"))
+      // every word emits ≥ 1 token, every token covers ≥ 1 char — so
+      // fertility ∈ [1, chars/word] and chars/token ≥ 1 by construction
+      assert(w <= t && t <= c, s"$lang: token total $t outside [words $w, chars $c]")
+      assert(r.getAs[Long]("fert_micro") >= 1000000L, s"$lang: fertility below 1")
+      assert(r.getAs[Long]("cpt_micro") >= 1000000L, s"$lang: chars/token below 1")
+    }
+    // the 3 trained merges must actually tokenize: corpus-wide emitted
+    // tokens strictly below the char-level baseline (Σ chars) — a
+    // no-op merge list would make the audit vacuous
+    val (tt, tc) = (rows.map(_.getAs[Long]("n_tokens")).sum, rows.map(_.getAs[Long]("n_chars")).sum)
+    assert(tt < tc, s"merges compressed nothing: tokens $tt vs chars $tc")
+  }
+
   test("hnsw layering: the upper layer is a deterministic ~sqrt(n) hash election") {
     // the layered search's entry quality rests on the upper layer being
     // (a) non-empty, (b) ~sqrt(n)-sized (hash threshold n^(-1/2) — a
