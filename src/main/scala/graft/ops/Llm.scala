@@ -465,6 +465,83 @@ object Llm {
              FROM lab GROUP BY src_a, src_b
              ORDER BY n_pairs DESC, src_a, src_b"""))
 
+  /** Train→eval near-dup LEAKAGE audit — the "dedup BEFORE you split"
+    * check (Lee et al. ACL'22 measured benchmark answers leaking into
+    * training sets through near-duplicates; every serious eval hygiene
+    * pass runs this table): near-dup pairs (lexical Jaccard ≥ 0.1, the
+    * `q_dedup_jaccard` bar, over the SAME persisted pair artifact) with
+    * one side in 'train' and the other in 'val'/'test' under THE
+    * declared split — the salt/threshold spelling below is deliberately
+    * identical to `q_split_train`'s (salt "split", 80/10/10), so this
+    * audits the split the library actually ships, not a lookalike.
+    * val↔test pairs are excluded by construction: the question is
+    * training contamination of held-out data, not eval-internal
+    * duplication. Output per eval split: docs, leaked docs (distinct
+    * eval docs with ≥ 1 train twin), leaking pairs, and the leak rate
+    * in basis points — zeros preserved so "no leakage" is a row, not an
+    * absence.
+    *
+    * Cost: rides [[jaccardPairs]] (built once per corpus, df-capped,
+    * never all-pairs) + two doc_id-keyed joins against the skinny
+    * map-only split-assignment frame + a ≤ 2-row census/agg — at 100 TB
+    * this is artifact-read + metadata work, the `q_source_overlap`
+    * claim.
+    */
+  private val qSplitLeakage = Q(
+    "q_split_leakage",
+    (s, dir) => {
+      // q_split_train's exact assignment spelling (salt "split", 80/10/10)
+      val asn = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(md5U01Spark("concat('split_', CAST(doc_id AS STRING))")).as("u"))
+        .withColumn("split", expr(
+          "CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train' " +
+            "WHEN u < CAST(0.9 AS DOUBLE) THEN 'val' ELSE 'test' END"))
+        .select("doc_id", "split")
+      val leaks = jaccardPairs(s, dir).filter(col("jac") >= 0.1)
+        .join(asn.select(col("doc_id").as("d1"), col("split").as("sp1")), "d1")
+        .join(asn.select(col("doc_id").as("d2"), col("split").as("sp2")), "d2")
+        .filter((col("sp1") === "train" && col("sp2") =!= "train") ||
+          (col("sp2") === "train" && col("sp1") =!= "train"))
+        .select(
+          when(col("sp1") === "train", col("d2")).otherwise(col("d1")).as("eval_doc"),
+          when(col("sp1") === "train", col("sp2")).otherwise(col("sp1")).as("split"))
+        .groupBy("split")
+        .agg(countDistinct("eval_doc").as("n_leaked"), count(lit(1)).as("n_pairs"))
+      asn.filter(col("split") =!= "train")
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .join(leaks, Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          expr("coalesce(n_leaked, 0L) * 10000L div n_docs").as("leak_bp"))
+        .orderBy("split")
+    },
+    Some(s"""WITH $pairsSql,
+             j AS (SELECT d1, d2 FROM pr
+                   JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+                   WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) / 10000 >= 0.1),
+             asn AS (SELECT doc_id,
+                      CASE WHEN ${md5U01Sql("'split_' || CAST(doc_id AS VARCHAR)")} < CAST(0.8 AS DOUBLE) THEN 'train'
+                           WHEN ${md5U01Sql("'split_' || CAST(doc_id AS VARCHAR)")} < CAST(0.9 AS DOUBLE) THEN 'val'
+                           ELSE 'test' END AS split
+                     FROM documents),
+             lk AS (SELECT CASE WHEN a1.split = 'train' THEN j.d2 ELSE j.d1 END AS eval_doc,
+                     CASE WHEN a1.split = 'train' THEN a2.split ELSE a1.split END AS split
+                    FROM j JOIN asn a1 ON j.d1 = a1.doc_id JOIN asn a2 ON j.d2 = a2.doc_id
+                    WHERE (a1.split = 'train' AND a2.split <> 'train')
+                       OR (a2.split = 'train' AND a1.split <> 'train')),
+             lg AS (SELECT split, CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_leaked,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs
+                    FROM lk GROUP BY split),
+             cs AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM asn WHERE split <> 'train' GROUP BY split)
+             SELECT cs.split, n_docs,
+              CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
+              CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+              CAST(COALESCE(n_leaked, 0) * 10000 // n_docs AS BIGINT) AS leak_bp
+             FROM cs LEFT JOIN lg USING (split) ORDER BY cs.split"""))
+
   private val qDedupJaccard = Q(
     "q_dedup_jaccard",
     (s, dir) =>
@@ -5076,7 +5153,7 @@ object Llm {
              FROM m ORDER BY cell"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
+    qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qSplitLeakage, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,

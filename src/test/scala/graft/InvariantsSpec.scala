@@ -845,6 +845,35 @@ class InvariantsSpec extends SparkSpec {
     assert(tt < tc, s"merges compressed nothing: tokens $tt vs chars $tc")
   }
 
+  test("split leakage: census agrees with the declared split, bounds hold, fixture leaks") {
+    val rows = SparkEntry.queries("q_split_leakage")(spark, floorDir).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("val", "test"), s"eval splits present: ${rows.keySet}")
+    // (a) the audit's eval census IS q_split_train's (same salt, same
+    // thresholds — a drifted spelling would disagree here first)
+    val split = SparkEntry.queries("q_split_train")(spark, floorDir).collect()
+      .groupBy(_.getAs[String]("split")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    Seq("val", "test").foreach { sp =>
+      assert(rows(sp).getAs[Long]("n_docs") == split(sp),
+        s"$sp census ${rows(sp).getAs[Long]("n_docs")} != declared split ${split(sp)}")
+    }
+    // (b) per-split bounds: leaked docs ≤ leaking pairs and ≤ the census;
+    // leak_bp consistent with its own integer definition
+    rows.values.foreach { r =>
+      val (d, l, p) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_leaked"), r.getAs[Long]("n_pairs"))
+      assert(l <= p && l <= d, s"${r.getAs[String]("split")}: leaked $l vs pairs $p, docs $d")
+      assert(r.getAs[Long]("leak_bp") == l * 10000L / d)
+    }
+    // (c) cross-split leaking pairs are a subset of the near-dup pair
+    // universe, and the fixture carries real leakage (planted twins are
+    // split-blind) — a regenerated fixture losing this fails loudly
+    val allPairs = SparkEntry.queries("q_dedup_jaccard")(spark, floorDir).count()
+    val leakPairs = rows.values.map(_.getAs[Long]("n_pairs")).sum
+    assert(leakPairs > 0L, "fixture lost its cross-split near-dups")
+    assert(leakPairs <= allPairs, s"leaking pairs $leakPairs exceed the pair universe $allPairs")
+  }
+
   test("hnsw layering: the upper layer is a deterministic ~sqrt(n) hash election") {
     // the layered search's entry quality rests on the upper layer being
     // (a) non-empty, (b) ~sqrt(n)-sized (hash threshold n^(-1/2) — a
