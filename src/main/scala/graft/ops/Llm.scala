@@ -2927,6 +2927,64 @@ object Llm {
             FROM d CROSS JOIN tot
             ORDER BY doc_id"""))
 
+  /** Per-source unigram Shannon ENTROPY census — the corpus-diversity /
+    * boilerplate signal (low-entropy sources are template farms; the
+    * entropy-flavored quality screens of the Gopher/FineWeb lineage read
+    * exactly this table before setting per-source filters). D1: each
+    * term's surprisal ln(T/c) is pre-floored to integer 1e-4-nat units
+    * (the [[idfUnits]] discipline — the ONLY float op is one ln per
+    * vocab row, quantized before any sum, so the per-source total is an
+    * exact BIGINT in both engines), entropy = Σ c·⌊ln(T/c)·1e4⌋ div T.
+    * Evenness is reported as the Pielou ratio entropy/⌊ln(V)·1e4⌋ in
+    * basis points (min(V,…) guard for single-token sources).
+    *
+    * Scale shape: token explode → ONE map-combinable (source, w) census
+    * → per-source totals joined BACK by broadcast (≤ |sources| rows) →
+    * map-only surprisal + one map-combinable per-source agg. The only
+    * corpus-sized shuffle is the census; no window anywhere.
+    */
+  private val qTextEntropy = Q(
+    "q_text_entropy",
+    (s, dir) => {
+      val c = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // two consumers: totals + surprisal scan
+      val t = c.groupBy("source").agg(sum("c").as("tt"), count(lit(1)).as("nv"))
+      c.join(broadcast(t), "source")
+        .withColumn("u", expr(
+          "c * CAST(FLOOR(ln(CAST(tt AS DOUBLE) / c) * 1.0e4) AS BIGINT)"))
+        .groupBy("source")
+        .agg(min("tt").as("n_tokens"), min("nv").as("n_vocab"), sum("u").as("us"))
+        .select(col("source"), col("n_tokens"), col("n_vocab"),
+          expr("us div n_tokens").as("entropy_u"),
+          expr("""(us div n_tokens) * 10000L div
+                  greatest(1L, CAST(FLOOR(ln(CAST(n_vocab AS DOUBLE)) * 1.0e4) AS BIGINT))""")
+            .as("pielou_bp"))
+        .orderBy("source")
+    },
+    Some("""WITH tk AS (SELECT source, u.t AS w
+                  FROM documents, unnest(string_split(text, ' ')) u(t)
+                  WHERE length(u.t) >= 1),
+            c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM tk GROUP BY source, w),
+            t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tt,
+                   CAST(COUNT(*) AS BIGINT) AS nv
+                  FROM c GROUP BY source),
+            su AS (SELECT c.source, tt, nv,
+                    c * CAST(FLOOR(ln(CAST(tt AS DOUBLE) / c) * 1.0e4) AS BIGINT) AS u
+                   FROM c JOIN t ON c.source = t.source),
+            ag AS (SELECT source, MIN(tt) AS n_tokens, MIN(nv) AS n_vocab,
+                    CAST(SUM(u) AS BIGINT) AS us
+                   FROM su GROUP BY source)
+            SELECT source, n_tokens, n_vocab,
+             CAST(us // n_tokens AS BIGINT) AS entropy_u,
+             CAST((us // n_tokens) * 10000 //
+                  greatest(1, CAST(FLOOR(ln(CAST(n_vocab AS DOUBLE)) * 1.0e4) AS BIGINT)) AS BIGINT) AS pielou_bp
+            FROM ag ORDER BY source"""))
+
   /** Heavy-hitter threshold divisor: exact output = terms with
     * frequency > n/[[HeavyK]]; the sketch pass keeps ≤ HeavyK−1
     * counters per partial aggregate.
@@ -5158,7 +5216,7 @@ object Llm {
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
-    qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
+    qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)

@@ -874,6 +874,30 @@ class InvariantsSpec extends SparkSpec {
     assert(leakPairs <= allPairs, s"leaking pairs $leakPairs exceed the pair universe $allPairs")
   }
 
+  test("entropy census: information bounds hold and the fixture carries diverse sources") {
+    val rows = SparkEntry.queries("q_text_entropy")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (t, v) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_vocab"))
+      val h = r.getAs[Long]("entropy_u")
+      assert(v >= 1L && v <= t, s"$src: vocab $v outside [1, tokens $t]")
+      // 0 ≤ H ≤ ln(V): the uniform distribution maximizes entropy; the
+      // per-term floors only LOWER the integer total, so the exact upper
+      // bound (+1 for the final division truncation interplay) holds
+      assert(h >= 0L, s"$src: negative entropy $h")
+      assert(h <= math.floor(math.log(v.toDouble) * 1e4).toLong + 1L,
+        s"$src: entropy $h above the ln(vocab) ceiling")
+      val p = r.getAs[Long]("pielou_bp")
+      assert(p >= 0L && p <= 10001L, s"$src: Pielou $p outside [0, 1]")
+    }
+    // the synthetic sources are near-uniform word salads — evenness
+    // must be decisively high; a regenerated fixture collapsing to
+    // boilerplate (low entropy) fails loudly instead of testing nothing
+    assert(rows.map(_.getAs[Long]("pielou_bp")).min > 5000L,
+      "fixture lost its high-entropy character")
+  }
+
   test("hnsw layering: the upper layer is a deterministic ~sqrt(n) hash election") {
     // the layered search's entry quality rests on the upper layer being
     // (a) non-empty, (b) ~sqrt(n)-sized (hash threshold n^(-1/2) — a
