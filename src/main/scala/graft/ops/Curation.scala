@@ -1164,6 +1164,79 @@ object Curation {
                    CAST(SUM(kept * doc_id) AS BIGINT) AS kept_id_sum
             FROM k GROUP BY source ORDER BY source"""))
 
+  /** Calibration bin count for the classifier reliability table: ten
+    * bins is the standard reliability-diagram resolution (Guo et al.
+    * ICML'17 use 15; ECE is conventionally reported at 10).
+    */
+  private val CalBins = 10L
+
+  /** Classifier CALIBRATION audit — the reliability table read before
+    * trusting a quality filter's scores as probabilities (Guo et al.
+    * ICML'17, "On Calibration of Modern Neural Networks": per score
+    * bin, mean predicted confidence vs empirical accuracy; the gap
+    * column is the per-bin term of ECE). `q_curate_lr_step` trains the
+    * model, `q_curate_lr_filter` keeps docs with P(keep) = σ̂ — that
+    * stochastic keep is only meaningful if σ̂ is CALIBRATED, which is
+    * exactly what this table measures. Scores come from the SAME
+    * declared 2-step trajectory ([[lrTwoStep]] — one spelling, so the
+    * audited model and the applied model cannot drift).
+    *
+    * Bins are equal-WIDTH over the observed score range (min/max from a
+    * 1-row aggregate broadcast): the trained hard-sigmoid scores
+    * concentrate near ½ (2 integer steps move σ̂ a few percent), so
+    * fixed [0,1] deciles would collapse into one bin; range-adaptive
+    * bins resolve the learned ordering at any training depth. The
+    * equal-MASS alternative (ntile over a global score sort) is
+    * rejected: it plans a partition-less window over the corpus. All
+    * arithmetic BIGINT (D1): bin = (sig−mn)·B div (mx−mn+1), means as
+    * floor divisions, gap = |mean predicted − empirical positive rate|
+    * in micro-units.
+    *
+    * Scale shape: the training CTE's aggregates, ONE more broadcast
+    * model join + doc-keyed scoring agg, a 1-row (mn, mx) broadcast,
+    * then a map-combinable ≤ [[CalBins]]-row census — no new
+    * corpus-sized shuffle and no window anywhere.
+    */
+  private val qCurateCalibration = Q(
+    "q_curate_calibration",
+    (s, dir) => {
+      val (x, w2) = lrTwoStep(s, dir)
+      val z2 = x.join(broadcast(w2.select(col("f"), col("w2"))), "f")
+        .groupBy("doc_id").agg(sum(col("w2") * col("x")).as("z"))
+      val sc = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(z2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr(s"greatest(0L, least(${LrMicro}L, " +
+            s"${LrMicro / 2}L + coalesce(z, 0L) div 4))").as("sig"),
+          expr(lrLabelSpark).as("y"))
+      val rng = sc.agg(min("sig").as("mn"), max("sig").as("mx"))
+      sc.crossJoin(broadcast(rng))
+        .withColumn("bin", expr(s"(sig - mn) * ${CalBins}L div (mx - mn + 1L)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(sig) div count(1)").as("mean_pred_micro"),
+          expr("sum(y) div count(1)").as("pos_rate_micro"),
+          expr("abs(sum(sig) div count(1) - sum(y) div count(1))").as("gap_micro"))
+        .orderBy("bin")
+    },
+    Some(s"""WITH $lrOracleCtes,
+            z2 AS (SELECT doc_id, CAST(SUM(w2.w2 * x.x) AS BIGINT) AS z
+                   FROM x JOIN w2 USING (f) GROUP BY doc_id),
+            sc AS (SELECT doc_id,
+                    greatest(0, least($LrMicro, ${LrMicro / 2} + COALESCE(z2.z, 0) // 4)) AS sig,
+                    CAST($lrLabelSql AS BIGINT) AS y
+                   FROM documents LEFT JOIN z2 USING (doc_id)),
+            rng AS (SELECT CAST(MIN(sig) AS BIGINT) AS mn,
+                     CAST(MAX(sig) AS BIGINT) AS mx FROM sc),
+            b AS (SELECT (sig - mn) * $CalBins // (mx - mn + 1) AS bin, sig, y
+                  FROM sc CROSS JOIN rng)
+            SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(sig) // COUNT(*) AS BIGINT) AS mean_pred_micro,
+             CAST(SUM(y) // COUNT(*) AS BIGINT) AS pos_rate_micro,
+             CAST(abs(SUM(sig) // COUNT(*) - SUM(y) // COUNT(*)) AS BIGINT) AS gap_micro
+            FROM b GROUP BY bin ORDER BY bin"""))
+
   // ------------------------------------------------- DoReMi reweighting
 
   /** Exponentiated-gradient amplification η on the relative excess
@@ -1388,5 +1461,6 @@ object Curation {
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
-    qSampleDsir, qCurateLrStep, qCurateLrFilter, qMixDoremi, qMixEpochs)
+    qSampleDsir, qCurateLrStep, qCurateLrFilter, qCurateCalibration,
+    qMixDoremi, qMixEpochs)
 }

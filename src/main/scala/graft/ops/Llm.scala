@@ -4725,6 +4725,84 @@ object Llm {
                               FROM lbl GROUP BY rep) s USING (rep)
              ORDER BY l.doc_id"""))
 
+  /** Cluster-PRECISION audit of the transitive dedup closure — the
+    * companion number to `q_dedup_eval`'s recall: connected components
+    * merge A–B–C chains even when A~C was never observed, so a
+    * threshold that LSH-recall says is safe can still over-merge once
+    * closed transitively (the "chain inflation" every production dedup
+    * report inspects via its cluster-size histogram before committing a
+    * keep-list — RefinedWeb (Penedo et al. 2023 §4) and SlimPajama both
+    * publish exactly this table). Per cluster-size bucket (exact sizes
+    * 2–7, 8+ pooled so the frame stays ≤ 7 rows at any scale): cluster
+    * and member counts, DIRECTLY-observed edges vs the closure's
+    * possible pairs s·(s−1)/2, edge density in basis points, and the
+    * weakest direct similarity admitted (min jac, bp). Density 10000 =
+    * every merged pair was actually scored (no inflation); a low-density
+    * big-cluster bucket is the signal to raise the threshold or
+    * re-score before deleting.
+    *
+    * Scale shape: rides the once-per-corpus [[jaccardPairs]] artifact
+    * and the O(log n)-round CC labels; one doc-keyed label join on the
+    * pair frame, a rep-keyed agg, then the ≤ 7-row bucket census — no
+    * new corpus-sized work beyond frames the cluster family already
+    * builds.
+    */
+  private val qDedupClusterPrecision = Q(
+    "q_dedup_cluster_precision",
+    (s, dir) => {
+      val pairs = jaccardPairs(s, dir).filter(col("jac") >= 0.4)
+        .select(col("d1"), col("d2"),
+          expr("CAST(floor(jac * 10000) AS BIGINT)").as("jac_bp"))
+        .localCheckpoint(true) // two consumers: CC edges + the edge audit
+      val (lbl, _) = ConnectedComponents.labels(
+        pairs.select(col("d1").as("a"), col("d2").as("b")))
+      val sz = lbl.groupBy(col("lbl").as("rep")).agg(count(lit(1)).as("sz"))
+      // every observed edge lies inside one cluster by construction —
+      // label it through its d1 endpoint
+      val ed = pairs
+        .join(lbl.select(col("id").as("d1"), col("lbl").as("rep")), "d1")
+        .groupBy("rep").agg(count(lit(1)).as("ne"), min("jac_bp").as("mj"))
+      sz.join(ed, "rep")
+        .withColumn("bucket", least(col("sz"), lit(8L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_members"),
+          sum("ne").as("n_edges"),
+          sum(expr("sz * (sz - 1L) div 2L")).as("n_possible"),
+          min("mj").as("min_jac_bp"))
+        .withColumn("density_bp", expr("n_edges * 10000L div n_possible"))
+        .select(col("bucket"), col("n_clusters"), col("n_members"),
+          col("n_edges"), col("n_possible"), col("density_bp"), col("min_jac_bp"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH RECURSIVE $pairsSql,
+             ed AS (SELECT d1, d2,
+                     CAST(FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) AS BIGINT) AS jac_bp
+                    FROM pr JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+                    WHERE FLOOR(inter / CAST(c1.n_sh + c2.n_sh - inter AS DOUBLE) * 10000) >= 4000),
+             ud AS (SELECT d1 AS a, d2 AS b FROM ed
+                    UNION SELECT d2, d1 FROM ed),
+             reach(a, b) AS (SELECT a, b FROM ud
+                             UNION
+                             SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+             lbl AS (SELECT a AS id, LEAST(a, MIN(b)) AS lbl
+                     FROM reach GROUP BY a),
+             sz AS (SELECT lbl AS rep, CAST(COUNT(*) AS BIGINT) AS sz
+                    FROM lbl GROUP BY lbl),
+             epc AS (SELECT l.lbl AS rep, CAST(COUNT(*) AS BIGINT) AS ne,
+                      CAST(MIN(jac_bp) AS BIGINT) AS mj
+                     FROM ed JOIN lbl l ON ed.d1 = l.id GROUP BY l.lbl),
+             cl AS (SELECT LEAST(sz, 8) AS bucket, sz, ne, mj
+                    FROM sz JOIN epc USING (rep))
+             SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(sz) AS BIGINT) AS n_members,
+              CAST(SUM(ne) AS BIGINT) AS n_edges,
+              CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_possible,
+              CAST(SUM(ne) * 10000 // SUM(sz * (sz - 1) // 2) AS BIGINT) AS density_bp,
+              CAST(MIN(mj) AS BIGINT) AS min_jac_bp
+             FROM cl GROUP BY bucket ORDER BY bucket"""))
+
   /** Canonical-representative election by QUALITY — the curation policy
     * real pipelines layer on top of near-dup clustering: within each
     * `q_dedup_cluster` component, keep not the min-id member (the
@@ -5211,7 +5289,7 @@ object Llm {
              FROM m ORDER BY cell"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qSplitLeakage, qDedupNear, qDedupCluster, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
+    qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qSplitLeakage, qDedupNear, qDedupCluster, qDedupClusterPrecision, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,

@@ -730,6 +730,37 @@ class InvariantsSpec extends SparkSpec {
     assert(mp > mn, f"learned filter does not favor the trained-toward class ($mp%.0f <= $mn%.0f)")
   }
 
+  test("lr calibration: bins conserve the corpus, rates are probabilities, score orders the label") {
+    val docs = spark.read.parquet(s"$floorDir/documents.parquet")
+    val nDocs = docs.count()
+    val rows = SparkEntry.queries("q_curate_calibration")(spark, floorDir).collect()
+    // (a) a reliability table: ≤ 10 bins, every doc in exactly one
+    assert(rows.nonEmpty && rows.length <= 10, s"${rows.length} bins")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "bins lose or double-count docs")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0L && b <= 9L, s"bin $b outside [0, 9]")
+      val (p, y) = (r.getAs[Long]("mean_pred_micro"), r.getAs[Long]("pos_rate_micro"))
+      assert(p >= 0L && p <= 1000000L, s"bin $b: predicted $p not a probability")
+      assert(y >= 0L && y <= 1000000L, s"bin $b: positive rate $y not a probability")
+      assert(r.getAs[Long]("gap_micro") == math.abs(p - y), s"bin $b: gap is not |pred - rate|")
+    }
+    // (b) the learned score ORDERS the label: doc-weighted covariance
+    // between per-bin mean prediction and per-bin positive rate is
+    // strictly positive — the binned spelling of "accuracy beats the
+    // majority baseline" (exact integer inputs, no sampling noise)
+    val n = rows.map(_.getAs[Long]("n_docs").toDouble)
+    val p = rows.map(_.getAs[Long]("mean_pred_micro").toDouble)
+    val y = rows.map(_.getAs[Long]("pos_rate_micro").toDouble)
+    val tot = n.sum
+    val (pBar, yBar) = ((n, p).zipped.map(_ * _).sum / tot, (n, y).zipped.map(_ * _).sum / tot)
+    val cov = (0 until rows.length).map(i => n(i) * (p(i) - pBar) * (y(i) - yBar)).sum / tot
+    // ECE (the gap column's doc-weighted mean) — reported for the record
+    val ece = rows.map(r => r.getAs[Long]("n_docs") * r.getAs[Long]("gap_micro")).sum / tot / 1e6
+    info(f"calibration: ${rows.length} bins, ECE = $ece%.4f, score-label covariance = $cov%.1f")
+    assert(cov > 0.0, f"score does not order the label (covariance $cov%.1f <= 0)")
+  }
+
   test("doremi reweighting: shares normalize, no domain starves, budget bounded, excess upweights") {
     val docs = spark.read.parquet(s"$floorDir/documents.parquet")
     val rows = SparkEntry.queries("q_mix_doremi")(spark, floorDir).collect()
@@ -1312,6 +1343,42 @@ class InvariantsSpec extends SparkSpec {
     // near-dup territory; the pipeline missing these means shingling,
     // the df cap, or the threshold regressed
     assert(bp >= 9000, s"planted-twin recall collapsed: $bp bp")
+  }
+
+  test("cluster precision: bucket census is graph-consistent with the declared clustering") {
+    val rows = SparkEntry.queries("q_dedup_cluster_precision")(spark, floorDir).collect()
+    assert(rows.nonEmpty, "fixture carries no dup clusters to audit")
+    assert(rows.length <= 7, s"${rows.length} buckets (2..7 exact + 8+ pooled)")
+    rows.foreach { r =>
+      val (b, nc) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_clusters"))
+      val (m, e, p) = (r.getAs[Long]("n_members"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("n_possible"))
+      assert(b >= 2L && b <= 8L, s"bucket $b outside [2, 8]")
+      // graph bounds: a size-s component has between s-1 (tree) and
+      // s(s-1)/2 (clique) observed edges; members are exactly s per cluster
+      if (b < 8L) {
+        assert(m == nc * b, s"bucket $b: members $m != clusters $nc × size")
+        assert(e >= nc * (b - 1), s"bucket $b: fewer edges than spanning trees")
+      }
+      assert(e <= p, s"bucket $b: observed edges $e exceed possible pairs $p")
+      val d = r.getAs[Long]("density_bp")
+      assert(d == e * 10000L / p, s"bucket $b: density not the integer ratio")
+      assert(d >= 1L && d <= 10000L, s"bucket $b: density $d outside (0, 10000]")
+      // every admitted edge cleared the clustering threshold
+      assert(r.getAs[Long]("min_jac_bp") >= 4000L, s"bucket $b: sub-threshold edge admitted")
+    }
+    // size-2 clusters exist only because their single pair was observed —
+    // the bucket where transitive inflation is impossible by construction
+    rows.find(_.getAs[Long]("bucket") == 2L).foreach { r =>
+      assert(r.getAs[Long]("density_bp") == 10000L, "pair clusters must be fully dense")
+    }
+    // agreement with q_dedup_cluster: same members, same cluster count
+    val cl = SparkEntry.queries("q_dedup_cluster")(spark, floorDir)
+    assert(rows.map(_.getAs[Long]("n_members")).sum == cl.count(),
+      "audit loses or double-counts clustered docs")
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum ==
+      cl.select("rep").distinct().count(),
+      "audit cluster count disagrees with the declared clustering")
   }
 
   test("transition matrix: conserves adjacent pairs and rows sum to ~10000 bp") {
