@@ -469,6 +469,77 @@ object Etl {
              FROM binned GROUP BY route, file_id
              ORDER BY route, file_id"""))
 
+  /** File-manifest / ZONE-MAP audit — the data-skipping stats table every
+    * lakehouse scan planner reads before touching data (Iceberg manifests,
+    * Delta file stats, Snowflake micro-partition zone maps — Dageville et
+    * al. SIGMOD'16): per file, row count and per-column min/max, plus the
+    * skip decision for a declared predicate (shipdate within calendar
+    * 1996). The operator's semantic content is the LAYOUT comparison: the
+    * same rows manifested under two physical layouts — `arrival` (files
+    * cut by orderkey range, the insert order) and `clustered` (files cut
+    * by shipdate range, what `q_etl_zorder` exists to produce) — so the
+    * output IS the measured claim that clustering turns zone maps from
+    * useless (every arrival file spans all dates → skip nothing) into
+    * near-perfect pruning. Files are 16 equal-width key ranges from a
+    * 1-row min/max broadcast, so the manifest is 32 rows at every scale;
+    * a production manifest grows with file count, which is corpus-linear
+    * but ~6 orders of magnitude below the data it indexes.
+    *
+    * Scale shape: one scan → 1-row range broadcast → map-only double
+    * binning (explode of 2 structs) → ONE map-combinable (layout, file)
+    * agg; min/max carry no arithmetic, so doubles compare exactly.
+    */
+  private val qEtlManifest = Q(
+    "q_etl_manifest",
+    (s, dir) => {
+      // [1996-01-01, 1997-01-01) in epoch micros, UTC
+      val lo = 820454400000000L
+      val hi = 852076800000000L
+      val li = Tables(s, dir, "lineitem").select(
+        col("l_orderkey").as("ok"),
+        // l_shipdate reads as TIMESTAMP_NTZ; the cast is identity under
+        // the session's UTC zone and unix_micros needs the zoned type
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us"),
+        col("l_extendedprice").as("price"))
+      val rng = li.agg(min("ok").as("omn"), max("ok").as("omx"),
+        min("ship_us").as("smn"), max("ship_us").as("smx"))
+      li.crossJoin(broadcast(rng))
+        .select(col("ship_us"), col("price"), explode(expr(
+          """array(named_struct('layout', 'arrival',
+                     'file_id', (ok - omn) * 16L div (omx - omn + 1L)),
+                   named_struct('layout', 'clustered',
+                     'file_id', (ship_us - smn) * 16L div (smx - smn + 1L)))"""))
+          .as("lf"))
+        .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
+          col("ship_us"), col("price"))
+        .groupBy("layout", "file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("ship_us").as("min_ship_us"), max("ship_us").as("max_ship_us"),
+          min("price").as("min_price"), max("price").as("max_price"))
+        .withColumn("skip_1996", expr(
+          s"CAST(max_ship_us < ${lo}L OR min_ship_us >= ${hi}L AS BIGINT)"))
+        .orderBy("layout", "file_id")
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, epoch_us(l_shipdate) AS ship_us,
+                   l_extendedprice AS price FROM lineitem),
+            rng AS (SELECT MIN(ok) AS omn, MAX(ok) AS omx,
+                     MIN(ship_us) AS smn, MAX(ship_us) AS smx FROM li),
+            b AS (SELECT 'arrival' AS layout,
+                   (ok - omn) * 16 // (omx - omn + 1) AS file_id, ship_us, price
+                  FROM li CROSS JOIN rng
+                  UNION ALL
+                  SELECT 'clustered',
+                   (ship_us - smn) * 16 // (smx - smn + 1), ship_us, price
+                  FROM li CROSS JOIN rng)
+            SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(ship_us) AS BIGINT) AS min_ship_us,
+             CAST(MAX(ship_us) AS BIGINT) AS max_ship_us,
+             MIN(price) AS min_price, MAX(price) AS max_price,
+             CAST(MAX(ship_us) < 820454400000000 OR MIN(ship_us) >= 852076800000000
+                  AS BIGINT) AS skip_1996
+            FROM b GROUP BY layout, file_id ORDER BY layout, file_id"""))
+
   /** Pipeline data-quality audit (the dbt-test / expectations story a
     * production ingest pipeline runs after every load): one audit row
     * per declared check — primary-key uniqueness, foreign-key orphans,
@@ -992,7 +1063,7 @@ object Etl {
 
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
-    qEtlCompact, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
+    qEtlCompact, qEtlManifest, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
     qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qEtlKanon,
     qStreamTumbling, qStreamSliding, qStreamSession)
 }

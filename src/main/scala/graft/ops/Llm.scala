@@ -5014,6 +5014,93 @@ object Llm {
                    ELSE sc.n_top * 10000 // sc.n_bigrams END AS lm_bp
             FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** Stupid-Backoff bigram LM scoring across crawl GENERATIONS — the
+    * distributed n-gram LM of Brants et al. EMNLP'07 ("Large Language
+    * Models in Machine Translation"), whose whole point was that at
+    * corpus scale the smoothing can be a constant backoff factor
+    * (S(w2|w1) = c(w1w2)/c(w1) if seen, else 0.4·c(w2)/T) because
+    * counts, not discounts, carry the signal. Train on generation 0
+    * (sources 0–9 — the `q_text_drift` split), score EVERY document:
+    * the CCNet setup where the previous generation's LM screens the
+    * next crawl, and the backoff rate itself is the out-of-model mass —
+    * a drift alarm that, unlike `q_text_drift`'s marginal unigram rates,
+    * sees novel word COMBINATIONS. D1 throughout: seen-bigram score =
+    * c2·1e6 div c1 (≤ 1e6 since c2 ≤ c1), backoff = c1(w2)·4e5 div T
+    * (the 0.4 of the paper), unseen-unigram w2 scores 0; per-source
+    * mean as one floor division. Train-half sources backoff at exactly
+    * 0 bp by construction (their bigrams ARE the census) — pinned in
+    * InvariantsSpec.
+    *
+    * Scale shape: bigram explode (map-only per row) → two map-combinable
+    * train censuses (bigram-keyed, unigram-keyed — corpus-sublinear
+    * tables, the paper's sharded count layout) → the scoring stream
+    * equi-joins bg/w1/w2 against them + a 1-row total broadcast →
+    * map-only CASE score → ≤|sources| census. No window, no pair work.
+    */
+  private val qTextLmBackoff = Q(
+    "q_text_lm_backoff",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      val bg = docs.select(col("source"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))"))
+          .as("bg"))
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+        .localCheckpoint(true) // consumers: both censuses + the scoring stream
+      val isTrain = "try_cast(substring(source, 4) AS BIGINT) < 10"
+      val tr = bg.filter(expr(isTrain))
+      val bi = tr.groupBy("bg").agg(count(lit(1)).as("c2"))
+      // the unigram census is over the train TOKEN stream (not the
+      // bigrams' w1/w2 projections, which would double-count interiors)
+      val uniC = docs.filter(expr(isTrain))
+        .select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(true) // joined twice: as w1 denominator, as w2 backoff
+      val tot = uniC.agg(sum("c1").as("tt"))
+      // plain equi-joins: the bigram census is corpus-sublinear but NOT
+      // broadcast-sized at scale (millions of distinct bigrams at sf1.0);
+      // AQE picks broadcast when a census actually fits
+      bg.join(bi, Seq("bg"), "left")
+        .join(uniC.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a"), Seq("w1"), "left")
+        .join(uniC.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b"), Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("""CASE WHEN c2 IS NOT NULL THEN c2 * 1000000L div c1a
+                       ELSE coalesce(c1b, 0L) * 400000L div tt END""").as("sc"),
+          expr("CASE WHEN c2 IS NULL THEN 1L ELSE 0L END").as("bo"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"), sum("bo").as("n_backoff"),
+          expr("sum(bo) * 10000L div count(1)").as("backoff_bp"),
+          expr("sum(sc) div count(1)").as("mean_score_micro"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS l
+                  FROM documents),
+            b AS (SELECT source, l[i] || ' ' || l[i + 1] AS bg,
+                   l[i] AS w1, l[i + 1] AS w2
+                  FROM d, unnest(range(1, len(l))) AS u(i)),
+            bi AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM b
+                   WHERE TRY_CAST(substring(source, 4) AS BIGINT) < 10 GROUP BY bg),
+            uc AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c1
+                   FROM d, unnest(l) AS u(t)
+                   WHERE TRY_CAST(substring(source, 4) AS BIGINT) < 10 GROUP BY t),
+            tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS tt FROM uc),
+            sc AS (SELECT source,
+                    CASE WHEN bi.c2 IS NOT NULL THEN bi.c2 * 1000000 // u1.c1
+                         ELSE COALESCE(u2.c1, 0) * 400000 // tt END AS sc,
+                    CASE WHEN bi.c2 IS NULL THEN 1 ELSE 0 END AS bo
+                   FROM b LEFT JOIN bi USING (bg)
+                   LEFT JOIN uc u1 ON b.w1 = u1.w
+                   LEFT JOIN uc u2 ON b.w2 = u2.w
+                   CROSS JOIN tot)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(bo) AS BIGINT) AS n_backoff,
+             CAST(SUM(bo) * 10000 // COUNT(*) AS BIGINT) AS backoff_bp,
+             CAST(SUM(sc) // COUNT(*) AS BIGINT) AS mean_score_micro
+            FROM sc GROUP BY source ORDER BY source"""))
+
   /** CCNet perplexity-BUCKET assignment (Wenzek et al. 2020 §4.4 — the
     * shipped form of the LM quality signal: the corpus is split into
     * head / middle / tail TERCILES by language-model score, and
@@ -5296,6 +5383,6 @@ object Llm {
     qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)
 }

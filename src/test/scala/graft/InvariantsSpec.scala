@@ -1381,6 +1381,75 @@ class InvariantsSpec extends SparkSpec {
       "audit cluster count disagrees with the declared clustering")
   }
 
+  test("backoff lm: train half never backs off, eval half does, scores are probabilities") {
+    val rows = SparkEntry.queries("q_text_lm_backoff")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    // bigram conservation: every source's bigrams = Σ max(0, len-1)
+    val expected = Tables(spark, floorDir, "documents")
+      .selectExpr("greatest(0, size(split(text, ' ')) - 1) AS nb")
+      .agg(sum("nb")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_bigrams")).sum == expected,
+      "scored bigrams must conserve the corpus bigram stream")
+    val (train, eval) = rows.partition { r =>
+      scala.util.Try(r.getAs[String]("source").drop(3).toLong).toOption.exists(_ < 10)
+    }
+    assert(train.nonEmpty && eval.nonEmpty, "fixture lost a generation")
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nb, bo) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_backoff"))
+      assert(bo >= 0L && bo <= nb, s"$src: backoff count outside [0, bigrams]")
+      assert(r.getAs[Long]("backoff_bp") == bo * 10000L / nb, s"$src: backoff_bp identity")
+      val m = r.getAs[Long]("mean_score_micro")
+      assert(m >= 0L && m <= 1000000L, s"$src: mean score $m not a probability")
+    }
+    // generation-0 docs' bigrams ARE the census → exact zero backoff;
+    // the new generation as a WHOLE must trip the out-of-model alarm
+    // (per-source zeros are legal under the fixture's ~0.2% drift)
+    train.foreach { r => assert(r.getAs[Long]("n_backoff") == 0L,
+      s"${r.getAs[String]("source")}: train-half doc backed off its own census") }
+    assert(eval.map(_.getAs[Long]("n_backoff")).sum > 0L,
+      "new-generation sources carry no novel combinations — drift fixture regressed")
+    // and in-model text must score higher than out-of-model text: the
+    // bigram-weighted mean over gen-0 strictly above the new generation
+    def wMean(rs: Array[org.apache.spark.sql.Row]): Double = {
+      val nb = rs.map(_.getAs[Long]("n_bigrams")).sum.toDouble
+      rs.map(r => r.getAs[Long]("n_bigrams") * r.getAs[Long]("mean_score_micro")).sum / nb
+    }
+    val (mt, me) = (wMean(train), wMean(eval))
+    info(f"bigram-weighted mean score: train $mt%.0f vs eval $me%.0f micro")
+    assert(mt > me, f"the LM does not prefer its own generation ($mt%.0f <= $me%.0f)")
+  }
+
+  test("manifest zone maps: conservation per layout, ranges sane, clustering enables skipping") {
+    val n = Tables(spark, floorDir, "lineitem").count()
+    val rows = SparkEntry.queries("q_etl_manifest")(spark, floorDir).collect()
+    val byLayout = rows.groupBy(_.getAs[String]("layout"))
+    assert(byLayout.keySet == Set("arrival", "clustered"), "both declared layouts present")
+    byLayout.foreach { case (l, rs) =>
+      assert(rs.length <= 16, s"$l: more files than the declared 16 ranges")
+      assert(rs.map(_.getAs[Long]("n_rows")).sum == n, s"$l: manifest loses rows")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("min_ship_us") <= r.getAs[Long]("max_ship_us"))
+        assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+        // the skip flag IS the zone-map disjointness test, nothing else
+        val disjoint = r.getAs[Long]("max_ship_us") < 820454400000000L ||
+          r.getAs[Long]("min_ship_us") >= 852076800000000L
+        assert((r.getAs[Long]("skip_1996") == 1L) == disjoint,
+          s"$l file ${r.getAs[Long]("file_id")}: skip flag disagrees with the stats")
+      }
+    }
+    // the operator's claim: insert-order files span all dates (skip ~none),
+    // date-clustered files make the 1-year predicate skip most of the
+    // ~7-year span — the measured reason q_etl_zorder exists
+    val skips = byLayout.map { case (l, rs) =>
+      l -> rs.map(_.getAs[Long]("skip_1996")).sum }
+    info(s"skipped files per layout: $skips")
+    assert(skips("clustered") > skips("arrival"),
+      "clustering must strictly improve zone-map pruning")
+    assert(skips("clustered") >= 8L,
+      "date-clustered zone maps must skip most out-of-range files")
+  }
+
   test("transition matrix: conserves adjacent pairs and rows sum to ~10000 bp") {
     val out = SparkEntry.queries("q_win_transitions")(spark, sf).cache()
     try {
