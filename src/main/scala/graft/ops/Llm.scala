@@ -4932,6 +4932,109 @@ object Llm {
     * rounded doubles hash-match), no shuffle but the display sort.
     * Output is flat (vec_id, dim, y) rows per the driver-compare rule.
     */
+  /** One POWER-ITERATION step toward the corpus's principal component —
+    * the rotation/whitening primitive of embedding post-processing (OPQ
+    * learns its PQ rotation from exactly this spectrum, Ge et al. CVPR'13;
+    * retrieval whitening removes the dominant direction, Su et al. 2021
+    * arXiv:2103.15316; all-but-the-top, Mu & Viswanath ICLR'18). Declared
+    * as ONE step from the fixed all-ones start (the kmeans_step /
+    * bpe_step fixed-step-oracle discipline; [[pcaPower]] is the to-depth
+    * library twin, step-1-exact-equal by InvariantsSpec, Rayleigh
+    * quotient non-decreasing over its iterations — the power-method
+    * convergence property, measured not assumed).
+    *
+    * Declared substitutions (D1): components are pre-quantized to
+    * integer milli-units (unit vectors ⇒ |xq| ≤ 1000 — the one float op
+    * per cell happens BEFORE any sum, so every aggregate is an exact
+    * BIGINT in both engines); the iteration runs on the raw second
+    * moment AᵀA, not the centered covariance — for cosine-normalized
+    * corpora the mean is ~0 and this is the standard shortcut. Output
+    * per dimension: the unnormalized image w = AᵀAv₀, its milli-scaled
+    * direction (max-|w| rescale — integer, no sqrt), and the Rayleigh
+    * numerator v₀ᵀAᵀAv₀ = Σsᵢ² as the variance-along-v₀ witness.
+    *
+    * Scale shape: cell explode (map-only) → vec-keyed map-combinable
+    * sum (sᵢ = xᵢ·v₀) → one vec-keyed join back + dim-keyed
+    * map-combinable sum — d = 64 rows out; two 1-row broadcasts. At
+    * 100 TB both shuffles carry ≤ n·d integer cells with full partial
+    * aggregation; the model state (v) is 64 numbers.
+    */
+  private val qVecPcaStep = Q(
+    "q_vec_pca_step",
+    (s, dir) => {
+      val xq = pcaCells(s, dir)
+      // v0 = all-ones: s_i degenerates to the row's component sum
+      val si = xq.groupBy("vec_id").agg(sum("xq").as("s"))
+      val w = xq.join(si, "vec_id")
+        .groupBy("dim").agg(sum(expr("xq * s")).as("w_raw"))
+      val lam = si.agg(sum(expr("s * s")).as("ss"))
+      val mx = w.agg(max(abs(col("w_raw"))).as("mw"))
+      w.crossJoin(broadcast(mx)).crossJoin(broadcast(lam))
+        .select(col("dim").cast("long").as("dim"), col("w_raw"),
+          expr("w_raw * 1000L div greatest(1L, mw)").as("v1_milli"),
+          col("ss").as("rayleigh_num"))
+        .orderBy("dim")
+    },
+    Some("""WITH xq AS (SELECT vec_id, u.j AS dim,
+                   CAST(FLOOR(CAST(embedding[CAST(u.j AS INT) + 1] AS DOUBLE) * 1000) AS BIGINT) AS xq
+                  FROM embeddings, unnest(range(len(embedding))) u(j)),
+            si AS (SELECT vec_id, CAST(SUM(xq) AS BIGINT) AS s FROM xq GROUP BY vec_id),
+            w AS (SELECT dim, CAST(SUM(xq.xq * si.s) AS BIGINT) AS w_raw
+                  FROM xq JOIN si USING (vec_id) GROUP BY dim),
+            lam AS (SELECT CAST(SUM(s * s) AS BIGINT) AS ss FROM si),
+            mx AS (SELECT CAST(MAX(abs(w_raw)) AS BIGINT) AS mw FROM w)
+            SELECT CAST(dim AS BIGINT) AS dim, w_raw,
+             CAST(w_raw * 1000 // greatest(1, mw) AS BIGINT) AS v1_milli,
+             ss AS rayleigh_num
+            FROM w CROSS JOIN mx CROSS JOIN lam ORDER BY dim"""))
+
+  /** The integer-quantized (vec_id, dim, xq) cell frame shared by the
+    * declared PCA step and the [[pcaPower]] loop — one spelling, so the
+    * two cannot drift. Checkpointed: every power step reads it twice.
+    */
+  private def pcaCells(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .as(Seq("dim", "xq")))
+      .localCheckpoint(true)
+
+  /** Power iteration to depth: v ← AᵀAv, max-|w| milli rescale between
+    * steps (integer, no sqrt — direction is what converges). Returns the
+    * per-step (vector, Rayleigh numerator, denominator) trajectory; the
+    * driver holds only the d = 64-value model per step (the BPE/CC
+    * driver-scalar election pattern — per-step collect is model-sized,
+    * never corpus-sized). Rayleigh λ(v) = vᵀAᵀAv / vᵀv as an exact
+    * integer pair, so the monotonicity proof needs no float division.
+    */
+  private[graft] def pcaPower(s: SparkSession, dir: String, steps: Int)
+      : Seq[(Array[Long], BigInt, BigInt)] = {
+    val xq = pcaCells(s, dir)
+    val d = xq.agg(max("dim")).collect()(0).getInt(0) + 1
+    // start at the declared query's all-ones v0 (step 1 is exact-equal
+    // to q_vec_pca_step); later steps carry milli-rescaled precision
+    var v = Array.fill(d)(1L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], BigInt, BigInt)]
+    for (_ <- 1 to steps) {
+      val vExpr = s"element_at(array(${v.mkString("L,")}L), CAST(dim AS INT) + 1)"
+      val si = xq.withColumn("vj", expr(vExpr))
+        .groupBy("vec_id").agg(sum(expr("xq * vj")).as("s"))
+        .localCheckpoint(true) // consumers: w pass + Rayleigh numerator
+      val wRows = xq.join(si, "vec_id")
+        .groupBy("dim").agg(sum(expr("xq * s")).as("w"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val num = BigInt(si.agg(sum(expr("s * s"))).collect()(0).getLong(0))
+      val den = v.map(x => BigInt(x) * BigInt(x)).sum
+      out += ((v.clone(), num, den))
+      val w = Array.fill(d)(0L)
+      wRows.foreach { case (j, x) => w(j) = x }
+      val mw = math.max(1L, w.map(math.abs).max)
+      v = w.map(x => x * 1000L / mw)
+    }
+    out.toSeq
+  }
+
   private val qVecProject = Q(
     "q_vec_project",
     (s, dir) => {
@@ -5380,7 +5483,7 @@ object Llm {
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
-    qVecKmeansRefine, qVecQuantize, qVecProject, qVecClusterPurity,
+    qVecKmeansRefine, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,

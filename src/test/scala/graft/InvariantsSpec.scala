@@ -1381,6 +1381,37 @@ class InvariantsSpec extends SparkSpec {
       "audit cluster count disagrees with the declared clustering")
   }
 
+  test("pca power step: library step 1 equals the declared query and Rayleigh never decreases") {
+    val declared = SparkEntry.queries("q_vec_pca_step")(spark, floorDir).collect()
+    assert(declared.nonEmpty)
+    val traj = ops.Llm.pcaPower(spark, floorDir, 3)
+    // (a) step 1 from the all-ones start IS the declared computation:
+    // same Rayleigh numerator; same direction after step 2's rescale
+    val (_, num1, den1) = traj.head
+    assert(num1 == BigInt(declared.head.getAs[Long]("rayleigh_num")),
+      "library step-1 Rayleigh numerator diverges from the declared query")
+    assert(den1 == BigInt(declared.length.toLong), "all-ones start has vᵀv = d")
+    val v2 = traj(1)._1
+    declared.foreach { r =>
+      val j = r.getAs[Long]("dim").toInt
+      assert(v2(j) == r.getAs[Long]("v1_milli"),
+        s"dim $j: library step-2 input ${v2(j)} != declared v1_milli")
+    }
+    // (b) the power-method guarantee, measured: λ(v_k) = num/den is
+    // non-decreasing along the trajectory (exact integer cross-compare;
+    // milli quantization noise is absorbed by the strict spectral climb
+    // from a generic start)
+    traj.sliding(2).foreach { case Seq((_, n0, d0), (_, n1, d1)) =>
+      assert(n1 * d0 >= n0 * d1,
+        s"Rayleigh quotient decreased: $n1/$d1 < $n0/$d0")
+    }
+    val lam = traj.map { case (_, n, d) => (BigDecimal(n) / BigDecimal(d)).toDouble }
+    info(s"Rayleigh trajectory: ${lam.map(x => f"$x%.3e").mkString(" -> ")}")
+    // (c) direction sanity: the declared rescale puts at least one dim
+    // at exactly ±1000 and all within the milli ball
+    assert(declared.map(r => math.abs(r.getAs[Long]("v1_milli"))).max == 1000L)
+  }
+
   test("backoff lm: train half never backs off, eval half does, scores are probabilities") {
     val rows = SparkEntry.queries("q_text_lm_backoff")(spark, floorDir).collect()
     assert(rows.nonEmpty)
