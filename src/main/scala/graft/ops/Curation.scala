@@ -1164,6 +1164,88 @@ object Curation {
                    CAST(SUM(kept * doc_id) AS BIGINT) AS kept_id_sum
             FROM k GROUP BY source ORDER BY source"""))
 
+  /** Per-source keep budget for the RHO-style learnability selection. */
+  private val RhoK = 16L
+
+  /** RHO-loss-style LEARNABILITY selection (r10 — Mindermann et al.
+    * ICML'22, "Prioritized Training on Points that are Learnable, Worth
+    * Learning, and Not Yet Learnt": rank points by the EXCESS of the
+    * training model's loss over a reference model's loss; points the
+    * reference finds easy but the proxy finds hard are the learnable,
+    * worth-learning ones). Declared unigram surrogates, the
+    * `q_text_commonness` inverse scale: proxy loss ↔ GLOBAL corpus
+    * commonness, reference loss ↔ IN-DOMAIN (own-source) commonness —
+    * excess per token = c_sw·1e6 div T_s − c_w·1e6 div T, a doc's score
+    * its token mean. High scorers are domain-distinctive yet globally
+    * rare — exactly the mass `q_sample_dsir` upweights stochastically;
+    * this is the deterministic top-[[RhoK]]-per-source RANKED variant
+    * (the two selection policies real pipelines A/B). All integer (D1).
+    *
+    * Scale shape: token explode → ONE (source, w) map-combinable census
+    * (the vocab-sized global census is its source-marginal — one
+    * aggregate, reused) → census-keyed joins back onto the token stream
+    * → doc-keyed mean agg → per-source top-K window over the DOC frame
+    * (corpus-sublinear, |sources| partitions) → ≤|sources| audit rows.
+    */
+  private val qSampleRho = Q(
+    "q_sample_rho",
+    (s, dir) => {
+      val tk = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .localCheckpoint(true) // census + scoring stream
+      val sw = tk.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+        .localCheckpoint(true) // reused as its own global marginal
+      val gw = sw.groupBy("w").agg(sum("csw").as("cw"))
+      val ts = sw.groupBy("source").agg(sum("csw").as("tsrc"))
+      val tot = gw.agg(sum("cw").as("tt"))
+      val doc = tk.join(sw, Seq("source", "w"))
+        .join(gw, "w")
+        .join(broadcast(ts), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("diff_u", expr("csw * 1000000L div tsrc - cw * 1000000L div tt"))
+        .groupBy("doc_id", "source")
+        .agg(expr("sum(diff_u) div count(1)").as("score_u"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_u").desc, col("doc_id"))
+      doc.withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"CASE WHEN rk <= $RhoK THEN 1L ELSE 0L END")).as("n_kept"),
+          sum(expr(s"CASE WHEN rk <= $RhoK THEN doc_id ELSE 0L END")).as("kept_idsum"),
+          expr(s"sum(CASE WHEN rk <= $RhoK THEN score_u ELSE 0L END) div " +
+            s"greatest(1L, sum(CASE WHEN rk <= $RhoK THEN 1L ELSE 0L END))")
+            .as("mean_excess_kept"),
+          expr("sum(score_u) div count(1)").as("mean_excess_all"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source, u.t AS w
+                  FROM documents, unnest(string_split(text, ' ')) u(t)
+                  WHERE length(u.t) >= 1),
+            sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS csw
+                   FROM tk GROUP BY source, w),
+            gw AS (SELECT w, CAST(SUM(csw) AS BIGINT) AS cw FROM sw GROUP BY w),
+            ts AS (SELECT source, CAST(SUM(csw) AS BIGINT) AS tsrc
+                   FROM sw GROUP BY source),
+            tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS tt FROM gw),
+            doc AS (SELECT doc_id, tk.source,
+                     CAST(SUM(csw * 1000000 // tsrc - cw * 1000000 // tt)
+                          // COUNT(*) AS BIGINT) AS score_u
+                    FROM tk JOIN sw USING (source, w) JOIN gw USING (w)
+                    JOIN ts ON tk.source = ts.source CROSS JOIN tot
+                    GROUP BY doc_id, tk.source),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY score_u DESC, doc_id) AS rk FROM doc)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN rk <= $RhoK THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN rk <= $RhoK THEN doc_id ELSE 0 END) AS BIGINT) AS kept_idsum,
+             CAST(SUM(CASE WHEN rk <= $RhoK THEN score_u ELSE 0 END) //
+                  greatest(1, SUM(CASE WHEN rk <= $RhoK THEN 1 ELSE 0 END)) AS BIGINT) AS mean_excess_kept,
+             CAST(SUM(score_u) // COUNT(*) AS BIGINT) AS mean_excess_all
+            FROM rk GROUP BY source ORDER BY source"""))
+
   /** Calibration bin count for the classifier reliability table: ten
     * bins is the standard reliability-diagram resolution (Guo et al.
     * ICML'17 use 15; ECE is conventionally reported at 10).
@@ -1461,6 +1543,6 @@ object Curation {
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
-    qSampleDsir, qCurateLrStep, qCurateLrFilter, qCurateCalibration,
+    qSampleDsir, qSampleRho, qCurateLrStep, qCurateLrFilter, qCurateCalibration,
     qMixDoremi, qMixEpochs)
 }

@@ -1381,6 +1381,29 @@ class InvariantsSpec extends SparkSpec {
       "audit cluster count disagrees with the declared clustering")
   }
 
+  test("rho selection: budgets respected, selection strictly concentrates the excess signal") {
+    val docs = spark.read.parquet(s"$floorDir/documents.parquet")
+    val nDocs = docs.count()
+    val rows = SparkEntry.queries("q_sample_rho")(spark, floorDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "audit loses docs")
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(k == math.min(16L, n), s"$src: kept $k != min(16, $n)")
+      // top-K by score ⇒ the kept mean can never fall below the overall
+      // mean (floor divisions only lower both by < 1 micro-unit; the
+      // inequality is pinned with that 1-unit slack)
+      assert(r.getAs[Long]("mean_excess_kept") + 1L >= r.getAs[Long]("mean_excess_all"),
+        s"$src: kept mean below the population mean")
+      // excess is a difference of sub-1e6 rates
+      assert(math.abs(r.getAs[Long]("mean_excess_all")) <= 1000000L, s"$src: score out of range")
+    }
+    // the selection must actually concentrate signal somewhere: at least
+    // one source's kept mean strictly above its population mean
+    assert(rows.exists(r => r.getAs[Long]("mean_excess_kept") > r.getAs[Long]("mean_excess_all")),
+      "selection indistinguishable from random — scoring collapsed")
+  }
+
   test("pca power step: library step 1 equals the declared query and Rayleigh never decreases") {
     val declared = SparkEntry.queries("q_vec_pca_step")(spark, floorDir).collect()
     assert(declared.nonEmpty)
