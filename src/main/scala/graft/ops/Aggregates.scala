@@ -1048,7 +1048,81 @@ object Aggregates {
                      JOIN nd nb ON nb.event_type = un.tb
              ORDER BY pair"""))
 
+  /** Two-sample A/B EXPERIMENT readout — the analytics table every
+    * product experiment ends at: per metric (event type), each arm's
+    * size, mean, and variance, the lift, and a z-test verdict. The
+    * assignment is the standard deterministic hash randomization
+    * (salted md5 of user_id, mod 2 — the `q_split_train` membership
+    * discipline: no rand(), re-runs agree, and assignment is by USER so
+    * a user's events never straddle arms — the unit-of-randomization
+    * rule of every experimentation platform, Kohavi et al. KDD'07).
+    *
+    * Declared D1 substitutions: values pre-quantized to integer
+    * milli-units (the one float op per row, before any sum); variance
+    * is the biased population form q/n − (s/n)² in truncating integer
+    * divisions; the verdict is a pooled two-sample z with |z| ≥ 2
+    * (~95%), spelled as ONE integer cross-comparison d² ≥ 4·(va/na +
+    * vb/nb) — no sqrt, no float, engine-exact. On this fixture value ⊥
+    * user parity, so verdicts are null-effect draws; the flag column is
+    * the operator's contract, not the fixture's story.
+    *
+    * Scale shape: one scan → map-only quantize + hash-assign → ONE
+    * map-combinable (type, arm) aggregate → 5×2 rows pivoted by
+    * conditional sums into 5. Nothing after the first agg scales.
+    */
+  private val qAggAbTest = Q(
+    "q_agg_ab_test",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("arm", expr(s"pmod(${Llm.md5Hex32Spark(
+          "concat('ab_', CAST(user_id AS STRING))")}, 2L)"))
+        .withColumn("vm", expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(
+          sum(expr("CASE WHEN arm = 0 THEN 1L ELSE 0L END")).as("n_a"),
+          sum(expr("CASE WHEN arm = 1 THEN 1L ELSE 0L END")).as("n_b"),
+          sum(expr("CASE WHEN arm = 0 THEN vm ELSE 0L END")).as("sa"),
+          sum(expr("CASE WHEN arm = 1 THEN vm ELSE 0L END")).as("sb"),
+          sum(expr("CASE WHEN arm = 0 THEN vm * vm ELSE 0L END")).as("qa"),
+          sum(expr("CASE WHEN arm = 1 THEN vm * vm ELSE 0L END")).as("qb"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          expr("sa div n_a").as("mean_a_milli"),
+          expr("sb div n_b").as("mean_b_milli"),
+          expr("sb div n_b - sa div n_a").as("lift_milli"),
+          expr("qa div n_a - (sa div n_a) * (sa div n_a)").as("var_a"),
+          expr("qb div n_b - (sb div n_b) * (sb div n_b)").as("var_b"),
+          expr("""CAST((sb div n_b - sa div n_a) * (sb div n_b - sa div n_a) >=
+                  4L * ((qa div n_a - (sa div n_a) * (sa div n_a)) div n_a +
+                        (qb div n_b - (sb div n_b) * (sb div n_b)) div n_b)
+                  AS BIGINT)""").as("significant"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_type,
+                   (${Llm.md5Hex32Sql("'ab_' || CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+                  FROM events),
+            g AS (SELECT event_type,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS sa,
+                   CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS sb,
+                   CAST(SUM(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS qa,
+                   CAST(SUM(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS qb
+                  FROM e GROUP BY event_type)
+            SELECT event_type, n_a, n_b,
+             CAST(sa // n_a AS BIGINT) AS mean_a_milli,
+             CAST(sb // n_b AS BIGINT) AS mean_b_milli,
+             CAST(sb // n_b - sa // n_a AS BIGINT) AS lift_milli,
+             CAST(qa // n_a - (sa // n_a) * (sa // n_a) AS BIGINT) AS var_a,
+             CAST(qb // n_b - (sb // n_b) * (sb // n_b) AS BIGINT) AS var_b,
+             CAST((sb // n_b - sa // n_a) * (sb // n_b - sa // n_a) >=
+                  4 * ((qa // n_a - (sa // n_a) * (sa // n_a)) // n_a +
+                       (qb // n_b - (sb // n_b) * (sb // n_b)) // n_b)
+                  AS BIGINT) AS significant
+            FROM g ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
+    qAggAbTest,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,

@@ -1381,6 +1381,43 @@ class InvariantsSpec extends SparkSpec {
       "audit cluster count disagrees with the declared clustering")
   }
 
+  test("ab test: arms conserve and balance, variance is non-negative, verdict matches the z rule") {
+    val rows = SparkEntry.queries("q_agg_ab_test")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    val perType = Tables(spark, floorDir, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // randomization is by USER (the unit-of-randomization rule), so the
+    // event-count imbalance is a CLUSTERED sum: Var = Σ_u c_u² per type,
+    // not n — the envelope must use the cluster-inflated σ
+    val clusterVar = Tables(spark, floorDir, "events")
+      .groupBy("event_type", "user_id").count()
+      .groupBy("event_type").agg(sum(expr("count * count")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      // (a) conservation: the two arms partition the metric's events
+      assert(na + nb == perType(t), s"$t: arms lose events")
+      // (b) hash randomization balances under the clustered 6σ envelope:
+      // deterministic assignment — holds forever or never
+      assert(math.abs(na - nb) <= 6 * math.sqrt(clusterVar(t).toDouble) + 1,
+        s"$t: arm imbalance $na vs $nb beyond the clustered envelope")
+      // (c) population variance is non-negative even under truncating divs
+      assert(r.getAs[Long]("var_a") >= 0L && r.getAs[Long]("var_b") >= 0L)
+      // (d) lift and verdict are pure functions of the reported moments
+      val lift = r.getAs[Long]("mean_b_milli") - r.getAs[Long]("mean_a_milli")
+      assert(r.getAs[Long]("lift_milli") == lift, s"$t: lift identity")
+      val se2 = r.getAs[Long]("var_a") / na + r.getAs[Long]("var_b") / nb
+      assert((r.getAs[Long]("significant") == 1L) == (lift * lift >= 4L * se2),
+        s"$t: verdict disagrees with the declared z rule")
+    }
+    // value ⊥ parity on this fixture: a null-effect experiment should
+    // not read significant everywhere — that would mean the assignment
+    // or the variance collapsed
+    assert(rows.count(_.getAs[Long]("significant") == 1L) < rows.length,
+      "every metric significant on a null-effect fixture")
+  }
+
   test("rho selection: budgets respected, selection strictly concentrates the excess signal") {
     val docs = spark.read.parquet(s"$floorDir/documents.parquet")
     val nDocs = docs.count()
