@@ -4988,6 +4988,69 @@ object Llm {
              ss AS rayleigh_num
             FROM w CROSS JOIN mx CROSS JOIN lam ORDER BY dim"""))
 
+  /** Oversampling factor ℓ for the k-means‖ init round: the paper's
+    * ℓ = 2k with the family's k = 16 centroids.
+    */
+  private val KppL = 32L
+
+  /** One OVERSAMPLING round of scalable k-means++ — k-means‖ (Bahmani et
+    * al. VLDB'12, arXiv:1203.6402): sequential k-means++ needs k passes
+    * (one per seed, useless at 100 TB); k-means‖ samples each point
+    * independently with probability ℓ·d²(x, C)/φ in a handful of rounds,
+    * then reclusters the tiny candidate pool. This is the declared ONE
+    * round from the deterministic min-id seed (fixed-step-oracle
+    * discipline — the production loop repeats the same round O(log φ)
+    * times, and the InvariantsSpec potential-descent pin measures the
+    * paper's Thm 2 contract: candidates cut the clustering potential).
+    *
+    * D1: cells in integer milli ([[pcaCells]], one spelling with the PCA
+    * family), d² exact integer (≤ 64·(2000)² per point), the sampling
+    * probability as capped micro-units p = min(1e6, ℓ·d²·1e6 div φ), and
+    * the draw a salted-hash compare (`kpp_` salt, no rand() — re-runs
+    * agree, the split-membership discipline). The seed itself has d² = 0
+    * ⇒ p = 0 ⇒ can never re-sample. Output: the sampled candidate pool
+    * (expected ~ℓ rows) with d² and p — what round 2 re-scores against.
+    *
+    * Scale shape: cell explode → 64-row seed broadcast join → vec-keyed
+    * map-combinable d² agg → 1-row φ broadcast → map-only hash draw;
+    * the candidate pool is O(ℓ) rows at any corpus size.
+    */
+  private val qVecKmeanspp = Q(
+    "q_vec_kmeanspp",
+    (s, dir) => {
+      val xq = pcaCells(s, dir)
+      val seed = Tables(s, dir, "embeddings").agg(min("vec_id").as("sid"))
+      val cs = xq.join(broadcast(seed), col("vec_id") === col("sid"))
+        .select(col("dim"), col("xq").as("cq"))
+      val d2 = xq.join(broadcast(cs), "dim")
+        .groupBy("vec_id")
+        .agg(sum(expr("(xq - cq) * (xq - cq)")).as("d2"))
+        .localCheckpoint(true) // two consumers: φ + the draw
+      val phi = d2.agg(sum("d2").as("phi"))
+      d2.crossJoin(broadcast(phi))
+        .withColumn("p_micro", expr(
+          s"least(1000000L, $KppL * d2 * 1000000L div greatest(1L, phi))"))
+        .filter(expr(s"pmod(${md5Hex32Spark(
+          "concat('kpp_', CAST(vec_id AS STRING))")}, 1000000L) < p_micro"))
+        .select(col("vec_id"), col("d2"), col("p_micro"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH xq AS (SELECT vec_id, u.j AS dim,
+                   CAST(FLOOR(CAST(embedding[CAST(u.j AS INT) + 1] AS DOUBLE) * 1000) AS BIGINT) AS xq
+                  FROM embeddings, unnest(range(len(embedding))) u(j)),
+            cs AS (SELECT dim, xq AS cq FROM xq
+                   WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+            d2 AS (SELECT vec_id,
+                    CAST(SUM((xq.xq - cq) * (xq.xq - cq)) AS BIGINT) AS d2
+                   FROM xq JOIN cs USING (dim) GROUP BY vec_id),
+            phi AS (SELECT CAST(SUM(d2) AS BIGINT) AS phi FROM d2)
+            SELECT vec_id, d2,
+             CAST(least(1000000, $KppL * d2 * 1000000 // greatest(1, phi)) AS BIGINT) AS p_micro
+            FROM d2 CROSS JOIN phi
+            WHERE (${md5Hex32Sql("'kpp_' || CAST(vec_id AS VARCHAR)")}) % 1000000
+                  < least(1000000, $KppL * d2 * 1000000 // greatest(1, phi))
+            ORDER BY vec_id"""))
+
   /** The integer-quantized (vec_id, dim, xq) cell frame shared by the
     * declared PCA step and the [[pcaPower]] loop — one spelling, so the
     * two cannot drift. Checkpointed: every power step reads it twice.
@@ -5483,7 +5546,7 @@ object Llm {
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
-    qVecKmeansRefine, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity,
+    qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,

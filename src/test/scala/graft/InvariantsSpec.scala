@@ -1441,6 +1441,40 @@ class InvariantsSpec extends SparkSpec {
       "selection indistinguishable from random — scoring collapsed")
   }
 
+  test("kmeans|| oversampling: the draw is the declared rule and candidates cut the potential") {
+    val cand = SparkEntry.queries("q_vec_kmeanspp")(spark, floorDir).collect()
+    assert(cand.nonEmpty, "oversampling drew nothing")
+    assert(cand.length <= 4 * 32, s"pool ${cand.length} far above the ℓ = 32 expectation")
+    cand.foreach { r =>
+      val p = r.getAs[Long]("p_micro")
+      assert(p > 0L && p <= 1000000L, s"vec ${r.getAs[Long]("vec_id")}: p $p not a probability")
+      assert(r.getAs[Long]("d2") > 0L, "a zero-distance point can never be drawn")
+    }
+    // the seed has d² = 0 ⇒ p = 0 ⇒ excluded by construction
+    val seedId = spark.read.parquet(s"$floorDir/embeddings.parquet")
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    assert(!cand.map(_.getAs[Long]("vec_id")).contains(seedId))
+    // Bahmani Thm-2 contract, measured: the candidate pool strictly cuts
+    // the clustering potential vs the seed alone (exact integer sums on
+    // the same milli-quantized cells the query used)
+    val xq = spark.read.parquet(s"$floorDir/embeddings.parquet")
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .as(Seq("dim", "xq")))
+    val centerIds = (cand.map(_.getAs[Long]("vec_id")) :+ seedId).toSeq
+    val centers = xq.filter(col("vec_id").isInCollection(centerIds))
+      .select(col("vec_id").as("cid"), col("dim"), col("xq").as("cq"))
+    val d2 = xq.join(broadcast(centers), "dim")
+      .groupBy("vec_id", "cid")
+      .agg(sum(expr("(xq - cq) * (xq - cq)")).as("d2"))
+    val phi1 = d2.groupBy("vec_id").agg(min("d2").as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    val phi0 = d2.filter(col("cid") === seedId)
+      .agg(sum("d2")).collect()(0).getLong(0)
+    info(s"potential: seed-only $phi0 -> pool $phi1 (${phi1 * 100 / phi0}%)")
+    assert(phi1 < phi0, "candidate pool failed to reduce the k-means potential")
+  }
+
   test("pca power step: library step 1 equals the declared query and Rayleigh never decreases") {
     val declared = SparkEntry.queries("q_vec_pca_step")(spark, floorDir).collect()
     assert(declared.nonEmpty)
