@@ -490,8 +490,65 @@ object Windows {
             FROM tr JOIN tot ON tr.from_type = tot.from_type
             ORDER BY tr.from_type, tr.to_type"""))
 
+  /** CUSUM drift detection over daily ingest volume — Page's cumulative-
+    * sum chart (Page, Biometrika 1954), the sequential change detector
+    * ops monitoring runs where `q_agg_anomaly`'s trailing-median compare
+    * only sees single-day spikes: CUSUM accumulates SMALL persistent
+    * shifts until they cross a decision threshold. The textbook
+    * recursion Sₜ = max(0, Sₜ₋₁ + (xₜ − μ − k)) is not a window
+    * function, but its closed form IS one: Sₜ = Pₜ − min(0, min_{i≤t}
+    * Pᵢ) over the deviation prefix sums Pₜ — so the whole detector is
+    * ONE ordered window (two expressions, one WindowExec) over the
+    * calendar-bounded daily frame (the `q_agg_anomaly` exemption class;
+    * the recursion↔window equality is re-proven row-for-row by a fold
+    * in InvariantsSpec). D1: μ in milli-events/day via one 1-row
+    * broadcast, slack k = μ/20 (the standard half-shift allowance),
+    * alarm threshold h = μ (one mean day's worth of accumulated
+    * excess); all divisions integer.
+    *
+    * Scale shape: corpus-sized work is ONE map-combinable per-day count;
+    * everything after lives on the ≤ |days| calendar frame.
+    */
+  private val qWinCusum = Q(
+    "q_win_cusum",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val mu = daily.agg(expr("sum(cnt) * 1000L div count(1)").as("mu_milli"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(mu))
+        .withColumn("dev_milli", expr("cnt * 1000L - mu_milli - mu_milli div 20L"))
+        .withColumn("p", sum("dev_milli").over(w))
+        .withColumn("pmin", min("p").over(w))
+        .select(col("day"), col("cnt"), col("dev_milli"),
+          expr("p - least(0L, pmin)").as("cusum_milli"),
+          expr("CAST(p - least(0L, pmin) >= mu_milli AS BIGINT)").as("alarm"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY 1),
+            mu AS (SELECT CAST(SUM(cnt) * 1000 // COUNT(*) AS BIGINT) AS mu_milli FROM d),
+            v AS (SELECT day, cnt, mu_milli,
+                   cnt * 1000 - mu_milli - mu_milli // 20 AS dev_milli
+                  FROM d CROSS JOIN mu),
+            p1 AS (SELECT *,
+                    SUM(dev_milli) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+                   FROM v),
+            p2 AS (SELECT *,
+                    MIN(p) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+                   FROM p1)
+            SELECT day, cnt, CAST(dev_milli AS BIGINT) AS dev_milli,
+             CAST(p - least(0, pmin) AS BIGINT) AS cusum_milli,
+             CAST(p - least(0, pmin) >= mu_milli AS BIGINT) AS alarm
+            FROM p2 ORDER BY day"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
-    qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions)
+    qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions, qWinCusum)
 }

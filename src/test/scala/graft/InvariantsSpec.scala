@@ -1381,6 +1381,30 @@ class InvariantsSpec extends SparkSpec {
       "audit cluster count disagrees with the declared clustering")
   }
 
+  test("cusum: the window closed form equals Page's recursion row-for-row") {
+    val rows = SparkEntry.queries("q_win_cusum")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    // replay the textbook recursion Sₜ = max(0, Sₜ₋₁ + devₜ) over the
+    // calendar frame (driver-sized) and demand exact equality with the
+    // query's prefix-sum/running-min closed form
+    var s = 0L
+    rows.sortBy(_.getAs[Long]("day")).foreach { r =>
+      s = math.max(0L, s + r.getAs[Long]("dev_milli"))
+      assert(r.getAs[Long]("cusum_milli") == s,
+        s"day ${r.getAs[Long]("day")}: closed form ${r.getAs[Long]("cusum_milli")} != recursion $s")
+      assert(s >= 0L)
+      // alarm is the declared threshold compare, nothing else
+      val mu = (rows.map(_.getAs[Long]("cnt")).sum * 1000L) / rows.length
+      assert((r.getAs[Long]("alarm") == 1L) == (s >= mu),
+        s"day ${r.getAs[Long]("day")}: alarm flag disagrees with S >= mu")
+    }
+    // the detector must be calibrated quiet on the steady fixture: the
+    // slack absorbs day-to-day noise, so alarms are rare (< 20% of days)
+    val alarms = rows.count(_.getAs[Long]("alarm") == 1L)
+    info(s"cusum: ${rows.length} days, $alarms alarms")
+    assert(alarms * 5 < rows.length, s"$alarms alarms on ${rows.length} steady days")
+  }
+
   test("ab test: arms conserve and balance, variance is non-negative, verdict matches the z rule") {
     val rows = SparkEntry.queries("q_agg_ab_test")(spark, floorDir).collect()
     assert(rows.nonEmpty)

@@ -94,7 +94,10 @@ class PlanLintSpec extends SparkSpec {
       // the q_sim_recall_eval class: broadcast-m-queries × corpus exact
       // arm (fixed m keeps it linear) + 1-row threshold/centroid
       // broadcasts; the ANN arm's cell join is an equi-join
-      "q_sim_recall_sweep")
+      "q_sim_recall_sweep",
+      // 1-row broadcast μ fanned onto the ≤ |days| calendar frame —
+      // the q_agg_activity_dist shape
+      "q_win_cusum")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
@@ -110,12 +113,16 @@ class PlanLintSpec extends SparkSpec {
   //                        (~350 rows at the fixture), never the corpus
   //   q_mix_epochs       — running cost over the ≤ 8·|sources| epoch
   //                        candidate frame
+  //   q_win_cusum        — TWO stacked windows (prefix sum, then running
+  //                        min of it) over the calendar-bounded ≤|days|
+  //                        daily frame
   // A new partition-less window anywhere else — or a second one at these
   // sites — fails the per-query lint below.
   private val unpartitionedWindowOk =
     Map("q_agg_anomaly" -> 1, "q_pack_sequences" -> 1,
       "q_text_vocab_prune" -> 1, "q_join_dpp" -> 1,
-      "q_text_ppl_buckets" -> 1, "q_mix_epochs" -> 1)
+      "q_text_ppl_buckets" -> 1, "q_mix_epochs" -> 1,
+      "q_win_cusum" -> 2)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
