@@ -570,6 +570,89 @@ object Aggregates {
     * frames are one skinny row per qualifying user), no window over
     * event rows, no self-join. Map-side combine applies to every min().
     */
+  /** Lookback window for attribution touchpoints: 7 days in micros. */
+  private val AttrWinUs = 7L * 86400000000L
+
+  /** Multi-touch ATTRIBUTION — the marketing-analytics companion of
+    * `q_agg_funnel`: each purchase (the conversion) credits the user's
+    * preceding non-purchase events inside a 7-day lookback under the two
+    * canonical models side by side — LAST-TOUCH (all credit to the
+    * latest touchpoint; the struct-extremum election, no window) and
+    * LINEAR (1/n to each touchpoint; D1: milli credit 1000 div n per
+    * touch, so a conversion distributes ≤ 1000 with deterministic floor
+    * loss). Conversions with no in-window touch report as the
+    * '(direct)' channel — the row every attribution report must carry
+    * or the models silently over-credit. Output per channel: both
+    * models' credit and the touch volume; comparing the two columns IS
+    * the report's purpose (last-touch concentrates, linear spreads).
+    *
+    * Scale shape: purchases ⋈ events is a user-keyed EQUI-join (the
+    * funnel discipline) with the time window as residual — per-user
+    * fan-out is bounded by per-user activity, never corpus²; then one
+    * conversion-keyed agg (extremum election + touch count) and one
+    * ≤|types| census. No window function anywhere.
+    */
+  private val qAggAttribution = Q(
+    "q_agg_attribution",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts_us", "event_id")
+        .localCheckpoint(true) // two consumers: conversions + touchpoints
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("cts"), col("event_id").as("cid"))
+      val touch = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts_us").as("tts"), col("event_id").as("tid"))
+      // the (conversion, touchpoint) pair frame: user-keyed equi-join,
+      // window residual; per-conversion touch count via one cid-keyed agg
+      // (kept as an agg + self-join instead of a window so the pair frame
+      // is shuffled once on cid either way and both consumers reuse it)
+      val pair = conv.join(touch, Seq("user_id"))
+        .filter(col("tts") < col("cts") && col("tts") >= col("cts") - AttrWinUs)
+        .localCheckpoint(true) // three consumers: n, last-touch, linear
+      val n = pair.groupBy("cid").agg(count(lit(1)).as("n"))
+      // last touch: the (tts, tid) struct extremum per conversion — the
+      // q_agg_ohlc election, no per-conversion window sort
+      val lt = pair.groupBy("cid")
+        .agg(max(struct(col("tts"), col("tid"), col("channel"))).as("b"))
+        .select(col("cid"), col("b.channel").as("channel"))
+      val ltc = conv.select("cid").join(lt, Seq("cid"), "left")
+        .select(coalesce(col("channel"), lit("(direct)")).as("channel"))
+        .groupBy("channel").agg(count(lit(1)).as("n_last_touch"))
+      val lin = pair.join(n, "cid")
+        .groupBy("channel")
+        .agg(sum(expr("1000L div n")).as("linear_credit_milli"))
+      ltc.join(lin, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"),
+          coalesce(col("linear_credit_milli"), lit(0L)).as("linear_credit_milli"))
+        .orderBy("channel")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+            conv AS (SELECT user_id, ts_us AS cts, event_id AS cid FROM e
+                     WHERE event_type = 'purchase'),
+            touch AS (SELECT user_id, event_type AS channel, ts_us AS tts, event_id AS tid
+                      FROM e WHERE event_type <> 'purchase'),
+            pair AS (SELECT cid, channel, tts, tid
+                     FROM conv JOIN touch USING (user_id)
+                     WHERE tts < cts AND tts >= cts - $AttrWinUs),
+            nn AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM pair GROUP BY cid),
+            rk AS (SELECT cid, channel,
+                    row_number() OVER (PARTITION BY cid
+                      ORDER BY tts DESC, tid DESC) AS rn
+                   FROM pair),
+            lt AS (SELECT cid, channel FROM rk WHERE rn = 1),
+            ltc AS (SELECT COALESCE(lt.channel, '(direct)') AS channel,
+                     CAST(COUNT(*) AS BIGINT) AS n_last_touch
+                    FROM conv LEFT JOIN lt USING (cid) GROUP BY 1),
+            lin AS (SELECT channel,
+                     CAST(SUM(1000 // n) AS BIGINT) AS linear_credit_milli
+                    FROM pair JOIN nn USING (cid) GROUP BY channel)
+            SELECT channel,
+             CAST(COALESCE(n_last_touch, 0) AS BIGINT) AS n_last_touch,
+             CAST(COALESCE(linear_credit_milli, 0) AS BIGINT) AS linear_credit_milli
+            FROM ltc FULL OUTER JOIN lin USING (channel)
+            ORDER BY channel"""))
+
   private val qAggFunnel = Q(
     "q_agg_funnel",
     (s, dir) => {
@@ -1127,7 +1210,7 @@ object Aggregates {
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
-    qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel,
+    qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel, qAggAttribution,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay,
     qAggRollingDistinct, qAggBitmapSetops, qAggOhlc, qAggAnomaly, qAggActivityDist)
 }

@@ -139,6 +139,64 @@ object Graph {
              FROM r3
              ORDER BY rank_micro DESC, node_type, node_key LIMIT 20"""))
 
+  /** HITS hubs-and-authorities, two full rounds (Kleinberg JACM'99 /
+    * SODA'98) over the same persisted customer–supplier bipartite graph
+    * PageRank ranks — the OTHER canonical link-analysis fixpoint, and on
+    * a bipartite transaction graph the more natural one: hub scores land
+    * on buyers, authority scores on suppliers, mutually reinforcing
+    * ("good buyers buy from good suppliers"). Declared as exactly two
+    * rounds from the all-ones start (fixed-step-oracle discipline):
+    * a₁ = in-degree, h₁ = Σ_nbr a₁, a₂ = Σ_in h₁, h₂ = Σ_out a₂ —
+    * pure integer sums, no normalization inside the loop (HITS'
+    * eigenvector direction is scale-free; the reported raw integers
+    * are exact in both engines where the float 2-norm rescale could
+    * never hash-match). Top-20 by authority, deterministic tie-break.
+    *
+    * Scale shape: each half-round is ONE equi-join of the skinny score
+    * frame onto the persisted edge list + ONE map-combinable integer
+    * sum — the PageRank superstep shape exactly; the driver holds only
+    * the round counter.
+    */
+  private val qGraphHits = Q(
+    "q_graph_hits",
+    (s, dir) => {
+      val edges = bipartiteEdges(s, dir)
+      // a1 = in-degree: on the symmetric edge artifact that is deg(src)
+      val a1 = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("a"))
+      val h1 = edges.join(a1.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+        .localCheckpoint(true)
+      val a2 = edges.join(h1.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
+        .localCheckpoint(true)
+      val h2 = edges.join(a2.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+      a2.join(h2, "id")
+        .select(
+          expr("CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END").as("node_type"),
+          expr("id DIV 2").as("node_key"),
+          col("a").as("auth2"), col("h").as("hub2"))
+        .orderBy(col("auth2").desc, col("node_type"), col("node_key"))
+        .limit(20)
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            edges AS (SELECT c * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+                      UNION ALL
+                      SELECT sk * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+            a1 AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS a
+                   FROM edges GROUP BY dst),
+            h1 AS (SELECT e.src AS id, CAST(SUM(a1.a) AS BIGINT) AS h
+                   FROM edges e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+            a2 AS (SELECT e.dst AS id, CAST(SUM(h1.h) AS BIGINT) AS a
+                   FROM edges e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+            h2 AS (SELECT e.src AS id, CAST(SUM(a2.a) AS BIGINT) AS h
+                   FROM edges e JOIN a2 ON e.dst = a2.id GROUP BY e.src)
+            SELECT CASE WHEN a2.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+             a2.id // 2 AS node_key, a2.a AS auth2, h2.h AS hub2
+            FROM a2 JOIN h2 ON a2.id = h2.id
+            ORDER BY auth2 DESC, node_type, node_key LIMIT 20"""))
+
   /** Per-node out-edge budget for the k-NN sparsification below. Each node
     * KEEPS ≤ TriKnn edges, so |E| ≤ n·TriKnn and average degree ≤ 2·TriKnn
     * (OR-survival means a popular node's IN-degree is not individually
@@ -593,6 +651,6 @@ object Graph {
                  CAST(SUM(deg) AS BIGINT) AS deg_mass
           FROM deg GROUP BY 1 ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(qGraphPagerank, qGraphTriangles, qGraphLabelProp,
+  val all: Seq[Q] = Seq(qGraphPagerank, qGraphHits, qGraphTriangles, qGraphLabelProp,
     qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist)
 }

@@ -1381,6 +1381,54 @@ class InvariantsSpec extends SparkSpec {
       "audit cluster count disagrees with the declared clustering")
   }
 
+  test("attribution: conversions conserve, direct carries no credit, linear mass is bounded") {
+    val rows = SparkEntry.queries("q_agg_attribution")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    val nConv = Tables(spark, floorDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    // (a) last-touch is a partition of conversions (incl. '(direct)')
+    assert(rows.map(_.getAs[Long]("n_last_touch")).sum == nConv,
+      "last-touch credit loses or double-counts conversions")
+    // (b) the direct row exists exactly for credit hygiene: zero linear mass
+    rows.filter(_.getAs[String]("channel") == "(direct)").foreach { r =>
+      assert(r.getAs[Long]("linear_credit_milli") == 0L, "(direct) got linear credit")
+    }
+    // (c) purchase can never be a touchpoint channel
+    assert(!rows.exists(_.getAs[String]("channel") == "purchase"))
+    // (d) linear mass: each attributed conversion distributes ≤ 1000 milli
+    // (with deterministic floor loss < n per conversion), never more
+    val direct = rows.filter(_.getAs[String]("channel") == "(direct)")
+      .map(_.getAs[Long]("n_last_touch")).sum
+    val linTotal = rows.map(_.getAs[Long]("linear_credit_milli")).sum
+    val attributed = nConv - direct
+    assert(linTotal <= 1000L * attributed,
+      s"linear credit $linTotal exceeds the ${1000L * attributed} ceiling")
+    assert(attributed == 0L || linTotal > 0L, "attributed conversions carry no credit")
+    info(s"attribution: $nConv conversions, $direct direct, linear mass $linTotal/${1000L * attributed}")
+  }
+
+  test("hits: top-20 is positive, authority-ordered, and a pure function of the graph") {
+    val rows = SparkEntry.queries("q_graph_hits")(spark, floorDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("auth2") > 0L && r.getAs[Long]("hub2") > 0L,
+        "two rounds on a symmetric graph leave no zero scores")
+      assert(Set("customer", "supplier")(r.getAs[String]("node_type")))
+    }
+    val a = rows.map(_.getAs[Long]("auth2"))
+    assert(a.zip(a.tail).forall { case (x, y) => x >= y }, "not authority-ordered")
+    // determinism: the artifact-backed recompute is bit-identical
+    val again = SparkEntry.queries("q_graph_hits")(spark, floorDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "re-run diverged")
+    // propagation actually compounds: two rounds on the symmetric graph
+    // mean auth2 = Σ_in h1 with every h1 ≥ in-degree ≥ 1, so the top
+    // authority must strictly exceed any single node's degree ceiling
+    // only if mass concentrated — pin the weaker exact bound auth2 ≥ hub
+    // count of its weakest contributor: auth2 ≥ in-degree is the
+    // provable floor, and in-degree ≥ 1 on this artifact
+    assert(a.head > 20L, "two HITS rounds failed to accumulate any mass")
+  }
+
   test("cusum: the window closed form equals Page's recursion row-for-row") {
     val rows = SparkEntry.queries("q_win_cusum")(spark, floorDir).collect()
     assert(rows.nonEmpty)

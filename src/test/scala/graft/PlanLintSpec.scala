@@ -97,7 +97,26 @@ class PlanLintSpec extends SparkSpec {
       "q_sim_recall_sweep",
       // 1-row broadcast μ fanned onto the ≤ |days| calendar frame —
       // the q_agg_activity_dist shape
-      "q_win_cusum")
+      "q_win_cusum",
+      // 1-row broadcast (omn, omx, smn, smx) key ranges fanned onto the
+      // scan for the map-only double binning
+      "q_etl_manifest",
+      // 1-row broadcast φ (total potential) fanned onto the skinny
+      // per-vector d² frame for the map-only hash draw
+      "q_vec_kmeanspp",
+      // two 1-row broadcasts (max |w|, Rayleigh numerator) fanned onto
+      // the 64-row dimension frame
+      "q_vec_pca_step",
+      // 1-row broadcast train-token total onto the scoring stream for
+      // the map-only backoff CASE; the census joins proper are
+      // EQUI-joins on bg/w1/w2
+      "q_text_lm_backoff",
+      // 1-row broadcast corpus-token total onto the token stream; the
+      // census joins proper are EQUI-joins on (source, w) / w / source
+      "q_sample_rho",
+      // 1-row broadcast (mn, mx) score range fanned onto the per-doc
+      // score frame for the map-only bin compare — the ppl_buckets shape
+      "q_curate_calibration")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
