@@ -1319,6 +1319,66 @@ object Curation {
              CAST(abs(SUM(sig) // COUNT(*) - SUM(y) // COUNT(*)) AS BIGINT) AS gap_micro
             FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** Per-source acquisition budget for margin sampling. */
+  private val MarginK = 16L
+
+  /** Active-learning MARGIN (uncertainty) sampling — the labeling-
+    * acquisition policy (Lewis & Gale SIGIR'94; Settles' survey): the
+    * docs most worth a human label are the ones the trained filter is
+    * LEAST SURE about, |σ̂ − ½| smallest. Completes the classifier
+    * family's loop: `q_curate_lr_step` trains, `q_curate_lr_filter`
+    * applies, `q_curate_calibration` audits, and this picks the next
+    * labeling batch that improves the model fastest. Scores come from
+    * the SAME declared 2-step trajectory ([[lrTwoStep]]); margin is
+    * exact integer micro: m = |σ̂ − 500000|. Deterministic top-[[MarginK]]
+    * per source by (margin asc, doc_id) — a third selection POLICY next
+    * to `q_sample_rho`'s top-excess and the filter's stochastic keep.
+    *
+    * Scale shape: the training aggregates + ONE broadcast model join +
+    * doc-keyed scoring agg; the acquisition window runs per source over
+    * the corpus-sublinear doc frame; ≤|sources| audit rows out.
+    */
+  private val qSampleMargin = Q(
+    "q_sample_margin",
+    (s, dir) => {
+      val (x, w2) = lrTwoStep(s, dir)
+      val z2 = x.join(broadcast(w2.select(col("f"), col("w2"))), "f")
+        .groupBy("doc_id").agg(sum(col("w2") * col("x")).as("z"))
+      val sc = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(z2, Seq("doc_id"), "left")
+        .withColumn("sig", expr(s"greatest(0L, least(${LrMicro}L, " +
+          s"${LrMicro / 2}L + coalesce(z, 0L) div 4))"))
+        .withColumn("margin", expr(s"abs(sig - ${LrMicro / 2}L)"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("margin").asc, col("doc_id"))
+      sc.withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"CASE WHEN rk <= $MarginK THEN 1L ELSE 0L END")).as("n_picked"),
+          sum(expr(s"CASE WHEN rk <= $MarginK THEN doc_id ELSE 0L END")).as("picked_idsum"),
+          expr(s"sum(CASE WHEN rk <= $MarginK THEN margin ELSE 0L END) div " +
+            s"greatest(1L, sum(CASE WHEN rk <= $MarginK THEN 1L ELSE 0L END))")
+            .as("mean_margin_picked"),
+          expr("sum(margin) div count(1)").as("mean_margin_all"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $lrOracleCtes,
+            z2 AS (SELECT doc_id, CAST(SUM(w2.w2 * x.x) AS BIGINT) AS z
+                   FROM x JOIN w2 USING (f) GROUP BY doc_id),
+            sc AS (SELECT doc_id, source,
+                    abs(greatest(0, least($LrMicro, ${LrMicro / 2} + COALESCE(z2.z, 0) // 4))
+                        - ${LrMicro / 2}) AS margin
+                   FROM documents LEFT JOIN z2 USING (doc_id)),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY margin ASC, doc_id) AS rk FROM sc)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN rk <= $MarginK THEN 1 ELSE 0 END) AS BIGINT) AS n_picked,
+             CAST(SUM(CASE WHEN rk <= $MarginK THEN doc_id ELSE 0 END) AS BIGINT) AS picked_idsum,
+             CAST(SUM(CASE WHEN rk <= $MarginK THEN margin ELSE 0 END) //
+                  greatest(1, SUM(CASE WHEN rk <= $MarginK THEN 1 ELSE 0 END)) AS BIGINT) AS mean_margin_picked,
+             CAST(SUM(margin) // COUNT(*) AS BIGINT) AS mean_margin_all
+            FROM rk GROUP BY source ORDER BY source"""))
+
   // ------------------------------------------------- DoReMi reweighting
 
   /** Exponentiated-gradient amplification η on the relative excess
@@ -1543,6 +1603,6 @@ object Curation {
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
-    qSampleDsir, qSampleRho, qCurateLrStep, qCurateLrFilter, qCurateCalibration,
-    qMixDoremi, qMixEpochs)
+    qSampleDsir, qSampleRho, qSampleMargin, qCurateLrStep, qCurateLrFilter,
+    qCurateCalibration, qMixDoremi, qMixEpochs)
 }

@@ -730,6 +730,27 @@ class InvariantsSpec extends SparkSpec {
     assert(mp > mn, f"learned filter does not favor the trained-toward class ($mp%.0f <= $mn%.0f)")
   }
 
+  test("margin sampling: budgets respected and the pick is the least-confident mass") {
+    val nDocs = spark.read.parquet(s"$floorDir/documents.parquet").count()
+    val rows = SparkEntry.queries("q_sample_margin")(spark, floorDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "audit loses docs")
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_picked") == math.min(16L, r.getAs[Long]("n_docs")),
+        s"$src: acquisition budget violated")
+      val (mp, ma) = (r.getAs[Long]("mean_margin_picked"), r.getAs[Long]("mean_margin_all"))
+      // bottom-K by margin ⇒ picked mean can never exceed the population
+      // mean (1-unit floor slack)
+      assert(mp <= ma + 1L, s"$src: picked margin $mp above population $ma")
+      assert(mp >= 0L && ma <= 500000L, s"$src: margins outside [0, 1/2]")
+    }
+    // uncertainty must exist to sample: somewhere the picked batch is
+    // strictly less confident than the average doc
+    assert(rows.exists(r =>
+      r.getAs[Long]("mean_margin_picked") < r.getAs[Long]("mean_margin_all")),
+      "margin sampling indistinguishable from random — scores collapsed")
+  }
+
   test("lr calibration: bins conserve the corpus, rates are probabilities, score orders the label") {
     val docs = spark.read.parquet(s"$floorDir/documents.parquet")
     val nDocs = docs.count()

@@ -116,7 +116,10 @@ class PlanLintSpec extends SparkSpec {
       "q_sample_rho",
       // 1-row broadcast (mn, mx) score range fanned onto the per-doc
       // score frame for the map-only bin compare — the ppl_buckets shape
-      "q_curate_calibration")
+      "q_curate_calibration",
+      // the shared lrTwoStep training chain's 1-row doc-count broadcast
+      // (the q_curate_lr_step class); the scoring joins are EQUI-joins
+      "q_sample_margin")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
