@@ -5295,33 +5295,52 @@ object Llm {
     * map-combinable over (source, bucket). Two corpus scans, no
     * corpus-sized shuffle past the doc-keyed mean.
     */
+  /** Per-doc unigram-commonness score frame (doc_id, source, mp) — the
+    * CCNet LM-score surrogate shared by `q_text_ppl_buckets` (tercile
+    * census) and `q_mix_anneal` (phase allocation); one spelling, so
+    * the bucketer and the mixer that consumes its buckets cannot drift.
+    * Checkpointed: every consumer reads it at least twice (histogram +
+    * census / budget + allocation).
+    */
+  private def commonnessScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val t = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val v = t.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // two consumers: token total + prob table
+    val n = v.agg(sum("c").as("nt"))
+    val p = v.crossJoin(broadcast(n))
+      .select(col("w"), expr("c * 1000000L div nt").as("pm"))
+    val sc = t.join(p, "w").groupBy("doc_id")
+      .agg(expr("sum(pm) div count(1)").as("mp"))
+    docs.select(col("doc_id"), col("source"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), coalesce(col("mp"), lit(0L)).as("mp"))
+      .localCheckpoint(true)
+  }
+
+  /** The exact tercile thresholds (t1, t2) of a scored frame via the
+    * bounded integer-score histogram + ONE partition-less cumulative
+    * window (declared in the PlanLint registry for both consumers).
+    */
+  private def commonnessTerciles(scored: DataFrame): DataFrame = {
+    val tot = scored.agg(count(lit(1)).as("n"))
+    val wcum = Window.orderBy("mp")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored.groupBy("mp").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wcum))
+      .crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("mp"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("mp"))).as("t2"))
+  }
+
   private val qTextPplBuckets = Q(
     "q_text_ppl_buckets",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val t = docs
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-      val v = t.groupBy("w").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // two consumers: token total + prob table
-      val n = v.agg(sum("c").as("nt"))
-      val p = v.crossJoin(broadcast(n))
-        .select(col("w"), expr("c * 1000000L div nt").as("pm"))
-      val sc = t.join(p, "w").groupBy("doc_id")
-        .agg(expr("sum(pm) div count(1)").as("mp"))
-      val scored = docs.select(col("doc_id"), col("source"))
-        .join(sc, Seq("doc_id"), "left")
-        .select(col("source"), coalesce(col("mp"), lit(0L)).as("mp"))
-        .localCheckpoint(true) // two consumers: histogram + census
-      val tot = scored.agg(count(lit(1)).as("n"))
-      val wcum = Window.orderBy("mp")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val thr = scored.groupBy("mp").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(wcum))
-        .crossJoin(broadcast(tot))
-        .agg(min(when(col("cum") * 3 >= col("n"), col("mp"))).as("t1"),
-          min(when(col("cum") * 3 >= col("n") * 2, col("mp"))).as("t2"))
+      val scored = commonnessScored(s, dir)
+      val thr = commonnessTerciles(scored)
       scored.crossJoin(broadcast(thr))
         .withColumn("bucket", expr(
           "CASE WHEN mp < t1 THEN 'tail' WHEN mp < t2 THEN 'middle' ELSE 'head' END"))
@@ -5385,6 +5404,97 @@ object Llm {
     * 3 rows. InvariantsSpec pins recall monotone in probes and the
     * level-4 row ≥ the family floor.
     */
+  /** Phase-2 epoch cap for the anneal allocation: the head set may be
+    * repeated at most 4× (the near-free repeat region of the
+    * data-constrained scaling law `q_mix_epochs` encodes).
+    */
+  private val AnnealMaxW = 4000000L
+
+  /** Two-phase ANNEAL allocation (r10 — the "annealing" / midtraining
+    * recipe of the LLaMA-3 report (§3.1.3: learning-rate annealing on
+    * small amounts of high-quality data) and MiniCPM (Hu et al. 2024,
+    * arXiv:2404.06395 — the decay phase mixes in the highest-quality
+    * data): the token budget is split 90/10 — the stable phase draws
+    * every quality bucket at uniform weight, the anneal phase draws ONLY
+    * the head tercile, upsampled to fill its 10% budget but capped at
+    * [[AnnealMaxW]] (4 epochs, the `q_mix_epochs` near-free repeat
+    * region). Buckets come from the SAME [[commonnessScored]] /
+    * [[commonnessTerciles]] chain `q_text_ppl_buckets` censuses — one
+    * spelling, so the bucketer and the mixer cannot drift. All integer:
+    * phase-1 alloc = tokens·9 div 10 per bucket (weight 900000 micro),
+    * phase-2 weight = min(cap, B2·1e6 div head_tokens).
+    *
+    * Scale shape: the scoring chain's aggregates + a map-only token
+    * count, ONE (bucket) census, a 1-row total broadcast, and a ≤ 4-row
+    * union — nothing after the census scales.
+    */
+  private val qMixAnneal = Q(
+    "q_mix_anneal",
+    (s, dir) => {
+      val scored = commonnessScored(s, dir)
+      val thr = commonnessTerciles(scored)
+      val ntok = Tables(s, dir, "documents").select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), x -> length(x) >= 1)) AS BIGINT)").as("ntok"))
+      val bt = scored.join(ntok, "doc_id").crossJoin(broadcast(thr))
+        .withColumn("bucket", expr(
+          "CASE WHEN mp < t1 THEN 'tail' WHEN mp < t2 THEN 'middle' ELSE 'head' END"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+        .localCheckpoint(true) // two consumers: total + both phases
+      val tot = bt.agg(sum("tokens").as("tt"))
+      val p1 = bt.select(lit(1L).as("phase"), col("bucket"), col("n_docs"),
+        col("tokens"), lit(900000L).as("weight_micro"),
+        expr("tokens * 9L div 10L").as("alloc_tokens"))
+      val p2 = bt.filter(col("bucket") === "head").crossJoin(broadcast(tot))
+        .withColumn("weight_micro", expr(
+          s"least(${AnnealMaxW}L, (tt div 10L) * 1000000L div greatest(1L, tokens))"))
+        .select(lit(2L).as("phase"), col("bucket"), col("n_docs"), col("tokens"),
+          col("weight_micro"),
+          expr("tokens * weight_micro div 1000000L").as("alloc_tokens"))
+      p1.unionByName(p2).orderBy("phase", "bucket")
+    },
+    Some("""WITH t AS (SELECT doc_id, u.tok AS w
+                  FROM documents, unnest(string_split(text, ' ')) u(tok)
+                  WHERE length(u.tok) >= 1),
+            v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY w),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM v),
+            p AS (SELECT w, c * 1000000 // nt AS pm FROM v CROSS JOIN n),
+            sc AS (SELECT doc_id, SUM(p.pm) // COUNT(*) AS mp
+                   FROM t JOIN p USING (w) GROUP BY doc_id),
+            s2 AS (SELECT d.doc_id, COALESCE(sc.mp, 0) AS mp
+                   FROM documents d LEFT JOIN sc USING (doc_id)),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2),
+            h AS (SELECT mp, CAST(COUNT(*) AS BIGINT) AS c FROM s2 GROUP BY mp),
+            cu AS (SELECT mp, SUM(c) OVER (ORDER BY mp
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                   FROM h),
+            thr AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN mp END) AS t1,
+                     MIN(CASE WHEN cum * 3 >= n * 2 THEN mp END) AS t2
+                    FROM cu CROSS JOIN tot),
+            nt2 AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> length(x) >= 1)) AS BIGINT) AS ntok
+                    FROM documents),
+            bt AS (SELECT CASE WHEN mp < t1 THEN 'tail'
+                          WHEN mp < t2 THEN 'middle' ELSE 'head' END AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(ntok) AS BIGINT) AS tokens
+                   FROM s2 JOIN nt2 USING (doc_id) CROSS JOIN thr
+                   GROUP BY 1),
+            tt AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM bt),
+            p1 AS (SELECT CAST(1 AS BIGINT) AS phase, bucket, n_docs, tokens,
+                    CAST(900000 AS BIGINT) AS weight_micro,
+                    tokens * 9 // 10 AS alloc_tokens
+                   FROM bt),
+            p2 AS (SELECT CAST(2 AS BIGINT) AS phase, bucket, n_docs, tokens,
+                    least(4000000, (tt // 10) * 1000000 // greatest(1, tokens)) AS weight_micro,
+                    tokens * least(4000000, (tt // 10) * 1000000 // greatest(1, tokens)) // 1000000 AS alloc_tokens
+                   FROM bt CROSS JOIN tt WHERE bucket = 'head')
+            SELECT phase, bucket, n_docs, tokens,
+             CAST(weight_micro AS BIGINT) AS weight_micro,
+             CAST(alloc_tokens AS BIGINT) AS alloc_tokens
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+            ORDER BY phase, bucket"""))
+
   private val qSimRecallSweep = Q(
     "q_sim_recall_sweep",
     (s, dir) => {
@@ -5549,6 +5659,6 @@ object Llm {
     qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qSimDocTopk, qSampleCoreset, qTextDrift,
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qMixAnneal, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)
 }

@@ -1402,6 +1402,36 @@ class InvariantsSpec extends SparkSpec {
       "audit cluster count disagrees with the declared clustering")
   }
 
+  test("anneal allocation: phase budgets honored, head-only anneal, epoch cap respected") {
+    val rows = SparkEntry.queries("q_mix_anneal")(spark, floorDir).collect()
+    val p1 = rows.filter(_.getAs[Long]("phase") == 1L)
+    val p2 = rows.filter(_.getAs[Long]("phase") == 2L)
+    assert(p1.nonEmpty && p2.length == 1, "phase shape: all buckets stable, head-only anneal")
+    assert(p2.head.getAs[String]("bucket") == "head", "anneal must draw the head tercile only")
+    val total = p1.map(_.getAs[Long]("tokens")).sum
+    // phase 1 allocates exactly 90% per bucket (integer floor)
+    p1.foreach { r =>
+      assert(r.getAs[Long]("weight_micro") == 900000L)
+      assert(r.getAs[Long]("alloc_tokens") == r.getAs[Long]("tokens") * 9L / 10L)
+    }
+    // phase 2: fills its 10% budget unless the 4-epoch cap binds, never over
+    val w2 = p2.head.getAs[Long]("weight_micro")
+    assert(w2 > 0L && w2 <= 4000000L, s"anneal weight $w2 outside (0, 4 epochs]")
+    val a2 = p2.head.getAs[Long]("alloc_tokens")
+    assert(a2 <= total / 10L + 1L, s"anneal allocation $a2 exceeds the 10% budget")
+    if (w2 < 4000000L)
+      assert(a2 >= total / 10L - p2.head.getAs[Long]("tokens") / 1000000L - 1L,
+        "uncapped anneal failed to fill its budget")
+    // bucket census agrees with the declared tercile census
+    val ppl = SparkEntry.queries("q_text_ppl_buckets")(spark, floorDir)
+      .groupBy("bucket").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    p1.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == ppl(r.getAs[String]("bucket")),
+        s"${r.getAs[String]("bucket")}: anneal and ppl_buckets disagree on membership")
+    }
+  }
+
   test("attribution: conversions conserve, direct carries no credit, linear mass is bounded") {
     val rows = SparkEntry.queries("q_agg_attribution")(spark, floorDir).collect()
     assert(rows.nonEmpty)

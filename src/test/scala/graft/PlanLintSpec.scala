@@ -119,7 +119,11 @@ class PlanLintSpec extends SparkSpec {
       "q_curate_calibration",
       // the shared lrTwoStep training chain's 1-row doc-count broadcast
       // (the q_curate_lr_step class); the scoring joins are EQUI-joins
-      "q_sample_margin")
+      "q_sample_margin",
+      // the shared commonnessScored/terciles chain's 1-row broadcasts
+      // (token total, corpus count, (t1, t2) thresholds, token budget) —
+      // the q_text_ppl_buckets class
+      "q_mix_anneal")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
@@ -144,7 +148,10 @@ class PlanLintSpec extends SparkSpec {
     Map("q_agg_anomaly" -> 1, "q_pack_sequences" -> 1,
       "q_text_vocab_prune" -> 1, "q_join_dpp" -> 1,
       "q_text_ppl_buckets" -> 1, "q_mix_epochs" -> 1,
-      "q_win_cusum" -> 2)
+      "q_win_cusum" -> 2,
+      // the shared tercile histogram window (the ppl_buckets bounded
+      // integer-score-grid class)
+      "q_mix_anneal" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
