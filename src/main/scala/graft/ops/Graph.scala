@@ -197,6 +197,67 @@ object Graph {
             FROM a2 JOIN h2 ON a2.id = h2.id
             ORDER BY auth2 DESC, node_type, node_key LIMIT 20"""))
 
+  /** Degree-class MIXING matrix — Newman's assortativity analysis
+    * (Newman, PRL 2002 "Assortative mixing in networks" / PRE 2003
+    * "Mixing patterns in networks") over the persisted transaction
+    * graph: who connects to whom BY DEGREE CLASS. The full Pearson
+    * assortativity coefficient needs a sqrt (not engine-exact) and its
+    * raw integer moments overflow BIGINT at sf1.0 (|E|·deg² ≈ 1e20), so
+    * the declared output is the paper's underlying object instead — the
+    * e_jk matrix over exact log2-degree classes (`length(bin(deg))`,
+    * the `q_graph_degree_dist` bucket spelling), each cell with its
+    * edge count and share in basis points, plus per-cell endpoint
+    * degree means. Hub-to-leaf structure (disassortative bipartite
+    * mixing) is read directly off the off-diagonal mass; InvariantsSpec
+    * computes the assortativity SIGN from the bounded matrix in exact
+    * arithmetic.
+    *
+    * Scale shape: one degree census off the persisted edge artifact
+    * (already degree-annotated), one equi-join to annotate dst degrees,
+    * ONE map-combinable (jb, kb) census — ≤ 64² cells at any scale.
+    */
+  private val qGraphMixing = Q(
+    "q_graph_mixing",
+    (s, dir) => {
+      val e = bipartiteEdges(s, dir) // (src, dst, deg) with deg = deg(src)
+      val dd = e.select(col("src").as("dst"), col("deg").as("ddeg")).distinct()
+      val cells = e.join(dd, "dst")
+        .select(expr("CAST(length(bin(deg)) AS BIGINT)").as("jb"),
+          expr("CAST(length(bin(ddeg)) AS BIGINT)").as("kb"),
+          col("deg"), col("ddeg"))
+        .groupBy("jb", "kb")
+        .agg(count(lit(1)).as("n_edges"),
+          expr("sum(deg) div count(1)").as("mean_src_deg"),
+          expr("sum(ddeg) div count(1)").as("mean_dst_deg"))
+      val tot = cells.agg(sum("n_edges").as("te"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("n_edges * 10000L div te"))
+        .select(col("jb"), col("kb"), col("n_edges"), col("share_bp"),
+          col("mean_src_deg"), col("mean_dst_deg"))
+        .orderBy("jb", "kb")
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            edges AS (SELECT c * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+                      UNION ALL
+                      SELECT sk * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+            deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            an AS (SELECT e.src, e.dst, d1.deg AS deg, d2.deg AS ddeg
+                   FROM edges e JOIN deg d1 ON e.src = d1.src
+                   JOIN deg d2 ON e.dst = d2.src),
+            cl AS (SELECT CAST(length(bin(deg)) AS BIGINT) AS jb,
+                    CAST(length(bin(ddeg)) AS BIGINT) AS kb,
+                    CAST(COUNT(*) AS BIGINT) AS n_edges,
+                    CAST(SUM(deg) // COUNT(*) AS BIGINT) AS mean_src_deg,
+                    CAST(SUM(ddeg) // COUNT(*) AS BIGINT) AS mean_dst_deg
+                   FROM an GROUP BY 1, 2),
+            tt AS (SELECT CAST(SUM(n_edges) AS BIGINT) AS te FROM cl)
+            SELECT jb, kb, n_edges,
+             CAST(n_edges * 10000 // te AS BIGINT) AS share_bp,
+             mean_src_deg, mean_dst_deg
+            FROM cl CROSS JOIN tt ORDER BY jb, kb"""))
+
   /** Per-node out-edge budget for the k-NN sparsification below. Each node
     * KEEPS ≤ TriKnn edges, so |E| ≤ n·TriKnn and average degree ≤ 2·TriKnn
     * (OR-survival means a popular node's IN-degree is not individually
@@ -651,6 +712,6 @@ object Graph {
                  CAST(SUM(deg) AS BIGINT) AS deg_mass
           FROM deg GROUP BY 1 ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(qGraphPagerank, qGraphHits, qGraphTriangles, qGraphLabelProp,
+  val all: Seq[Q] = Seq(qGraphPagerank, qGraphHits, qGraphMixing, qGraphTriangles, qGraphLabelProp,
     qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist)
 }

@@ -2985,6 +2985,73 @@ object Llm {
                   greatest(1, CAST(FLOOR(ln(CAST(n_vocab AS DOUBLE)) * 1.0e4) AS BIGINT)) AS BIGINT) AS pielou_bp
             FROM ag ORDER BY source"""))
 
+  /** Top-K vocabulary window for the Zipf fit. */
+  private val ZipfK = 64
+
+  /** ZIPF rank-frequency audit — the corpus-health fit (Zipf 1949;
+    * Piantadosi 2014 review): natural language shows freq ∝ rank^(−s)
+    * with s ≈ 1; template farms, spam, and synthetic word salads bend
+    * the head of the curve, so the fitted slope over the top-[[ZipfK]]
+    * vocabulary is the one-number screen a corpus intake reads next to
+    * `q_text_entropy`'s evenness. D1: the fit runs on PRE-FLOORED
+    * integer ln units x = ⌊ln(rank)·1e4⌋, y = ⌊ln(freq)·1e4⌋ (the
+    * entropy/idf quantization discipline — one ln per point, quantized
+    * before any sum), and the least-squares slope is one integer
+    * cross-expression slope_milli = (KΣxy − ΣxΣy)·1000 div
+    * (KΣx² − (Σx)²) — exact BIGINT in both engines (magnitudes ≤ ~1e13).
+    *
+    * Scale shape: ONE vocab census (map-combinable) → per-task top-K via
+    * TakeOrderedAndProject → rank window over ONLY the K-row frame (the
+    * `q_text_vocab_prune` exemption class) → a 1-row fit. Output: one
+    * row — corpus sizes, the slope, and the head frequency.
+    */
+  private val qTextZipf = Q(
+    "q_text_zipf",
+    (s, dir) => {
+      val v = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // two consumers: corpus totals + top-K
+      val tot = v.agg(sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"))
+      val top = v.orderBy(col("c").desc, col("w")).limit(ZipfK)
+      val ranked = top
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .select(
+          expr("CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1.0e4) AS BIGINT)").as("x"),
+          expr("CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1.0e4) AS BIGINT)").as("y"),
+          col("c"), col("rnk"))
+      ranked.agg(count(lit(1)).as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          max(when(col("rnk") === 1, col("c"))).as("top1_freq"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_tokens"), col("n_vocab"), col("k"), col("top1_freq"),
+          expr("(k * sxy - sx * sy) * 1000L div (k * sxx - sx * sx)").as("slope_milli"))
+    },
+    Some(s"""WITH tk AS (SELECT u.t AS w
+                  FROM documents, unnest(string_split(text, ' ')) u(t)
+                  WHERE length(u.t) >= 1),
+            v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY w),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_vocab FROM v),
+            top AS (SELECT w, c FROM v ORDER BY c DESC, w LIMIT $ZipfK),
+            rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk FROM top),
+            pt AS (SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1.0e4) AS BIGINT) AS x,
+                    CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1.0e4) AS BIGINT) AS y,
+                    c, rnk
+                   FROM rk),
+            f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(MAX(CASE WHEN rnk = 1 THEN c END) AS BIGINT) AS top1_freq
+                  FROM pt)
+            SELECT n_tokens, n_vocab, k, top1_freq,
+             CAST((k * sxy - sx * sy) * 1000 // (k * sxx - sx * sx) AS BIGINT) AS slope_milli
+            FROM f CROSS JOIN tot"""))
+
   /** Heavy-hitter threshold divisor: exact output = terms with
     * frequency > n/[[HeavyK]]; the sketch pass keeps ≤ HeavyK−1
     * counters per partial aggregate.
@@ -5657,7 +5724,7 @@ object Llm {
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity,
-    qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
+    qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextZipf, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qMixAnneal, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)

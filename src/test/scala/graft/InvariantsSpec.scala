@@ -1458,6 +1458,51 @@ class InvariantsSpec extends SparkSpec {
     info(s"attribution: $nConv conversions, $direct direct, linear mass $linTotal/${1000L * attributed}")
   }
 
+  test("zipf fit: head-law shape holds and the fit is the declared integer regression") {
+    val r = SparkEntry.queries("q_text_zipf")(spark, floorDir).collect()(0)
+    val (nt, nv, k) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_vocab"), r.getAs[Long]("k"))
+    assert(k == math.min(64L, nv), "fit window is min(64, vocab)")
+    // the head term sits at or above the mean vocabulary frequency
+    assert(r.getAs[Long]("top1_freq") >= nt / nv, "rank-1 below the mean frequency")
+    // frequencies are sorted desc over the ranked window, so the ln-ln
+    // slope can never be positive; and a slope steeper than -5 would
+    // mean the fit itself broke (natural text sits near -1, uniform
+    // word salad near 0)
+    val slope = r.getAs[Long]("slope_milli")
+    info(s"zipf: slope $slope milli over top-$k of $nv types, ${nt} tokens")
+    assert(slope <= 0L && slope > -5000L, s"slope $slope outside the lawful band")
+  }
+
+  test("mixing matrix: edges conserve, bucket means sit in their class, bipartite mixing is disassortative") {
+    val rows = SparkEntry.queries("q_graph_mixing")(spark, floorDir).collect()
+    assert(rows.nonEmpty && rows.length <= 64 * 64)
+    val te = rows.map(_.getAs[Long]("n_edges")).sum
+    rows.foreach { r =>
+      val (jb, kb) = (r.getAs[Long]("jb"), r.getAs[Long]("kb"))
+      // length(bin(d)) = b  ⟺  d ∈ [2^(b-1), 2^b)
+      val (ms, md) = (r.getAs[Long]("mean_src_deg"), r.getAs[Long]("mean_dst_deg"))
+      assert(ms >= (1L << (jb - 1).toInt) && ms < (1L << jb.toInt),
+        s"cell ($jb,$kb): src mean $ms outside its class")
+      assert(md >= (1L << (kb - 1).toInt) && md < (1L << kb.toInt),
+        s"cell ($jb,$kb): dst mean $md outside its class")
+      assert(r.getAs[Long]("share_bp") == r.getAs[Long]("n_edges") * 10000L / te)
+    }
+    // symmetric double counting: the matrix is its own transpose cell-wise
+    val m = rows.map(r => (r.getAs[Long]("jb"), r.getAs[Long]("kb")) -> r.getAs[Long]("n_edges")).toMap
+    m.foreach { case ((j, kk), n) =>
+      assert(m.getOrElse((kk, j), 0L) == n, s"cell ($j,$kk) not mirrored") }
+    // Newman sign off the bounded matrix: a bipartite buyer–supplier
+    // graph with unequal side degrees mixes DISASSORTATIVELY
+    val (sw, sx, sy) = (te.toDouble,
+      rows.map(r => r.getAs[Long]("n_edges") * r.getAs[Long]("mean_src_deg").toDouble).sum,
+      rows.map(r => r.getAs[Long]("n_edges") * r.getAs[Long]("mean_dst_deg").toDouble).sum)
+    val cov = rows.map(r => r.getAs[Long]("n_edges") *
+      (r.getAs[Long]("mean_src_deg") - sx / sw) *
+      (r.getAs[Long]("mean_dst_deg") - sy / sw)).sum / sw
+    info(f"mixing: ${rows.length} cells, degree covariance $cov%.1f")
+    assert(cov < 0.0, f"bipartite mixing not disassortative (cov $cov%.1f)")
+  }
+
   test("hits: top-20 is positive, authority-ordered, and a pure function of the graph") {
     val rows = SparkEntry.queries("q_graph_hits")(spark, floorDir).collect()
     assert(rows.length == 20)

@@ -123,7 +123,12 @@ class PlanLintSpec extends SparkSpec {
       // the shared commonnessScored/terciles chain's 1-row broadcasts
       // (token total, corpus count, (t1, t2) thresholds, token budget) —
       // the q_text_ppl_buckets class
-      "q_mix_anneal")
+      "q_mix_anneal",
+      // 1-row broadcast (n_tokens, n_vocab) corpus totals fanned onto
+      // the 1-row least-squares fit
+      "q_text_zipf",
+      // 1-row broadcast edge total fanned onto the <= 64x64 cell census
+      "q_graph_mixing")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
@@ -151,7 +156,10 @@ class PlanLintSpec extends SparkSpec {
       "q_win_cusum" -> 2,
       // the shared tercile histogram window (the ppl_buckets bounded
       // integer-score-grid class)
-      "q_mix_anneal" -> 1)
+      "q_mix_anneal" -> 1,
+      // rank window over ONLY the post-TakeOrdered K = 64 vocab rows
+      // (the q_text_vocab_prune class)
+      "q_text_zipf" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
