@@ -1026,6 +1026,67 @@ object Etl {
     * suppression decision never touches row-level data again, so the
     * shape is the `q_agg_q1` family's at any scale.
     */
+  /** Truth probability for the randomized-response report, in micro. */
+  private val LdpPMicro = 750000L
+
+  /** LOCAL-DIFFERENTIAL-PRIVACY census — randomized response (Warner,
+    * JASA 1965; the mechanism RAPPOR industrialized, Erlingsson et al.
+    * CCS'14): each event reports its type truthfully with p = 3/4, else
+    * a uniform draw from the k-type universe, and the collector DEBIASES
+    * the noisy census: E[obs] = p·true + (1−p)·n/k ⇒ est = (4k·obs − n)
+    * div (3k) exactly for p = 3/4 — one integer expression, no float.
+    * Declared as an AUDIT next to `q_etl_kanon`'s suppression: the
+    * output carries the true census beside the unbiased estimate so the
+    * row IS the utility/privacy report (estimator error in bp). Both
+    * coin flips are salted hashes of event_id (`ldp_`/`ldpr_`
+    * independent salts, no rand() — re-runs agree; a per-event noise
+    * draw is exactly what LDP permits the collector to see).
+    *
+    * Scale shape: one scan → map-only flip + report (universe array is
+    * a 1-row broadcast) → TWO map-combinable censuses (true, observed)
+    * joined on the ≤ k-row type frame. Nothing after the censuses
+    * scales; the debias is per-row arithmetic on k rows.
+    */
+  private val qEtlLdp = Q(
+    "q_etl_ldp",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "event_type")
+      val uni = e.agg(sort_array(collect_set("event_type")).as("u"))
+      val rep = e.crossJoin(broadcast(uni))
+        .withColumn("reported", expr(
+          s"""CASE WHEN pmod(${Llm.md5Hex32Spark("concat('ldp_', CAST(event_id AS STRING))")}, 1000000L) < $LdpPMicro
+               THEN event_type
+               ELSE element_at(u, CAST(pmod(${Llm.md5Hex32Spark("concat('ldpr_', CAST(event_id AS STRING))")}, size(u)) AS INT) + 1)
+             END"""))
+      val obs = rep.groupBy(col("reported").as("event_type"))
+        .agg(count(lit(1)).as("obs_n"))
+      val tru = e.groupBy("event_type").agg(count(lit(1)).as("true_n"))
+      val tot = e.agg(count(lit(1)).as("n"), countDistinct("event_type").as("k"))
+      tru.join(obs, "event_type").crossJoin(broadcast(tot))
+        .withColumn("est_n", expr("(4L * k * obs_n - n) div (3L * k)"))
+        .select(col("event_type"), col("true_n"), col("obs_n"), col("est_n"),
+          expr("abs(est_n - true_n) * 10000L div true_n").as("err_bp"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_id, event_type FROM events),
+            uni AS (SELECT list(DISTINCT event_type ORDER BY event_type) AS u FROM e),
+            rep AS (SELECT CASE WHEN (${Llm.md5Hex32Sql("'ldp_' || CAST(event_id AS VARCHAR)")}) % 1000000 < $LdpPMicro
+                     THEN event_type
+                     ELSE u[CAST((${Llm.md5Hex32Sql("'ldpr_' || CAST(event_id AS VARCHAR)")}) % len(u) AS INT) + 1]
+                    END AS reported
+                   FROM e CROSS JOIN uni),
+            obs AS (SELECT reported AS event_type, CAST(COUNT(*) AS BIGINT) AS obs_n
+                    FROM rep GROUP BY reported),
+            tru AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+                    FROM e GROUP BY event_type),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM e)
+            SELECT event_type, true_n, obs_n,
+             CAST((4 * k * obs_n - n) // (3 * k) AS BIGINT) AS est_n,
+             CAST(abs((4 * k * obs_n - n) // (3 * k) - true_n) * 10000 // true_n AS BIGINT) AS err_bp
+            FROM tru JOIN obs USING (event_type) CROSS JOIN tot
+            ORDER BY event_type"""))
+
   private val qEtlKanon = Q(
     "q_etl_kanon",
     (s, dir) => {
@@ -1064,6 +1125,6 @@ object Etl {
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlManifest, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
-    qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qEtlKanon,
+    qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qEtlKanon, qEtlLdp,
     qStreamTumbling, qStreamSliding, qStreamSession)
 }

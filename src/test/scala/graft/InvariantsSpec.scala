@@ -1458,6 +1458,30 @@ class InvariantsSpec extends SparkSpec {
     info(s"attribution: $nConv conversions, $direct direct, linear mass $linTotal/${1000L * attributed}")
   }
 
+  test("ldp census: reports conserve, debias is unbiased within the binomial envelope") {
+    val rows = SparkEntry.queries("q_etl_ldp")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("true_n")).sum
+    val k = rows.length.toLong
+    // (a) randomized response loses no events: observed census re-partitions n
+    assert(rows.map(_.getAs[Long]("obs_n")).sum == n, "reports lose or duplicate events")
+    // (b) debiased estimates re-total to ~n (k floor truncations of slack)
+    val estSum = rows.map(_.getAs[Long]("est_n")).sum
+    assert(math.abs(estSum - n) <= k, s"debiased total $estSum drifts from $n beyond floor slack")
+    rows.foreach { r =>
+      val (t, est) = (r.getAs[Long]("true_n"), r.getAs[Long]("est_n"))
+      // (c) unbiasedness, measured: the deterministic hash draw sits
+      // inside a generous 8σ binomial envelope around the truth
+      // (σ ≈ sqrt(n·(1−p)/k)/p with p = 3/4) — holds forever or never
+      val sigma = math.sqrt(n * 0.25 / k) / 0.75
+      assert(math.abs(est - t) <= 8 * sigma + k,
+        s"${r.getAs[String]("event_type")}: estimate $est vs true $t beyond 8σ=$sigma")
+      assert(r.getAs[Long]("err_bp") == math.abs(est - t) * 10000L / t, "err identity")
+    }
+    val worst = rows.map(_.getAs[Long]("err_bp")).max
+    info(s"ldp: $k types, n=$n, worst estimator error $worst bp")
+  }
+
   test("zipf fit: head-law shape holds and the fit is the declared integer regression") {
     val r = SparkEntry.queries("q_text_zipf")(spark, floorDir).collect()(0)
     val (nt, nv, k) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_vocab"), r.getAs[Long]("k"))

@@ -128,7 +128,11 @@ class PlanLintSpec extends SparkSpec {
       // the 1-row least-squares fit
       "q_text_zipf",
       // 1-row broadcast edge total fanned onto the <= 64x64 cell census
-      "q_graph_mixing")
+      "q_graph_mixing",
+      // 1-row broadcasts: the k-type universe array fanned onto the scan
+      // for the map-only randomized-response flip, and (n, k) onto the
+      // <= k-row census for the debias arithmetic
+      "q_etl_ldp")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
