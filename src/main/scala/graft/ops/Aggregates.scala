@@ -570,6 +570,66 @@ object Aggregates {
     * frames are one skinny row per qualifying user), no window over
     * event rows, no self-join. Map-side combine applies to every min().
     */
+  /** Benford expected first-digit shares in basis points:
+    * ⌊log10(1 + 1/d)·10⁴⌋ for d = 1..9 — literals, so no float log at
+    * runtime in either engine.
+    */
+  private val BenfordBp = Seq(3010L, 1760L, 1249L, 968L, 791L, 669L, 579L, 511L, 457L)
+
+  /** BENFORD first-digit audit — the classic fraud/fabrication screen
+    * (Benford 1938; Nigrini's forensic-accounting practice; Durtschi et
+    * al. 2004): naturally-occurring multiplicative amounts put digit d
+    * first with probability log10(1+1/d); fabricated or constrained data
+    * does not. Audits l_extendedprice: the first significant digit is
+    * extracted EXACTLY on the integer-cents path (substr of the BIGINT's
+    * decimal rendering — no float log10 anywhere), expected shares are
+    * precomputed basis-point literals, deviation is an integer
+    * difference. TPC-H prices are ~uniform on a range, NOT Benford —
+    * the fixture is a true positive for the screen, and the invariant
+    * pins exactly that (the audit flags it) plus the distributional
+    * identities.
+    *
+    * Scale shape: one scan → map-only digit extraction → ONE
+    * map-combinable 9-row census → 1-row total broadcast + a 9-literal
+    * broadcast join. Nothing after the census scales.
+    */
+  private val qAggBenford = Q(
+    "q_agg_benford",
+    (s, dir) => {
+      val digits = Tables(s, dir, "lineitem")
+        .filter(col("l_extendedprice") > 0)
+        .select(expr(
+          "CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val exp = s.range(1).select(explode(expr(
+          s"array(${BenfordBp.zipWithIndex.map { case (bp, i) =>
+            s"named_struct('digit', ${i + 1}L, 'benford_bp', ${bp}L)" }.mkString(",")})"))
+          .as("x"))
+        .select(col("x.digit").as("digit"), col("x.benford_bp").as("benford_bp"))
+      val tot = digits.agg(sum("n").as("tn"))
+      digits.join(broadcast(exp), "digit")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 10000L div tn").as("share_bp"),
+          col("benford_bp"),
+          expr("abs(n * 10000L div tn - benford_bp)").as("dev_bp"))
+        .orderBy("digit")
+    },
+    Some(s"""WITH d AS (SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                  FROM lineitem WHERE l_extendedprice > 0),
+            c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+            e AS (SELECT * FROM (VALUES ${BenfordBp.zipWithIndex
+              .map { case (bp, i) => s"(${i + 1}, $bp)" }.mkString(", ")})
+                  AS t(digit, benford_bp)),
+            tn AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM c)
+            SELECT c.digit, n,
+             CAST(n * 10000 // tn AS BIGINT) AS share_bp,
+             CAST(benford_bp AS BIGINT) AS benford_bp,
+             CAST(abs(n * 10000 // tn - benford_bp) AS BIGINT) AS dev_bp
+            FROM c JOIN e ON c.digit = e.digit CROSS JOIN tn
+            ORDER BY c.digit"""))
+
   /** Lookback window for attribution touchpoints: 7 days in micros. */
   private val AttrWinUs = 7L * 86400000000L
 
@@ -1205,7 +1265,7 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest,
+    qAggAbTest, qAggBenford,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,

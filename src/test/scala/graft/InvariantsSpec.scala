@@ -1458,6 +1458,29 @@ class InvariantsSpec extends SparkSpec {
     info(s"attribution: $nConv conversions, $direct direct, linear mass $linTotal/${1000L * attributed}")
   }
 
+  test("benford audit: digit census is complete and the screen flags the uniform fixture") {
+    val rows = SparkEntry.queries("q_agg_benford")(spark, floorDir).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet == (1L to 9L).toSet,
+      "every leading digit 1-9 must appear on a dense price table")
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables(spark, floorDir, "lineitem")
+      .filter(col("l_extendedprice") > 0).count(), "census loses rows")
+    rows.foreach { r =>
+      val (sh, bf) = (r.getAs[Long]("share_bp"), r.getAs[Long]("benford_bp"))
+      assert(r.getAs[Long]("dev_bp") == math.abs(sh - bf), "dev identity")
+      assert(sh >= 0L && sh <= 10000L)
+    }
+    val shareSum = rows.map(_.getAs[Long]("share_bp")).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - 9L, s"floor shares sum $shareSum")
+    // TPC-H prices are range-uniform, NOT Benford — a calibrated screen
+    // must flag them decisively (digit-1 share far below the 30.1%
+    // Benford head). If a regenerated fixture ever becomes Benford,
+    // this pin fails loudly and the declared story needs updating.
+    val dev1 = rows.find(_.getAs[Long]("digit") == 1L).get.getAs[Long]("dev_bp")
+    info(s"benford: n=$n, digit-1 deviation $dev1 bp, total |dev| ${rows.map(_.getAs[Long]("dev_bp")).sum} bp")
+    assert(dev1 > 500L, "screen failed to flag the uniform-price fixture")
+  }
+
   test("ldp census: reports conserve, debias is unbiased within the binomial envelope") {
     val rows = SparkEntry.queries("q_etl_ldp")(spark, floorDir).collect()
     assert(rows.nonEmpty)

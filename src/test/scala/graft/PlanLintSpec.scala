@@ -132,7 +132,10 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcasts: the k-type universe array fanned onto the scan
       // for the map-only randomized-response flip, and (n, k) onto the
       // <= k-row census for the debias arithmetic
-      "q_etl_ldp")
+      "q_etl_ldp",
+      // 1-row broadcast row total fanned onto the 9-row digit census;
+      // the expectation join is an EQUI-join on digit
+      "q_agg_benford")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
