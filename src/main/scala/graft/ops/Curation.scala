@@ -1164,6 +1164,62 @@ object Curation {
                    CAST(SUM(kept * doc_id) AS BIGINT) AS kept_id_sum
             FROM k GROUP BY source ORDER BY source"""))
 
+  /** Corpus CONCENTRATION audit — Gini coefficient + Herfindahl index of
+    * the per-source token mass (r10 — the one-row screen a mixing recipe
+    * reads before trusting per-source weights: a corpus whose mass is
+    * one mega-source in disguise makes every `q_mix_*` share table
+    * cosmetic; HHI is the antitrust concentration measure, Gini the
+    * inequality one — both standard in data-governance reports).
+    * All-integer: shares in bp, HHI = Σshare²/1e4 (uniform over k →
+    * 1e4/k), Gini via the sorted-index formula G = (2Σi·mᵢ −
+    * (n+1)Σm)·1e4 div (n·Σm) over the ≤|sources| frame — the one
+    * ordered window runs on a bounded census, never the corpus.
+    *
+    * Scale shape: one token-count census (map-combinable) → ≤|sources|
+    * rows; sort window + two 1-row aggregates on that frame. Output is
+    * ONE row.
+    */
+  private val qMixConcentration = Q(
+    "q_mix_concentration",
+    (s, dir) => {
+      val m = Tables(s, dir, "documents")
+        .select(col("source"),
+          expr("CAST(size(filter(split(text, ' '), x -> length(x) >= 1)) AS BIGINT)").as("ntok"))
+        .groupBy("source").agg(sum("ntok").as("m"))
+      val w = Window.orderBy(col("m").asc, col("source"))
+      m.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_sources"), sum("m").as("total_tokens"),
+          max("m").as("max_mass"), sum(expr("i * m")).as("im"))
+        .select(col("n_sources"), col("total_tokens"),
+          expr("max_mass * 10000L div total_tokens").as("max_share_bp"),
+          expr("(2L * im - (n_sources + 1L) * total_tokens) * 10000L div (n_sources * total_tokens)")
+            .as("gini_bp"))
+        .crossJoin(broadcast(
+          m.crossJoin(broadcast(m.agg(sum("m").as("tt"))))
+            .select(expr("m * 10000L div tt").as("sh"))
+            .agg(expr("sum(sh * sh) div 10000L").as("hhi_bp"))))
+        .select(col("n_sources"), col("total_tokens"), col("max_share_bp"),
+          col("hhi_bp"), col("gini_bp"))
+    },
+    Some("""WITH m AS (SELECT source,
+                   CAST(SUM(len(list_filter(string_split(text, ' '), x -> length(x) >= 1))) AS BIGINT) AS m
+                  FROM documents GROUP BY source),
+            r AS (SELECT m, CAST(row_number() OVER (ORDER BY m ASC, source) AS BIGINT) AS i
+                  FROM m),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(m) AS BIGINT) AS total_tokens,
+                   CAST(MAX(m) AS BIGINT) AS max_mass,
+                   CAST(SUM(i * m) AS BIGINT) AS im
+                  FROM r),
+            tt AS (SELECT CAST(SUM(m) AS BIGINT) AS tt FROM m),
+            h AS (SELECT CAST(SUM((m * 10000 // tt) * (m * 10000 // tt)) // 10000 AS BIGINT) AS hhi_bp
+                  FROM m CROSS JOIN tt)
+            SELECT n_sources, total_tokens,
+             CAST(max_mass * 10000 // total_tokens AS BIGINT) AS max_share_bp,
+             hhi_bp,
+             CAST((2 * im - (n_sources + 1) * total_tokens) * 10000 // (n_sources * total_tokens) AS BIGINT) AS gini_bp
+            FROM g CROSS JOIN h"""))
+
   /** Per-source keep budget for the RHO-style learnability selection. */
   private val RhoK = 16L
 
@@ -1603,6 +1659,6 @@ object Curation {
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
-    qSampleDsir, qSampleRho, qSampleMargin, qCurateLrStep, qCurateLrFilter,
+    qSampleDsir, qSampleRho, qSampleMargin, qMixConcentration, qCurateLrStep, qCurateLrFilter,
     qCurateCalibration, qMixDoremi, qMixEpochs)
 }

@@ -1458,6 +1458,33 @@ class InvariantsSpec extends SparkSpec {
     info(s"attribution: $nConv conversions, $direct direct, linear mass $linTotal/${1000L * attributed}")
   }
 
+  test("concentration: Gini and HHI sit in their lawful bands and match a reference fold") {
+    val r = SparkEntry.queries("q_mix_concentration")(spark, floorDir).collect()(0)
+    val (k, tt) = (r.getAs[Long]("n_sources"), r.getAs[Long]("total_tokens"))
+    val (g, h, mx) = (r.getAs[Long]("gini_bp"), r.getAs[Long]("hhi_bp"),
+      r.getAs[Long]("max_share_bp"))
+    // bounds: Gini ∈ [0, 1), HHI ∈ [1e4/k, 1e4], max share ≥ 1/k
+    assert(g >= 0L && g < 10000L, s"gini $g outside [0, 1)")
+    assert(h >= 10000L / k - k && h <= 10000L, s"hhi $h below the uniform floor")
+    assert(mx >= 10000L / k, "max share below uniform")
+    // reference fold: recompute both indices from the raw census in
+    // driver arithmetic (the census is |sources|-sized) — exact equality
+    val m = Tables(spark, floorDir, "documents")
+      .selectExpr("source", "CAST(size(filter(split(text, ' '), x -> length(x) >= 1)) AS LONG) AS ntok")
+      .groupBy("source").agg(sum("ntok").as("m")).collect()
+      .map(x => (x.getString(0), x.getLong(1))).sortBy(x => (x._2, x._1))
+    val tot = m.map(_._2).sum
+    val gini = (2L * m.zipWithIndex.map { case ((_, v), i) => (i + 1L) * v }.sum
+      - (m.length + 1L) * tot) * 10000L / (m.length * tot)
+    val hhi = m.map(x => (x._2 * 10000L / tot) * (x._2 * 10000L / tot)).sum / 10000L
+    assert(g == gini, s"gini $g != reference $gini")
+    assert(h == hhi, s"hhi $h != reference $hhi")
+    // the synthetic corpus is near-balanced — a mega-source regression
+    // (the failure mode this screen exists for) fails loudly
+    info(s"concentration: k=$k gini=$g bp hhi=$h bp max=$mx bp")
+    assert(g < 2000L && mx < 2500L, "fixture lost its balanced-mix character")
+  }
+
   test("benford audit: digit census is complete and the screen flags the uniform fixture") {
     val rows = SparkEntry.queries("q_agg_benford")(spark, floorDir).collect()
     assert(rows.map(_.getAs[Long]("digit")).toSet == (1L to 9L).toSet,

@@ -135,7 +135,10 @@ class PlanLintSpec extends SparkSpec {
       "q_etl_ldp",
       // 1-row broadcast row total fanned onto the 9-row digit census;
       // the expectation join is an EQUI-join on digit
-      "q_agg_benford")
+      "q_agg_benford",
+      // 1-row broadcasts (token total, HHI scalar) fanned onto the
+      // <= |sources| mass census and the 1-row output
+      "q_mix_concentration")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
@@ -166,7 +169,9 @@ class PlanLintSpec extends SparkSpec {
       "q_mix_anneal" -> 1,
       // rank window over ONLY the post-TakeOrdered K = 64 vocab rows
       // (the q_text_vocab_prune class)
-      "q_text_zipf" -> 1)
+      "q_text_zipf" -> 1,
+      // sort-index window over the <= |sources| mass census
+      "q_mix_concentration" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
