@@ -2417,6 +2417,135 @@ object Llm {
     * the bounded top-3 aggregate. The exact vectors are re-read from the
     * SAME materialized assignment frame (no second corpus scan).
     */
+  /** MMR query-set size, shortlist width, picks, and λ (bp). */
+  private val MmrQueries = 16
+  private val MmrShort = 8
+  private val MmrK = 3
+  private val MmrLambdaBp = 7000L
+
+  /** MAXIMAL MARGINAL RELEVANCE diversity re-ranking — Carbonell &
+    * Goldstein SIGIR'98, the de-dup step every RAG retrieval stack runs
+    * after top-k (LangChain/LlamaIndex ship it verbatim): greedily pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), so the 2nd and
+    * 3rd results stop being near-copies of the 1st. Declared as exactly
+    * [[MmrK]] = 3 greedy steps over an exact top-[[MmrShort]] shortlist
+    * for [[MmrQueries]] hash-elected queries (fixed-step oracle; fixed m
+    * keeps the shortlist scan linear — the recall_eval class). D1: rel
+    * and pair sims pre-floored to integer bp (the one float op per pair
+    * is the family's bit-identical cosine fold, floored BEFORE any
+    * compare), λ = 0.7 as the integer score 7000·rel − 3000·maxsim —
+    * every argmax is an integer compare with a deterministic id
+    * tie-break.
+    *
+    * Scale shape: shortlist = broadcast-m × corpus scan + per-query
+    * top-8 window; everything after lives on ≤ m·8 rows (pair sims
+    * ≤ m·64) — three bounded window elections, no corpus-sized work
+    * past the shortlist.
+    */
+  private val qSimMmr = Q(
+    "q_sim_mmr",
+    (s, dir) => {
+      val vs = vecs(s, dir)
+      val qthr = Tables(s, dir, "embeddings").agg(count(lit(1)).as("n"))
+        .select(expr(s"CAST($MmrQueries AS DOUBLE) / CAST(n AS DOUBLE)").as("thr"))
+      val qs = vs.crossJoin(broadcast(qthr))
+        .filter(expr(md5U01Spark("concat('mq_', CAST(vec_id AS STRING))")) < col("thr"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wq = Window.partitionBy("q_id").orderBy(col("rel_bp").desc, col("n_id"))
+      val short = vs
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+        .crossJoin(broadcast(qs))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("rel_bp", expr(
+          "CAST(floor(graft_dot(qv, nv) / (qn * nn) * 1.0e4) AS BIGINT)"))
+        .select(col("q_id"), col("n_id"), col("nv"), col("nn"), col("rel_bp"))
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= MmrShort)
+        .localCheckpoint(true) // consumers: pair sims + the greedy loop
+      val ps = short.as("a").join(short.as("b"),
+          col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+        .select(col("a.q_id").as("q_id"), col("a.n_id").as("n_id"),
+          col("b.n_id").as("oid"),
+          expr("CAST(floor(graft_dot(a.nv, b.nv) / (a.nn * b.nn) * 1.0e4) AS BIGINT)")
+            .as("sim_bp"))
+        .localCheckpoint(true)
+      val cands = short.select("q_id", "n_id", "rel_bp")
+      val w1 = Window.partitionBy("q_id").orderBy(col("rel_bp").desc, col("n_id"))
+      var picked = cands.withColumn("rk", row_number().over(w1))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("n_id"), col("rel_bp"),
+          lit(0L).as("maxsim_bp"),
+          expr(s"${MmrLambdaBp}L * rel_bp").as("score_mu"),
+          lit(1L).as("pick"))
+        .localCheckpoint(true)
+      for (t <- 2 to MmrK) {
+        val rem = cands.join(picked.select("q_id", "n_id"),
+          Seq("q_id", "n_id"), "left_anti")
+        val ws = Window.partitionBy("q_id").orderBy(col("score_mu").desc, col("n_id"))
+        val next = rem
+          .join(ps, Seq("q_id", "n_id"))
+          .join(picked.select(col("q_id"), col("n_id").as("oid")), Seq("q_id", "oid"))
+          .groupBy("q_id", "n_id", "rel_bp").agg(max("sim_bp").as("maxsim_bp"))
+          .withColumn("score_mu", expr(
+            s"${MmrLambdaBp}L * rel_bp - ${10000L - MmrLambdaBp}L * maxsim_bp"))
+          .withColumn("rk", row_number().over(ws))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("n_id"), col("rel_bp"), col("maxsim_bp"),
+            col("score_mu"), lit(t.toLong).as("pick"))
+        picked = picked.unionByName(next).localCheckpoint(true)
+      }
+      picked.orderBy("q_id", "pick")
+    },
+    Some(s"""WITH $vecsSql,
+            thr AS (SELECT CAST($MmrQueries AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS thr
+                    FROM embeddings),
+            qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n CROSS JOIN thr
+                   WHERE ${md5U01Sql("'mq_' || CAST(vec_id AS VARCHAR)")} < thr),
+            sc AS (SELECT q_id, n.vec_id AS n_id, n.v AS nv, n.nrm AS nn,
+                    CAST(FLOOR(list_dot_product(qv, n.v) / (qn * n.nrm) * 1.0e4) AS BIGINT) AS rel_bp
+                   FROM n CROSS JOIN qs WHERE q_id <> n.vec_id),
+            sl AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY rel_bp DESC, n_id) AS rnk FROM sc)
+                   WHERE rnk <= $MmrShort),
+            ps AS (SELECT a.q_id, a.n_id, b.n_id AS oid,
+                    CAST(FLOOR(list_dot_product(a.nv, b.nv) / (a.nn * b.nn) * 1.0e4) AS BIGINT) AS sim_bp
+                   FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+            p1 AS (SELECT q_id, n_id, rel_bp, CAST(0 AS BIGINT) AS maxsim_bp,
+                    $MmrLambdaBp * rel_bp AS score_mu, CAST(1 AS BIGINT) AS pick
+                   FROM sl WHERE rnk = 1),
+            m2 AS (SELECT sl.q_id, sl.n_id, sl.rel_bp,
+                    CAST(MAX(sim_bp) AS BIGINT) AS maxsim_bp
+                   FROM sl JOIN ps ON sl.q_id = ps.q_id AND sl.n_id = ps.n_id
+                   JOIN p1 ON ps.q_id = p1.q_id AND ps.oid = p1.n_id
+                   WHERE sl.n_id NOT IN (SELECT n_id FROM p1 WHERE p1.q_id = sl.q_id)
+                   GROUP BY sl.q_id, sl.n_id, sl.rel_bp),
+            s2 AS (SELECT *, $MmrLambdaBp * rel_bp - ${10000L - MmrLambdaBp} * maxsim_bp AS score_mu
+                   FROM m2),
+            p2 AS (SELECT q_id, n_id, rel_bp, maxsim_bp, score_mu,
+                    CAST(2 AS BIGINT) AS pick
+                   FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY score_mu DESC, n_id) AS rk FROM s2)
+                   WHERE rk = 1),
+            pp AS (SELECT q_id, n_id FROM p1 UNION ALL SELECT q_id, n_id FROM p2),
+            m3 AS (SELECT sl.q_id, sl.n_id, sl.rel_bp,
+                    CAST(MAX(sim_bp) AS BIGINT) AS maxsim_bp
+                   FROM sl JOIN ps ON sl.q_id = ps.q_id AND sl.n_id = ps.n_id
+                   JOIN pp ON ps.q_id = pp.q_id AND ps.oid = pp.n_id
+                   WHERE NOT EXISTS (SELECT 1 FROM pp
+                     WHERE pp.q_id = sl.q_id AND pp.n_id = sl.n_id)
+                   GROUP BY sl.q_id, sl.n_id, sl.rel_bp),
+            s3 AS (SELECT *, $MmrLambdaBp * rel_bp - ${10000L - MmrLambdaBp} * maxsim_bp AS score_mu
+                   FROM m3),
+            p3 AS (SELECT q_id, n_id, rel_bp, maxsim_bp, score_mu,
+                    CAST(3 AS BIGINT) AS pick
+                   FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY score_mu DESC, n_id) AS rk FROM s3)
+                   WHERE rk = 1)
+            SELECT q_id, n_id, CAST(rel_bp AS BIGINT) AS rel_bp, maxsim_bp,
+             CAST(score_mu AS BIGINT) AS score_mu, pick
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+            ORDER BY q_id, pick"""))
+
   private val qSimRerank = Q(
     "q_sim_rerank",
     (s, dir) => {
@@ -5722,7 +5851,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qSplitLeakage, qDedupNear, qDedupCluster, qDedupClusterPrecision, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimMmr, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextZipf, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,

@@ -1458,6 +1458,60 @@ class InvariantsSpec extends SparkSpec {
     info(s"attribution: $nConv conversions, $direct direct, linear mass $linTotal/${1000L * attributed}")
   }
 
+  test("mmr: greedy picks are well-formed and strictly less redundant than plain top-3") {
+    val rows = SparkEntry.queries("q_sim_mmr")(spark, floorDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("pick")).sorted.toSeq == Seq(1L, 2L, 3L), s"query $q: pick shape")
+      assert(rs.map(_.getAs[Long]("n_id")).distinct.length == 3, s"query $q: duplicate pick")
+      rs.foreach { r =>
+        val (rel, ms, sc) = (r.getAs[Long]("rel_bp"), r.getAs[Long]("maxsim_bp"),
+          r.getAs[Long]("score_mu"))
+        assert(sc == 7000L * rel - 3000L * ms, s"query $q: score identity")
+        if (r.getAs[Long]("pick") == 1L) assert(ms == 0L, s"query $q: first pick has no rival")
+      }
+      // the first pick is the relevance argmax: its rel tops the set
+      val p1 = rs.find(_.getAs[Long]("pick") == 1L).get.getAs[Long]("rel_bp")
+      assert(rs.forall(_.getAs[Long]("rel_bp") <= p1), s"query $q: pick 1 not the rel argmax")
+    }
+    // the operator's purpose, measured: within-set redundancy (mean
+    // pairwise cosine among the 3 picks) must not exceed plain top-3's
+    val emb = spark.read.parquet(s"$floorDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    def pairMean(sets: Map[Long, Seq[Long]]): Double = {
+      val ids = sets.values.flatten.toSeq.distinct
+      val vm = emb.filter(col("vec_id").isInCollection(ids)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val sims = sets.values.toSeq.flatMap { ids =>
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield cos(vm(ids(i)), vm(ids(j)))
+      }
+      sims.sum / sims.length
+    }
+    val mmrSets = byQ.map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSeq }
+    // plain top-3 per query by relevance, from the same corpus scan shape
+    val qs = emb.filter(col("vec_id").isInCollection(byQ.keys.toSeq))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val topSets = emb.crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("rel", expr("CAST(floor(graft_dot(qv, v) / " +
+        "(sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(v, v))) * 1.0e4) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSeq }
+    val (mmrSim, topSim) = (pairMean(mmrSets), pairMean(topSets))
+    info(f"mmr redundancy: picks $mmrSim%.4f vs plain top-3 $topSim%.4f")
+    assert(mmrSim <= topSim + 1e-9, f"MMR increased redundancy ($mmrSim%.4f > $topSim%.4f)")
+  }
+
   test("concentration: Gini and HHI sit in their lawful bands and match a reference fold") {
     val r = SparkEntry.queries("q_mix_concentration")(spark, floorDir).collect()(0)
     val (k, tt) = (r.getAs[Long]("n_sources"), r.getAs[Long]("total_tokens"))

@@ -138,7 +138,11 @@ class PlanLintSpec extends SparkSpec {
       "q_agg_benford",
       // 1-row broadcasts (token total, HHI scalar) fanned onto the
       // <= |sources| mass census and the 1-row output
-      "q_mix_concentration")
+      "q_mix_concentration",
+      // the recall_eval class: broadcast-m-queries x corpus shortlist
+      // scan (fixed m keeps it linear); the greedy steps run on the
+      // checkpointed <= m*8-row shortlist
+      "q_sim_mmr")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
