@@ -570,6 +570,77 @@ object Aggregates {
     * frames are one skinny row per qualifying user), no window over
     * event rows, no self-join. Map-side combine applies to every min().
     */
+  /** Censoring horizon for the survival curve: users whose last event
+    * falls within the final 7 days of the corpus window are treated as
+    * still active (right-censored), not churned.
+    */
+  private val KmCensorUs = 7L * 86400000000L
+
+  /** KAPLAN–MEIER survival curve of user lifetimes — the churn analysis
+    * classic (Kaplan & Meier, JASA 1958 — among the most-cited papers in
+    * statistics; every retention dashboard's survival tab): lifetime =
+    * days between a user's first and last event, right-CENSORED when the
+    * last event falls inside the final [[KmCensorUs]] window (the user
+    * may still be active — dropping censoring is the textbook bias).
+    * S(t) = Π_{t'≤t} (1 − d_t'/n_t') with d = churns at t, n = at-risk.
+    *
+    * D1: the product is sequential integer arithmetic in micro-units —
+    * S ← S·(n−d) div n per step, folded LEFT-TO-RIGHT over the
+    * duration-ordered array (a float exp-sum-log would not hash-match;
+    * the integer fold is exact and order-pinned). The per-duration
+    * frame is calendar-bounded (≤ |days| rows), so collecting it into
+    * ONE array row and folding per prefix is bounded work — the oracle
+    * twin is a RECURSIVE CTE over the same indexed rows.
+    *
+    * Scale shape: one user-keyed map-combinable (first, last) agg is the
+    * only corpus-sized work; the duration census, the reverse-cumulative
+    * at-risk window, and the fold all live on the ≤ |days| frame.
+    */
+  private val qAggSurvival = Q(
+    "q_agg_survival",
+    (s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy("user_id").agg(min("ts_us").as("f"), max("ts_us").as("l"))
+      val mx = u.agg(max("l").as("mx"))
+      val c = u.crossJoin(broadcast(mx))
+        .withColumn("dur", expr("(l - f) DIV 86400000000"))
+        .withColumn("churned", expr(s"CAST(l < mx - ${KmCensorUs}L AS BIGINT)"))
+        .groupBy("dur")
+        .agg(count(lit(1)).as("nu"), sum("churned").as("d"))
+      val w = Window.orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val arr = c.withColumn("at_risk", sum("nu").over(w))
+        .agg(sort_array(collect_list(
+          struct(col("dur"), col("at_risk"), col("d")))).as("a"))
+      arr.select(posexplode(col("a")).as(Seq("i", "x")), col("a"))
+        .select(col("x.dur").as("t_days"), col("x.at_risk").as("n_at_risk"),
+          col("x.d").as("n_churn"),
+          expr("""aggregate(slice(a, 1, i + 1), 1000000L,
+                    (acc, x) -> acc * (x.at_risk - x.d) div x.at_risk)""")
+            .as("surv_micro"))
+        .orderBy("t_days")
+    },
+    Some(s"""WITH RECURSIVE u AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
+                   MAX(epoch_us(ts)) AS l FROM events GROUP BY user_id),
+            mx AS (SELECT MAX(l) AS mx FROM u),
+            c AS (SELECT (l - f) // 86400000000 AS dur,
+                   CAST(COUNT(*) AS BIGINT) AS nu,
+                   CAST(SUM(CASE WHEN l < mx - $KmCensorUs THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM u CROSS JOIN mx GROUP BY 1),
+            r AS (SELECT dur,
+                   CAST(SUM(nu) OVER (ORDER BY dur
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk,
+                   d,
+                   CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS i
+                  FROM c),
+            km(i, sv) AS (SELECT CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+                          UNION ALL
+                          SELECT km.i + 1, km.sv * (r.at_risk - r.d) // r.at_risk
+                          FROM km JOIN r ON r.i = km.i + 1)
+            SELECT r.dur AS t_days, r.at_risk AS n_at_risk, r.d AS n_churn,
+             km.sv AS surv_micro
+            FROM r JOIN km ON km.i = r.i ORDER BY t_days"""))
+
   /** Benford expected first-digit shares in basis points:
     * ⌊log10(1 + 1/d)·10⁴⌋ for d = 1..9 — literals, so no float log at
     * runtime in either engine.
@@ -1265,7 +1336,7 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggBenford,
+    qAggAbTest, qAggBenford, qAggSurvival,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,

@@ -1458,6 +1458,31 @@ class InvariantsSpec extends SparkSpec {
     info(s"attribution: $nConv conversions, $direct direct, linear mass $linTotal/${1000L * attributed}")
   }
 
+  test("survival curve: KM product matches the textbook fold and is a monotone survival function") {
+    val rows = SparkEntry.queries("q_agg_survival")(spark, floorDir).collect()
+      .sortBy(_.getAs[Long]("t_days"))
+    assert(rows.nonEmpty)
+    // (a) at-risk counts: start at the user universe, never increase
+    val nUsers = Tables(spark, floorDir, "events").select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_at_risk") == nUsers, "everyone is at risk at t = 0 band")
+    val ar = rows.map(_.getAs[Long]("n_at_risk"))
+    assert(ar.zip(ar.tail).forall { case (a, b) => a >= b }, "at-risk must be non-increasing")
+    // (b) exact replay of the sequential integer fold
+    var s = 1000000L
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_churn"))
+      assert(d >= 0L && d <= n, "churns bounded by at-risk")
+      s = s * (n - d) / n
+      assert(r.getAs[Long]("surv_micro") == s,
+        s"t=${r.getAs[Long]("t_days")}: KM ${r.getAs[Long]("surv_micro")} != fold $s")
+    }
+    // (c) a survival function: within [0, 1], non-increasing
+    val sv = rows.map(_.getAs[Long]("surv_micro"))
+    assert(sv.forall(x => x >= 0L && x <= 1000000L))
+    assert(sv.zip(sv.tail).forall { case (a, b) => a >= b }, "survival must be non-increasing")
+    info(s"km: ${rows.length} durations, S(end) = ${sv.last} micro, censored tail honored")
+  }
+
   test("mmr: greedy picks are well-formed and strictly less redundant than plain top-3") {
     val rows = SparkEntry.queries("q_sim_mmr")(spark, floorDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

@@ -142,7 +142,10 @@ class PlanLintSpec extends SparkSpec {
       // the recall_eval class: broadcast-m-queries x corpus shortlist
       // scan (fixed m keeps it linear); the greedy steps run on the
       // checkpointed <= m*8-row shortlist
-      "q_sim_mmr")
+      "q_sim_mmr",
+      // 1-row broadcast corpus-end timestamp fanned onto the <= |users|
+      // lifetime frame for the censoring flag
+      "q_agg_survival")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
@@ -175,7 +178,10 @@ class PlanLintSpec extends SparkSpec {
       // (the q_text_vocab_prune class)
       "q_text_zipf" -> 1,
       // sort-index window over the <= |sources| mass census
-      "q_mix_concentration" -> 1)
+      "q_mix_concentration" -> 1,
+      // reverse-cumulative at-risk window over the <= |days| duration
+      // census (the calendar-bounded q_agg_anomaly class)
+      "q_agg_survival" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
