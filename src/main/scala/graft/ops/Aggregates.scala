@@ -701,6 +701,72 @@ object Aggregates {
             FROM c JOIN e ON c.digit = e.digit CROSS JOIN tn
             ORDER BY c.digit"""))
 
+  /** Number of Poisson-bootstrap replicates. */
+  private val BootR = 32
+
+  /** Poisson(1) CDF thresholds at 2³² scale: T_k = ⌊P(X ≤ k)·2³²⌋ for
+    * k = 0..7 (weight 8 is the ≥ T_7 tail, P ≈ 1.1e-5) — literals shared
+    * verbatim by both engine twins so the inverse-CDF draw cannot drift.
+    */
+  private val PoisT = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L)
+
+  /** The inverse-CDF weight CASE over hash `h`; `sfx` is "L" for Spark
+    * SQL long literals, "" for DuckDB (no suffix; its integer literals
+    * are already 64-bit capable). */
+  private def poisW(h: String, sfx: String): String =
+    PoisT.zipWithIndex.map { case (t, k) => s"WHEN $h < $t$sfx THEN $k$sfx" }
+      .mkString("CASE ", " ", s" ELSE 8$sfx END")
+
+  /** POISSON BOOTSTRAP of the mean order value — the uncertainty
+    * estimate that actually runs at massive scale (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams": classical
+    * bootstrap resampling needs n draws WITH replacement per replicate —
+    * a shuffle of the whole corpus per replicate — while Poisson(1)
+    * weights approximate the multinomial row-independently, so ALL R
+    * replicates ride ONE streaming pass). Each order contributes weight
+    * w_r = F⁻¹_Pois(1)(u) to replicate r, u = md5-hash of (key, r) —
+    * the engine-portable deterministic draw every sampling op here uses
+    * (no rand(): rerun-stable, partition-order-free). Output: one row
+    * per replicate with its effective row count and weighted mean in
+    * integer cents (D1; div-floored).
+    *
+    * Scale shape: a map-only R× fan-out (sequence explode — CPU, not
+    * shuffle mass) into a map-combinable R-group aggregation; the
+    * exchange carries R partial rows per task. No window, no join. The
+    * replicate-spread → CI step is the consumer's ≤ R-row problem.
+    */
+  private val qAggBootstrap = Q(
+    "q_agg_bootstrap",
+    (s, dir) => {
+      val h = Llm.md5Hex32Spark(
+        "concat('boot_', CAST(o_orderkey AS STRING), '_', CAST(r AS STRING))")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          explode(expr(s"sequence(0, ${BootR - 1})")).as("r"))
+        .withColumn("w", expr(poisW(h, "L")))
+        .groupBy(col("r").cast("long").as("rep"))
+        .agg(sum("w").as("n_eff"), sum(expr("w * cents")).as("wsum"))
+        .select(col("rep"), col("n_eff"),
+          expr("wsum div n_eff").as("mean_cents"))
+        .orderBy("rep")
+    },
+    Some(s"""WITH b AS (SELECT o_orderkey,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, r
+                  FROM orders, unnest(range(0, $BootR)) AS u(r)),
+             w AS (SELECT r, cents,
+                    ${poisW(md5Hex32SqlBoot, "")} AS w
+                   FROM b)
+             SELECT CAST(r AS BIGINT) AS rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+              CAST(CAST(SUM(w * cents) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS BIGINT) AS mean_cents
+             FROM w GROUP BY r ORDER BY rep"""))
+
+  /** DuckDB twin of the bootstrap draw hash (SQL is built before the Q
+    * so the string interpolation stays readable). */
+  private def md5Hex32SqlBoot: String = Llm.md5Hex32Sql(
+    "'boot_' || CAST(o_orderkey AS VARCHAR) || '_' || CAST(r AS VARCHAR)")
+
   /** Lookback window for attribution touchpoints: 7 days in micros. */
   private val AttrWinUs = 7L * 86400000000L
 
@@ -1157,6 +1223,61 @@ object Aggregates {
                    event_mass * 10000 // tot AS mass_bp
             FROM b CROSS JOIN t ORDER BY bucket"""))
 
+  /** CLASSICAL SEASONAL DECOMPOSITION of daily ingest volume — the
+    * ratio-to-moving-average method (Persons 1919, the method behind
+    * Census X-11's seasonal factors; Makridakis et al., "Forecasting"
+    * §3): each full-window day's count is expressed as a ratio to its
+    * CENTERED 7-day moving sum (the trend estimate at that day), and
+    * the per-weekday mean of those ratios is the day-of-week seasonal
+    * index — 10000 bp = an average weekday, the table a capacity
+    * planner multiplies forecasts by. D1: ratio_bp = cnt·7·10⁴ div
+    * sum7 keeps everything integer (cnt·7/sum7 IS the ratio to the
+    * 7-day mean); edge days without a full centered window are
+    * excluded, the textbook rule. Weekday 0 = Monday via
+    * pmod(day + 3, 7) (epoch day 0 = Thursday).
+    *
+    * Scale shape: the map-combinable per-day census is the only
+    * corpus-sized work; the centered window and the ≤ 7-row weekday
+    * census live on the ≤ |days| calendar frame (the `q_agg_anomaly`
+    * partition-less-window exemption class, bounded and declared).
+    */
+  private val qAggSeasonality = Q(
+    "q_agg_seasonality",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("sum7", sum("cnt").over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .filter(col("n7") === 7)
+        .withColumn("ratio_bp", expr("cnt * 7L * 10000L div sum7"))
+        .groupBy(expr("pmod(day + 3, 7)").as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("sum(ratio_bp) div count(1)").as("idx_bp"),
+          min("ratio_bp").as("min_bp"), max("ratio_bp").as("max_bp"))
+        .orderBy("dow")
+    },
+    Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY 1),
+            m AS (SELECT day, cnt,
+                   SUM(cnt) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+                   COUNT(*) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+                  FROM d),
+            r AS (SELECT ((day + 3) % 7 + 7) % 7 AS dow,
+                   cnt * 7 * 10000 // sum7 AS ratio_bp
+                  FROM m WHERE n7 = 7)
+            SELECT CAST(dow AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ratio_bp) // COUNT(*) AS BIGINT) AS idx_bp,
+             CAST(MIN(ratio_bp) AS BIGINT) AS min_bp,
+             CAST(MAX(ratio_bp) AS BIGINT) AS max_bp
+            FROM r GROUP BY dow ORDER BY dow"""))
+
   private val qAggAnomaly = Q(
     "q_agg_anomaly",
     (s, dir) => {
@@ -1336,12 +1457,13 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggBenford, qAggSurvival,
+    qAggAbTest, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel, qAggAttribution,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay,
-    qAggRollingDistinct, qAggBitmapSetops, qAggOhlc, qAggAnomaly, qAggActivityDist)
+    qAggRollingDistinct, qAggBitmapSetops, qAggOhlc, qAggAnomaly, qAggActivityDist,
+    qAggSeasonality)
 }

@@ -4879,6 +4879,81 @@ object Llm {
                         THEN 1 ELSE 0 END AS BIGINT) AS flagged
             FROM b ORDER BY doc_id"""))
 
+  /** A 5-gram counts as corpus boilerplate when it appears in at least
+    * this many DISTINCT documents (C4's "line occurs in three or more
+    * documents" rule, Raffel et al. 2020 §2.2, re-expressed over token
+    * grams since the synthetic corpus has no newlines).
+    */
+  private val BoilerDfMin = 3L
+
+  /** CROSS-document boilerplate screen — the other half of
+    * [[qTextRepNgram]]'s WITHIN-document repetition rule and the filter
+    * side of [[qDedupNgramSpan]]'s report: C4 (Raffel et al. 2020 §2.2)
+    * discards any line occurring ≥ 3 times in the corpus — headers,
+    * cookie banners, navigation chrome — because cross-document repeats
+    * are template mass, not content. Per document: total 5-gram count,
+    * how many of those grams are corpus-boilerplate (df ≥
+    * [[BoilerDfMin]] distinct docs), the boilerplate fraction
+    * (floor-truncated at 4dp, SURVEY §2.0 D2), and the >0.2 flag.
+    * Documents shorter than one gram report zeros — a short doc is not
+    * boilerplate by default.
+    *
+    * Scale shape: ONE explode pass over the corpus (≤ n_tokens rows),
+    * a map-combinable gram-df hash-agg, and an EQUI-join of the gram
+    * stream against the boilerplate gram set (df ≥ 3 grams are the
+    * rare tail of the df distribution — 74 grams vs 24k distinct at
+    * the fixture), then a doc-keyed count agg. No windows, no pair
+    * frame; the gram join key is the gram itself, so AQE handles a
+    * hot boilerplate gram by skew-splitting the join, and the per-doc
+    * agg is map-combinable. At 100 TB this is the same two-shuffle
+    * budget the tfidf census already pays.
+    */
+  private val qTextBoilerplate = Q(
+    "q_text_boilerplate",
+    (s, dir) => {
+      val g = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+          .as("gram"))
+      val boiler = g.groupBy("gram")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= BoilerDfMin)
+        .select(col("gram"), lit(1L).as("is_boiler"))
+      val perDoc = g.join(boiler, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum("is_boiler"), lit(0L)).as("n_boiler"))
+      Tables(s, dir, "documents").select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+        .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+        .withColumn("boiler_frac", expr(
+          "CASE WHEN n_grams = 0 THEN 0.0D " +
+            "ELSE floor(n_boiler / CAST(n_grams AS DOUBLE) * 10000) / 10000 END"))
+        .withColumn("flagged", (col("boiler_frac") > 0.2).cast("long"))
+        .select("doc_id", "n_grams", "n_boiler", "boiler_frac", "flagged")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             g AS (SELECT doc_id, array_to_string(l[i:i+4], ' ') AS gram
+                   FROM d, unnest(range(1, len(l) - 3)) AS u(i)
+                   WHERE len(l) >= 5),
+             bl AS (SELECT gram FROM g GROUP BY gram
+                    HAVING COUNT(DISTINCT doc_id) >= $BoilerDfMin),
+             c AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                          CAST(SUM(CASE WHEN bl.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+                   FROM g LEFT JOIN bl ON g.gram = bl.gram GROUP BY 1)
+             SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+                    COALESCE(n_boiler, 0) AS n_boiler,
+                    CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                         ELSE FLOOR(n_boiler / CAST(n_grams AS DOUBLE) * 10000) / 10000 END AS boiler_frac,
+                    CAST(CASE WHEN (CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                         ELSE FLOOR(n_boiler / CAST(n_grams AS DOUBLE) * 10000) / 10000 END) > 0.2
+                         THEN 1 ELSE 0 END AS BIGINT) AS flagged
+             FROM d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id"""))
+
   /** Transitive near-duplicate clustering — connected components over the
     * near-dup pair graph, electing one canonical representative (the min
     * doc_id) per dup GROUP, not per pair: A~B and B~C must collapse to one
@@ -5854,7 +5929,7 @@ object Llm {
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimMmr, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextZipf, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
-    qTextRepNgram, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
+    qTextRepNgram, qTextBoilerplate, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qMixAnneal, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)
 }

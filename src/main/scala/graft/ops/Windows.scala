@@ -547,8 +547,79 @@ object Windows {
              CAST(p - least(0, pmin) >= mu_milli AS BIGINT) AS alarm
             FROM p2 ORDER BY day"""))
 
+  /** HOLT double-exponential smoothing over the daily order count — the
+    * level+trend forecaster every capacity dashboard runs next to its
+    * CUSUM alarm ([[qWinCusum]] detects a shift; Holt projects it
+    * forward — Holt 1957 / Hyndman & Athanasopoulos, "Forecasting:
+    * Principles and Practice" §8.2): l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, one-step forecast
+    * f_t = l_{t−1}+b_{t−1}; α = 0.3, β = 0.1 as the rational constants
+    * 3/10 and 1/10 so the whole recursion is sequential INTEGER
+    * arithmetic in micro-units (D1: a float recursion would not
+    * hash-match; `DIV`/`//` truncate identically in both engines, which
+    * matters here because the trend goes negative). Flat init
+    * l_1 = y_1·10⁶, b_1 = 0.
+    *
+    * Scale shape: the only corpus-sized work is the map-combinable
+    * daily census; the recursion lives on the ≤ |days| calendar frame
+    * collected into ONE array row and folded per prefix — the
+    * [[Aggregates]] Kaplan–Meier pattern (its oracle twin is likewise a
+    * RECURSIVE CTE over the same day-indexed rows). No window, no join
+    * beyond the 1-row array.
+    */
+  private val qWinHolt = Q(
+    "q_win_holt",
+    (s, dir) => {
+      val arr = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("a"))
+      // state after k elements, folding elements 2..k from (y₁·10⁶, 0);
+      // the state carries f = the one-step forecast MADE FOR its last
+      // element (f₁ := y₁·10⁶), so each output row needs ONE fold
+      val fold =
+        """aggregate(slice(a, 2, i),
+             named_struct('l', element_at(a, 1).y * 1000000L, 'b', 0L,
+                          'f', element_at(a, 1).y * 1000000L),
+             (acc, x) -> named_struct(
+               'l', (3L * x.y * 1000000L + 7L * (acc.l + acc.b)) DIV 10L,
+               'b', (((3L * x.y * 1000000L + 7L * (acc.l + acc.b)) DIV 10L)
+                       - acc.l + 9L * acc.b) DIV 10L,
+               'f', acc.l + acc.b))"""
+      arr.select(posexplode(col("a")).as(Seq("i", "x")), col("a"))
+        .withColumn("st", expr(fold))
+        .select(col("x.d").as("d"), col("x.y").as("y"),
+          col("st.f").as("fcst_micro"),
+          col("st.l").as("level_micro"),
+          col("st.b").as("trend_micro"))
+        .orderBy("d")
+    },
+    Some("""WITH RECURSIVE dd AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS y FROM orders GROUP BY 1),
+            r AS (SELECT d, y,
+                   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM dd),
+            h(i, l, b, f) AS (
+              SELECT CAST(1 AS BIGINT),
+                     (SELECT y FROM r WHERE i = 1) * 1000000,
+                     CAST(0 AS BIGINT),
+                     (SELECT y FROM r WHERE i = 1) * 1000000
+              UNION ALL
+              SELECT h.i + 1,
+                     (3 * r.y * 1000000 + 7 * (h.l + h.b)) // 10,
+                     (((3 * r.y * 1000000 + 7 * (h.l + h.b)) // 10)
+                        - h.l + 9 * h.b) // 10,
+                     h.l + h.b
+              FROM h JOIN r ON r.i = h.i + 1)
+            SELECT r.d, r.y,
+             CAST(h.f AS BIGINT) AS fcst_micro,
+             CAST(h.l AS BIGINT) AS level_micro,
+             CAST(h.b AS BIGINT) AS trend_micro
+            FROM r JOIN h ON h.i = r.i
+            ORDER BY r.d"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
-    qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions, qWinCusum)
+    qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions, qWinCusum,
+    qWinHolt)
 }

@@ -2095,4 +2095,141 @@ class InvariantsSpec extends SparkSpec {
       } finally arm.unpersist()
     }
   }
+
+  test("seasonality: weekday indices replay from the daily series and average to par") {
+    val rows = SparkEntry.queries("q_agg_seasonality")(spark, floorDir).collect()
+      .sortBy(_.getAs[Long]("dow"))
+    assert(rows.length == 7 && rows.map(_.getAs[Long]("dow")).sameElements(0L to 6L),
+      "exactly one row per weekday")
+    // ground-truth replay from the raw daily census
+    val daily = Tables.events(spark, floorDir)
+      .groupBy(expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cnt")))
+      .sortBy(_._1)
+    val ratios = daily.indices.drop(3).dropRight(3).map { i =>
+      // the window is ±3 POSITIONS in the day-ordered frame (rowsBetween)
+      val sum7 = (i - 3 to i + 3).map(daily(_)._2).sum
+      (((daily(i)._1 + 3) % 7 + 7) % 7, daily(i)._2 * 7L * 10000L / sum7)
+    }
+    val expect = ratios.groupBy(_._1).map { case (dow, rs) =>
+      dow -> (rs.length.toLong, rs.map(_._2).sum / rs.length, rs.map(_._2).min, rs.map(_._2).max)
+    }
+    rows.foreach { r =>
+      val (n, idx, mn, mx) = expect(r.getAs[Long]("dow"))
+      assert(r.getAs[Long]("n_days") == n && r.getAs[Long]("idx_bp") == idx
+        && r.getAs[Long]("min_bp") == mn && r.getAs[Long]("max_bp") == mx,
+        s"dow ${r.getAs[Long]("dow")}: declared row differs from raw replay")
+    }
+    // indices sit around par — the day-count-weighted mean lies near 10000 bp
+    val wmean = rows.map(r => r.getAs[Long]("idx_bp") * r.getAs[Long]("n_days")).sum /
+      rows.map(_.getAs[Long]("n_days")).sum
+    assert(math.abs(wmean - 10000L) <= 500L, s"weighted mean index $wmean far from par")
+    info(s"seasonality: indices ${rows.map(_.getAs[Long]("idx_bp")).mkString(",")}, wmean $wmean bp")
+  }
+
+  test("holt: the integer level/trend recursion replays exactly and forecasts chain from prior state") {
+    val rows = SparkEntry.queries("q_win_holt")(spark, floorDir).collect()
+      .sortBy(_.getAs[java.sql.Date]("d").getTime)
+    assert(rows.length >= 30, "expect a multi-day daily series")
+    var (l, b) = (rows.head.getAs[Long]("y") * 1000000L, 0L)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val y = r.getAs[Long]("y")
+      val f = if (i == 0) l else l + b
+      if (i > 0) {
+        val l2 = (3L * y * 1000000L + 7L * (l + b)) / 10L
+        b = ((l2 - l) + 9L * b) / 10L
+        l = l2
+      }
+      assert(r.getAs[Long]("fcst_micro") == f, s"row $i: fcst mismatch")
+      assert(r.getAs[Long]("level_micro") == l, s"row $i: level mismatch")
+      assert(r.getAs[Long]("trend_micro") == b, s"row $i: trend mismatch")
+    }
+    // level tracks the observed range — smoothing cannot overshoot it by 2x
+    val ys = rows.map(_.getAs[Long]("y"))
+    val lv = rows.map(_.getAs[Long]("level_micro"))
+    assert(lv.forall(v => v >= 0 && v <= 2L * ys.max * 1000000L),
+      "level must stay within the observed magnitude envelope")
+    info(s"holt: ${rows.length} days, final level ${lv.last} micro, trend ${rows.last.getAs[Long]("trend_micro")}")
+  }
+
+  test("bootstrap: replicate counts concentrate at n and the replicate band brackets the plain mean") {
+    val rows = SparkEntry.queries("q_agg_bootstrap")(spark, floorDir).collect()
+      .sortBy(_.getAs[Long]("rep"))
+    assert(rows.length == 32 && rows.head.getAs[Long]("rep") == 0L
+      && rows.last.getAs[Long]("rep") == 31L, "one row per replicate 0..31")
+    val base = Tables(spark, floorDir, "orders")
+      .selectExpr("CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) div COUNT(*) AS mean_cents")
+      .collect().head
+    val (n, mean) = (base.getAs[Long]("n"), base.getAs[Long]("mean_cents"))
+    // (a) Poisson(1) effective counts: mean n, sd sqrt(n) — 5 sigma band
+    val tol = 5.0 * math.sqrt(n.toDouble)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_eff") - n) <= tol,
+        s"rep ${r.getAs[Long]("rep")}: n_eff ${r.getAs[Long]("n_eff")} outside $n ± $tol")
+    }
+    // (b) the draw actually varies (not a constant-weight degenerate)
+    val means = rows.map(_.getAs[Long]("mean_cents"))
+    assert(means.distinct.length > 1, "replicate means must not all collide")
+    // (c) the bootstrap band brackets the point estimate and each
+    // replicate mean is CLT-concentrated: |m_r − m| ≤ 6·σ/√n with σ the
+    // data's own sd (the fixture's order values are heavy-tailed, so a
+    // fixed percentage band would mis-state the theory)
+    assert(means.min <= mean && mean <= means.max,
+      s"plain mean $mean outside replicate band [${means.min}, ${means.max}]")
+    val sd = Tables(spark, floorDir, "orders")
+      .selectExpr("stddev_pop(round(o_totalprice * 100)) AS sd")
+      .collect().head.getAs[Double]("sd")
+    val se6 = 6.0 * sd / math.sqrt(n.toDouble)
+    means.foreach(m => assert(math.abs(m - mean) <= se6,
+      s"replicate mean $m further than 6 SE ($se6) from $mean"))
+    info(s"bootstrap: n=$n, mean=$mean cents, band=[${means.min}, ${means.max}], 6SE=$se6")
+  }
+
+  test("boilerplate: per-doc gram accounting and the flagged tail replay from raw text") {
+    val res = SparkEntry.queries("q_text_boilerplate")(spark, floorDir).cache()
+    try {
+      val docs = Tables(spark, floorDir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("text").cast("binary")).as("h"))
+        .cache()
+      try {
+        // (a) one row per document, exact gram count, bounds, flag consistency
+        assert(res.count() == docs.count(), "one row per document")
+        val joined = res.join(docs, "doc_id")
+        assert(joined.filter(col("n_grams") =!= greatest(lit(0L), col("n_tok") - 4L)).isEmpty,
+          "n_grams must equal max(0, n_tokens - 4)")
+        assert(res.filter(col("n_boiler") > col("n_grams") || col("n_boiler") < 0).isEmpty)
+        assert(res.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1).isEmpty)
+        assert(res.filter((col("boiler_frac") > 0.2).cast("long") =!= col("flagged")).isEmpty,
+          "flag must be exactly frac > 0.2")
+        // (b) independent ground-truth replay of the flagged tail: for
+        // each flagged doc, re-derive its grams and count each gram's
+        // distinct-doc df against the FULL corpus via a fresh plan —
+        // the declared n_boiler must replay exactly
+        val gram = Tables(spark, floorDir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .filter(size(col("tk")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))"))
+            .as("gram"))
+        val flaggedIds = res.filter(col("flagged") === 1).select("doc_id")
+        val replayed = gram.join(flaggedIds, "doc_id")
+          .join(gram.groupBy("gram")
+            .agg(countDistinct("doc_id").as("df")), "gram")
+          .groupBy("doc_id")
+          .agg(sum(when(col("df") >= 3, 1L).otherwise(0L)).as("nb2"))
+        val mismatch = replayed.join(res, "doc_id")
+          .filter(col("nb2") =!= col("n_boiler"))
+        assert(mismatch.isEmpty, "flagged docs' boiler gram counts must replay from raw text")
+        // (c) flagged docs exist (the fixture plants a near-dup triple
+        // sharing a long span) and are a strict minority
+        val flagged = res.filter(col("flagged") === 1).count()
+        assert(flagged >= 3 && flagged * 10 <= res.count(),
+          s"flagged=$flagged of ${res.count()} — expected a small non-empty tail")
+        info(s"boilerplate: ${res.count()} docs, $flagged flagged, ground-truth replay matched")
+      } finally docs.unpersist()
+    } finally res.unpersist()
+  }
 }

@@ -181,7 +181,10 @@ class PlanLintSpec extends SparkSpec {
       "q_mix_concentration" -> 1,
       // reverse-cumulative at-risk window over the <= |days| duration
       // census (the calendar-bounded q_agg_anomaly class)
-      "q_agg_survival" -> 1)
+      "q_agg_survival" -> 1,
+      // centered 7-day moving-sum window over the <= |days| daily
+      // census (the q_agg_anomaly class; sum+count share one frame)
+      "q_agg_seasonality" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
