@@ -1655,10 +1655,103 @@ object Curation {
              CAST(COALESCE(eff_micro, 0) AS BIGINT) AS eff_micro
             FROM uq LEFT JOIN per USING (source) ORDER BY source"""))
 
+  /** Total sample budget the Neyman allocator distributes. */
+  private val NeyBudget = 100L
+
+  /** NEYMAN-ALLOCATION stratified sampling — the survey-statistics
+    * optimum (Neyman 1934; Cochran, "Sampling Techniques" §5.5) behind
+    * every "sample the variable strata harder" curation pass: under a
+    * fixed budget, variance of the estimate is minimized by
+    * n_h ∝ N_h·σ_h — proportional allocation ([[qSampleMixture]]'s
+    * per-stratum rates) oversamples large UNIFORM strata and starves
+    * small heterogeneous ones. D1: the spread term is the exact
+    * integer DECILE RANGE y90 − y10 (values at ceil-ranks ⌈n/10⌉ and
+    * ⌈9n/10⌉ of the (n_chars, doc_id)-ordered stratum — a population σ
+    * would need engine-identical float sqrt of near-2⁶³ sums at scale;
+    * the decile range is the robust textbook proxy and stays BIGINT),
+    * allocations floor-divided against the weight total, and the
+    * realized sample is the first alloc_n docs per stratum in salted-
+    * hash order (salt "ney" — independent of every other selection op,
+    * see the object scaladoc). Output: per-source audit row
+    * (population, deciles, spread, allocated, realized, sampled chars).
+    *
+    * Scale shape: two source-partitioned windows (decile rank; sample
+    * rank) over the skinny (doc_id, source, n_chars) projection, a
+    * ≤ |sources| stats frame with a 1-row weight-total broadcast (the
+    * `q_agg_activity_dist` exemption class), and a broadcast equi-join
+    * of per-source allocations back onto the ranked stream. No global
+    * sort, no corpus-sized shuffle beyond the two windows.
+    */
+  private val qSampleNeyman = Q(
+    "q_sample_neyman",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = d
+        .withColumn("rv", row_number()
+          .over(Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id")))
+          .cast("long"))
+        .withColumn("n_pop", count(lit(1))
+          .over(Window.partitionBy("source")))
+      val st = ranked.groupBy("source").agg(
+        max("n_pop").cast("long").as("n_pop"),
+        min(when(col("rv") === expr("(n_pop + 9L) DIV 10L"), col("n_chars"))).as("y10"),
+        min(when(col("rv") === expr("(9L * n_pop + 9L) DIV 10L"), col("n_chars"))).as("y90"))
+        .withColumn("spread", col("y90") - col("y10"))
+      val tot = st.agg(sum(expr("n_pop * spread")).as("tot"))
+      val alloc = st.crossJoin(broadcast(tot))
+        .withColumn("alloc_n", expr(
+          s"CASE WHEN tot > 0 THEN $NeyBudget * (n_pop * spread) DIV tot ELSE 0L END"))
+      val samp = d
+        .withColumn("rh", row_number()
+          .over(Window.partitionBy("source")
+            .orderBy(expr(u32Spark("ney")), col("doc_id")))
+          .cast("long"))
+        .join(broadcast(alloc.select("source", "alloc_n")), "source")
+        .filter(col("rh") <= col("alloc_n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("got_n"), sum("n_chars").as("samp_chars"))
+      alloc.join(samp, Seq("source"), "left")
+        .select(col("source"), col("n_pop"), col("y10"), col("y90"),
+          col("spread"), col("alloc_n"),
+          coalesce(col("got_n"), lit(0L)).as("got_n"),
+          coalesce(col("samp_chars"), lit(0L)).as("samp_chars"))
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+             r AS (SELECT *,
+                    CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY n_chars, doc_id) AS BIGINT) AS rv,
+                    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_pop
+                   FROM d),
+             st AS (SELECT source, MAX(n_pop) AS n_pop,
+                     MIN(CASE WHEN rv = (n_pop + 9) // 10 THEN n_chars END) AS y10,
+                     MIN(CASE WHEN rv = (9 * n_pop + 9) // 10 THEN n_chars END) AS y90
+                    FROM r GROUP BY source),
+             a AS (SELECT source, n_pop, y10, y90, y90 - y10 AS spread,
+                    CASE WHEN t.tot > 0
+                         THEN $NeyBudget * (n_pop * (y90 - y10)) // t.tot
+                         ELSE 0 END AS alloc_n
+                   FROM st CROSS JOIN
+                    (SELECT SUM(n_pop * (y90 - y10)) AS tot FROM st) t),
+             smp AS (SELECT d.source, n_chars,
+                      CAST(row_number() OVER (PARTITION BY d.source
+                        ORDER BY ${u32Sql("ney")}, doc_id) AS BIGINT) AS rh
+                     FROM d),
+             k AS (SELECT smp.source, CAST(COUNT(*) AS BIGINT) AS got_n,
+                    CAST(SUM(n_chars) AS BIGINT) AS samp_chars
+                   FROM smp JOIN a ON smp.source = a.source
+                   WHERE rh <= alloc_n GROUP BY smp.source)
+             SELECT a.source, a.n_pop, a.y10, a.y90, a.spread,
+              CAST(a.alloc_n AS BIGINT) AS alloc_n,
+              COALESCE(k.got_n, 0) AS got_n,
+              COALESCE(k.samp_chars, 0) AS samp_chars
+             FROM a LEFT JOIN k USING (source) ORDER BY a.source"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
     qSampleDsir, qSampleRho, qSampleMargin, qMixConcentration, qCurateLrStep, qCurateLrFilter,
-    qCurateCalibration, qMixDoremi, qMixEpochs)
+    qCurateCalibration, qMixDoremi, qMixEpochs, qSampleNeyman)
 }

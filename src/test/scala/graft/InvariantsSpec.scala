@@ -2096,6 +2096,43 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("neyman: allocations replay the N*spread optimum, respect the budget, and realize exactly") {
+    val rows = SparkEntry.queries("q_sample_neyman")(spark, floorDir).collect()
+      .sortBy(_.getAs[String]("source"))
+    assert(rows.nonEmpty)
+    val budget = 100L
+    // (a) allocation replay: alloc_h = floor(B * w_h / tot) with w = N*spread
+    val w = rows.map(r => r.getAs[Long]("n_pop") * r.getAs[Long]("spread"))
+    val tot = w.sum
+    rows.zip(w).foreach { case (r, wh) =>
+      val exp = if (tot > 0) budget * wh / tot else 0L
+      assert(r.getAs[Long]("alloc_n") == exp,
+        s"${r.getAs[String]("source")}: alloc ${r.getAs[Long]("alloc_n")} != floor($budget*$wh/$tot)")
+    }
+    // (b) budget respected; floors lose at most |strata| units
+    val asum = rows.map(_.getAs[Long]("alloc_n")).sum
+    assert(asum <= budget && asum >= budget - rows.length,
+      s"total allocation $asum vs budget $budget")
+    // (c) realized counts: exactly min(alloc, N), and sampled mass bounded
+    rows.foreach { r =>
+      assert(r.getAs[Long]("got_n") ==
+        math.min(r.getAs[Long]("alloc_n"), r.getAs[Long]("n_pop")),
+        s"${r.getAs[String]("source")}: got_n must be min(alloc, N)")
+      assert(r.getAs[Long]("samp_chars") >= 0)
+    }
+    // (d) monotone in the weight: a strictly larger N*spread never gets
+    // a smaller allocation
+    rows.zip(w).toSeq.combinations(2).foreach { case Seq((a, wa), (b, wb)) =>
+      if (wa > wb) assert(a.getAs[Long]("alloc_n") >= b.getAs[Long]("alloc_n"))
+      if (wb > wa) assert(b.getAs[Long]("alloc_n") >= a.getAs[Long]("alloc_n"))
+    }
+    // (e) deterministic: a second run returns the identical table
+    val again = SparkEntry.queries("q_sample_neyman")(spark, floorDir).collect()
+      .sortBy(_.getAs[String]("source"))
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)), "rerun must be identical")
+    info(s"neyman: ${rows.length} strata, allocated $asum/$budget, tot weight $tot")
+  }
+
   test("seasonality: weekday indices replay from the daily series and average to par") {
     val rows = SparkEntry.queries("q_agg_seasonality")(spark, floorDir).collect()
       .sortBy(_.getAs[Long]("dow"))

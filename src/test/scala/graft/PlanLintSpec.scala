@@ -145,7 +145,11 @@ class PlanLintSpec extends SparkSpec {
       "q_sim_mmr",
       // 1-row broadcast corpus-end timestamp fanned onto the <= |users|
       // lifetime frame for the censoring flag
-      "q_agg_survival")
+      "q_agg_survival",
+      // 1-row broadcast Neyman weight total fanned onto the
+      // <= |sources| stats frame; the allocation join back onto the
+      // ranked stream is a broadcast EQUI-join on source
+      "q_sample_neyman")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
