@@ -712,6 +712,88 @@ object Graph {
                  CAST(SUM(deg) AS BIGINT) AS deg_mass
           FROM deg GROUP BY 1 ORDER BY bucket"""))
 
+  /** 1-in-BfsSeedMod nodes are hash-elected BFS sources ("bfs_" salt —
+    * independent of the label-prop seed election, shared-seed rule). */
+  private val BfsSeedMod = 64
+
+  /** Hop bound for the declared BFS census (and the CTE unroll depth —
+    * the oracle-finiteness rule every superstep loop here follows). */
+  private val BfsHops = 3
+
+  /** MULTI-SOURCE BFS hop-distance census over the sparsified
+    * co-purchase graph — the reachability/expansion probe (how fast a
+    * frontier grows decides whether a propagation pass is worth running
+    * and is the standard diameter estimate, cf. HADI/HyperANF
+    * (Kang et al. ICDM'08, Boldi et al. WWW'11) which run EXACTLY this
+    * frontier expansion with sketched frontiers): a hash-elected
+    * 1-in-[[BfsSeedMod]] seed set starts at distance 0 and each
+    * superstep relaxes d(n) ← min(d(n), min_nbr d(nbr) + 1) —
+    * Bellman-Ford on unit weights, converging to exact hop distance ≤
+    * [[BfsHops]]. Output: per-distance census (nodes, id checksum)
+    * with the unreached bucket at −1 — the frontier-growth curve.
+    *
+    * Scale shape: identical to `q_graph_label_prop` (one equi-join +
+    * map-combinable MIN + node-keyed LEFT join per superstep over the
+    * persisted sparsified adjacency, localCheckpoint between rounds);
+    * the census is ≤ [[BfsHops]]+2 rows at any scale. Production runs
+    * the same relaxation to fixpoint behind the CC driver-scalar
+    * convergence loop; fixed hops keep the oracle a finite CTE chain.
+    */
+  private val qGraphBfs = Q(
+    "q_graph_bfs",
+    (s, dir) => {
+      val edges = sparseEdges(s, dir)
+      val nodes = edges.select(col("a").as("n"))
+        .unionByName(edges.select(col("b").as("n")))
+        .distinct()
+      val adj = edges.select(col("a").as("n"), col("b").as("nbr"))
+        .unionByName(edges.select(col("b").as("n"), col("a").as("nbr")))
+        .localCheckpoint(true)
+      val seedHash = Llm.md5Hex32Spark("concat('bfs_', CAST(n AS STRING))")
+      var dist = nodes.select(col("n"),
+          expr(s"CASE WHEN pmod($seedHash, $BfsSeedMod) = 0 THEN 0L END").as("d"))
+        .localCheckpoint(true)
+      for (_ <- 1 to BfsHops) {
+        val relax = adj
+          .join(dist.select(col("n").as("nbr"), col("d").as("nd")), "nbr")
+          .filter(col("nd").isNotNull)
+          .groupBy("n").agg((min("nd") + 1L).as("cand"))
+        dist = dist.join(relax, Seq("n"), "left")
+          .select(col("n"), least(col("d"), col("cand")).as("d"))
+          .localCheckpoint(true)
+      }
+      dist.groupBy(coalesce(col("d"), lit(-1L)).as("dist"))
+        .agg(count(lit(1)).as("n_nodes"), sum("n").as("id_sum"))
+        .orderBy("dist")
+    },
+    Some(s"""WITH $sparseEdgesSql,
+             nodes AS (SELECT DISTINCT n FROM (
+                         SELECT a AS n FROM edges
+                         UNION ALL SELECT b AS n FROM edges) u),
+             adj AS (SELECT a AS n, b AS nbr FROM edges
+                     UNION ALL SELECT b AS n, a AS nbr FROM edges),
+             d0 AS (SELECT n, CASE WHEN ${Llm.md5Hex32Sql("'bfs_' || CAST(n AS VARCHAR)")} % $BfsSeedMod = 0
+                              THEN CAST(0 AS BIGINT) END AS d FROM nodes),
+             d1 AS (SELECT x.n, least(x.d, m.cand) AS d FROM d0 x
+                    LEFT JOIN (SELECT adj.n, MIN(d0.d) + 1 AS cand FROM adj
+                               JOIN d0 ON adj.nbr = d0.n
+                               WHERE d0.d IS NOT NULL GROUP BY adj.n) m
+                      ON x.n = m.n),
+             d2 AS (SELECT x.n, least(x.d, m.cand) AS d FROM d1 x
+                    LEFT JOIN (SELECT adj.n, MIN(d1.d) + 1 AS cand FROM adj
+                               JOIN d1 ON adj.nbr = d1.n
+                               WHERE d1.d IS NOT NULL GROUP BY adj.n) m
+                      ON x.n = m.n),
+             d3 AS (SELECT x.n, least(x.d, m.cand) AS d FROM d2 x
+                    LEFT JOIN (SELECT adj.n, MIN(d2.d) + 1 AS cand FROM adj
+                               JOIN d2 ON adj.nbr = d2.n
+                               WHERE d2.d IS NOT NULL GROUP BY adj.n) m
+                      ON x.n = m.n)
+             SELECT COALESCE(d, -1) AS dist,
+                    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                    CAST(SUM(n) AS BIGINT) AS id_sum
+             FROM d3 GROUP BY COALESCE(d, -1) ORDER BY dist"""))
+
   val all: Seq[Q] = Seq(qGraphPagerank, qGraphHits, qGraphMixing, qGraphTriangles, qGraphLabelProp,
-    qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist)
+    qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist, qGraphBfs)
 }

@@ -2096,6 +2096,36 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("bfs: hop census replays an exact driver-side BFS from the elected seeds") {
+    val rows = SparkEntry.queries("q_graph_bfs")(spark, floorDir).collect()
+      .map(r => r.getAs[Long]("dist") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("id_sum"))).toMap
+    val edges = ops.Graph.sparseEdges(spark, floorDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    import spark.implicits._
+    val seedSet = nodes.toSeq.toDF("n")
+      .selectExpr("n", "pmod(graft_md5h32(concat('bfs_', CAST(n AS STRING))), 64) AS m")
+      .collect().filter(_.getAs[Long]("m") == 0L).map(_.getAs[Long]("n")).toSet
+    assert(seedSet.nonEmpty, "seed election must produce sources")
+    // textbook BFS, capped at 3 hops
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    var frontier = seedSet.toList
+    frontier.foreach(dist(_) = 0L)
+    (1 to 3).foreach { h =>
+      frontier = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+      frontier.foreach(dist(_) = h.toLong)
+    }
+    val expect = nodes.groupBy(n => dist.getOrElse(n, -1L))
+      .map { case (d, ns) => d -> (ns.length.toLong, ns.sum) }
+    assert(rows == expect, s"census mismatch: declared $rows vs replay $expect")
+    // conservation over the node universe
+    assert(rows.values.map(_._1).sum == nodes.length.toLong)
+    info(s"bfs: ${seedSet.size} seeds, census ${rows.toSeq.sortBy(_._1)}")
+  }
+
   test("neyman: allocations replay the N*spread optimum, respect the budget, and realize exactly") {
     val rows = SparkEntry.queries("q_sample_neyman")(spark, floorDir).collect()
       .sortBy(_.getAs[String]("source"))
