@@ -617,9 +617,83 @@ object Windows {
             FROM r JOIN h ON h.i = r.i
             ORDER BY r.d"""))
 
+  /** MAD-based robust outlier census — the Hampel filter (Hampel 1974;
+    * Leys et al. 2013, "Do not use standard deviation around the mean":
+    * one genuine spike inflates an SD threshold enough to hide itself —
+    * the median absolute deviation has a 50% breakdown point, so the
+    * outliers can't vote themselves normal). Per event type over its
+    * daily volume series: med = exact LOWER median (value at rank
+    * ⌊(n+1)/2⌋ of the (cnt, day)-ordered frame — a deterministic
+    * integer, no .5 interpolation to diverge on), mad = lower median of
+    * |cnt − med| likewise by rank, outlier = deviation > 3·mad (the
+    * textbook cutoff). Output: per-type audit row (days, med, mad,
+    * outlier count/mass checksum, max deviation).
+    *
+    * Scale shape: one map-combinable (type, day) census is the only
+    * corpus-sized work; both median ranks are type-PARTITIONED windows
+    * over the ≤ |types|·|days| daily frame, then a ≤ |types|-row census.
+    */
+  private val qWinMad = Q(
+    "q_win_mad",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val wv = Window.partitionBy("event_type").orderBy(col("cnt"), col("day"))
+      val wn = Window.partitionBy("event_type")
+      val med = daily
+        .withColumn("rv", row_number().over(wv).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg(min(when(col("rv") === expr("(n + 1L) DIV 2L"), col("cnt"))).as("med"))
+      val dev = daily.join(med, "event_type")
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val wd = Window.partitionBy("event_type").orderBy(col("dev"), col("day"))
+      val mad = dev
+        .withColumn("rd", row_number().over(wd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg(min(when(col("rd") === expr("(n + 1L) DIV 2L"), col("dev"))).as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          min("med").as("med_cnt"), min("mad").as("mad_cnt"),
+          sum(expr("CAST(dev > 3L * mad AS BIGINT)")).as("n_out"),
+          sum(expr("CASE WHEN dev > 3L * mad THEN day ELSE 0L END")).as("out_day_sum"),
+          max("dev").as("max_dev"))
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY 1, 2),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY cnt, day) AS BIGINT) AS rv,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                  FROM d),
+            md AS (SELECT event_type,
+                    MIN(CASE WHEN rv = (n + 1) // 2 THEN cnt END) AS med
+                   FROM r GROUP BY event_type),
+            dv AS (SELECT d.event_type, d.day, d.cnt, md.med,
+                    abs(d.cnt - md.med) AS dev
+                   FROM d JOIN md USING (event_type)),
+            r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY dev, day) AS BIGINT) AS rd,
+                    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                   FROM dv),
+            ma AS (SELECT event_type,
+                    MIN(CASE WHEN rd = (n + 1) // 2 THEN dev END) AS mad
+                   FROM r2 GROUP BY event_type)
+            SELECT dv.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             MIN(dv.med) AS med_cnt, MIN(ma.mad) AS mad_cnt,
+             CAST(SUM(CASE WHEN dev > 3 * ma.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+             CAST(SUM(CASE WHEN dev > 3 * ma.mad THEN dv.day ELSE 0 END) AS BIGINT) AS out_day_sum,
+             MAX(dev) AS max_dev
+            FROM dv JOIN ma USING (event_type)
+            GROUP BY dv.event_type ORDER BY dv.event_type"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
     qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions, qWinCusum,
-    qWinHolt)
+    qWinHolt, qWinMad)
 }

@@ -2096,6 +2096,32 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("mad: per-type medians and the Hampel flag replay from the raw daily series") {
+    val rows = SparkEntry.queries("q_win_mad")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, floorDir)
+      .groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"), r.getAs[Long]("cnt")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = daily(t).map(x => (x._2, x._3)).sortBy(x => (x._2, x._1))
+      def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply(((xs.length + 1) / 2) - 1)
+      val med = lowerMedian(series.map(_._2).toSeq)
+      val devs = series.map { case (day, c) => (day, math.abs(c - med)) }
+      val mad = lowerMedian(devs.map(_._2).toSeq)
+      val out = devs.filter(_._2 > 3 * mad)
+      assert(r.getAs[Long]("n_days") == series.length.toLong, s"$t: n_days")
+      assert(r.getAs[Long]("med_cnt") == med, s"$t: median")
+      assert(r.getAs[Long]("mad_cnt") == mad, s"$t: mad")
+      assert(r.getAs[Long]("n_out") == out.length.toLong, s"$t: outlier count")
+      assert(r.getAs[Long]("out_day_sum") == out.map(_._1).sum, s"$t: outlier checksum")
+      assert(r.getAs[Long]("max_dev") == devs.map(_._2).max, s"$t: max dev")
+    }
+    info(s"mad: ${rows.length} types, outliers ${rows.map(_.getAs[Long]("n_out")).sum}")
+  }
+
   test("bfs: hop census replays an exact driver-side BFS from the elected seeds") {
     val rows = SparkEntry.queries("q_graph_bfs")(spark, floorDir).collect()
       .map(r => r.getAs[Long]("dist") ->
