@@ -1748,10 +1748,107 @@ object Curation {
               COALESCE(k.samp_chars, 0) AS samp_chars
              FROM a LEFT JOIN k USING (source) ORDER BY a.source"""))
 
+  /** Number of greedy k-center picks. */
+  private val KcK = 8
+
+  /** Integer squared L2 between the int8-quantized vector column `qv`
+    * and a literal center array — exact BIGINT arithmetic, the
+    * `q_vec_kmeans_step` quantization discipline. */
+  private def kcDistSpark(centerLit: String): String =
+    s"aggregate(zip_with(qv, $centerLit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+
+  private def kcDistSql(prev: String): String =
+    s"""list_sum(list_transform(range(len($prev.qv)),
+          i -> ($prev.qv[i + 1] - s.qv[i + 1]) * ($prev.qv[i + 1] - s.qv[i + 1])))"""
+
+  /** GREEDY K-CENTER diversity selection — farthest-first traversal
+    * (Gonzalez 1985: a 2-approximation to the NP-hard k-center optimum;
+    * Sener & Savarese ICLR'18 run exactly this as the "core-set" active
+    * -learning acquisition): starting from the min-id vector, each round
+    * picks the point FARTHEST from its nearest already-chosen center —
+    * the maximal-coverage complement of [[qSampleMargin]]'s uncertainty
+    * policy and `q_sample_coreset`'s importance weights (diversity, not
+    * difficulty). D1: distances are exact integer squared L2 over int8-
+    * quantized components (the `q_vec_kmeans_step` discipline — a float
+    * argmax would tie-break nondeterministically across engines);
+    * election order (dmin DESC, vec_id) is total. Output: the K = 8
+    * picks with their election radius (the coverage radius just before
+    * each pick — the textbook non-increasing curve) plus a final row
+    * (sel_i = 8, vec_id = −1) carrying the realized coverage radius.
+    *
+    * Scale shape: the incremental farthest-first form — each round is
+    * ONE map-only distance pass against the single newest center
+    * (embedded as a literal array; no n·k blowup, no join) folding into
+    * the running per-point dmin, then a TakeOrdered(1) election (the
+    * BPE driver-scalar election pattern, K scalars total on the
+    * driver); localCheckpoint between rounds truncates lineage. K
+    * passes over n rows — the canonical distributed k-center cost.
+    */
+  private val qSampleKcenter = Q(
+    "q_sample_kcenter",
+    (s, dir) => {
+      import s.implicits._
+      val pts = Llm.vecs(s, dir)
+        .select(col("vec_id"),
+          expr("transform(v, x -> CAST(floor(x * 127) AS BIGINT))").as("qv"))
+        .localCheckpoint(true)
+      def lit64(a: Seq[Long]) = a.mkString("array(", "L,", "L)")
+      val first = pts.orderBy("vec_id").limit(1)
+        .collect().head
+      var picks = List((0L, first.getAs[Long]("vec_id"), 0L))
+      var curQv: Seq[Long] = first.getSeq[Long](1)
+      var d = pts
+        .withColumn("dmin", expr(kcDistSpark(lit64(curQv))))
+        .localCheckpoint(true)
+      for (i <- 1 until KcK) {
+        val top = d.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .collect().head
+        picks ::= (i.toLong, top.getAs[Long]("vec_id"), top.getAs[Long]("dmin"))
+        curQv = top.getSeq[Long](top.fieldIndex("qv"))
+        val prev = d
+        d = d.withColumn("dmin",
+            least(col("dmin"), expr(kcDistSpark(lit64(curQv)))))
+          .localCheckpoint(true)
+        prev.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(false))
+      }
+      val cov = d.agg(max("dmin")).collect().head.getLong(0)
+      (picks.reverse :+ (KcK.toLong, -1L, cov))
+        .toDF("sel_i", "vec_id", "radius_sq")
+        .orderBy("sel_i")
+    },
+    Some {
+      val steps = (1 until KcK).map { k =>
+        s"""s$k AS (SELECT vec_id, qv, d FROM d${k - 1}
+                    ORDER BY d DESC, vec_id LIMIT 1),
+            d$k AS (SELECT p.vec_id, p.qv,
+                     LEAST(p.d, ${kcDistSql("p")}) AS d
+                    FROM d${k - 1} p CROSS JOIN s$k s)"""
+      }.mkString(",\n")
+      val sels = (1 until KcK).map(k =>
+        s"UNION ALL SELECT CAST($k AS BIGINT), vec_id, CAST(d AS BIGINT) FROM s$k")
+        .mkString("\n")
+      s"""WITH ${Llm.vecsSql},
+          p AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * 127) AS BIGINT)) AS qv
+                FROM e),
+          s0 AS (SELECT vec_id, qv FROM p ORDER BY vec_id LIMIT 1),
+          d0 AS (SELECT p.vec_id, p.qv, ${kcDistSql("p")} AS d
+                 FROM p CROSS JOIN s0 s),
+          $steps
+          SELECT CAST(0 AS BIGINT) AS sel_i, vec_id,
+           CAST(0 AS BIGINT) AS radius_sq FROM s0
+          $sels
+          UNION ALL SELECT CAST($KcK AS BIGINT), CAST(-1 AS BIGINT),
+           CAST((SELECT MAX(d) FROM d${KcK - 1}) AS BIGINT)
+          ORDER BY sel_i"""
+    })
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
     qSampleDsir, qSampleRho, qSampleMargin, qMixConcentration, qCurateLrStep, qCurateLrFilter,
-    qCurateCalibration, qMixDoremi, qMixEpochs, qSampleNeyman)
+    qCurateCalibration, qMixDoremi, qMixEpochs, qSampleNeyman, qSampleKcenter)
 }

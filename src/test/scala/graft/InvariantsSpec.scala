@@ -2096,6 +2096,39 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("kcenter: farthest-first picks replay exactly and the radius curve is non-increasing") {
+    val rows = SparkEntry.queries("q_sample_kcenter")(spark, floorDir).collect()
+      .sortBy(_.getAs[Long]("sel_i"))
+    assert(rows.length == 9, "8 picks + the coverage row")
+    // driver-side exact replay over the same int8-quantized vectors
+    val pts = Tables(spark, floorDir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qv")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var dmin = pts.map(p => d2(p._2, pts.head._2))
+    var picks = List((0L, pts.head._1, 0L))
+    (1 until 8).foreach { i =>
+      val j = dmin.indices.minBy(j => (-dmin(j), pts(j)._1))
+      picks ::= (i.toLong, pts(j)._1, dmin(j))
+      dmin = dmin.indices.map(k => math.min(dmin(k), d2(pts(k)._2, pts(j)._2))).toArray
+    }
+    val expect = (picks.reverse :+ (8L, -1L, dmin.max))
+    rows.zip(expect).foreach { case (r, (i, id, rad)) =>
+      assert(r.getAs[Long]("sel_i") == i && r.getAs[Long]("vec_id") == id
+        && r.getAs[Long]("radius_sq") == rad,
+        s"pick $i: declared (${r.getAs[Long]("vec_id")}, ${r.getAs[Long]("radius_sq")}) vs replay ($id, $rad)")
+    }
+    // greedy structure: election radii non-increasing, coverage below the last
+    val radii = rows.slice(1, 8).map(_.getAs[Long]("radius_sq"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, "radius curve must not increase")
+    assert(rows.last.getAs[Long]("radius_sq") <= radii.last, "coverage <= last election radius")
+    assert(rows.slice(0, 8).map(_.getAs[Long]("vec_id")).distinct.length == 8, "distinct centers")
+    info(s"kcenter: picks ${rows.slice(0, 8).map(_.getAs[Long]("vec_id")).mkString(",")}, coverage ${rows.last.getAs[Long]("radius_sq")}")
+  }
+
   test("mad: per-type medians and the Hampel flag replay from the raw daily series") {
     val rows = SparkEntry.queries("q_win_mad")(spark, floorDir).collect()
     assert(rows.nonEmpty)
