@@ -466,30 +466,56 @@ object Graph {
     * only the loop counter. The fixed round count (vs ConnectedComponents'
     * convergence loop) is what keeps the result DuckDB-expressible.
     */
+  /** The label-prop assignment after [[LpIters]] rounds — (n, lab with
+    * NULL = unreached), shared by `q_graph_label_prop` and
+    * `q_graph_modularity` (one spelling of the propagation). */
+  private[graft] def lpLabels(s: SparkSession, dir: String): DataFrame = {
+    val edges = sparseEdges(s, dir)
+    val nodes = edges.select(col("a").as("n"))
+      .unionByName(edges.select(col("b").as("n")))
+      .distinct()
+    val adj = edges.select(col("a").as("n"), col("b").as("nbr"))
+      .unionByName(edges.select(col("b").as("n"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    val seedHash = Llm.md5Hex32Spark("concat('lps_', CAST(n AS STRING))")
+    var lab = nodes.select(col("n"),
+        expr(s"CASE WHEN pmod($seedHash, $LpSeedMod) = 0 THEN n END").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpIters) {
+      val nbrMin = adj
+        .join(lab.select(col("n").as("nbr"), col("lab").as("nl")), "nbr")
+        .filter(col("nl").isNotNull)
+        .groupBy("n").agg(min("nl").as("nm"))
+      lab = lab.join(nbrMin, Seq("n"), "left")
+        .select(col("n"), coalesce(col("lab"), col("nm")).as("lab"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
+  /** The l0..l3 CTE chain of the same propagation, shared by both graph
+    * oracles so the engine twins cannot drift. Expects `nodes`/`adj` in
+    * scope; leaves the final frame as `l$LpIters`. */
+  private def lpLabelsSql: String =
+    s"""l0 AS (SELECT n, CASE WHEN ${Llm.md5Hex32Sql("'lps_' || CAST(n AS VARCHAR)")} % $LpSeedMod = 0
+                         THEN n END AS lab FROM nodes),
+        l1 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l0 l
+               LEFT JOIN (SELECT adj.n, MIN(l0.lab) AS nm FROM adj
+                          JOIN l0 ON adj.nbr = l0.n GROUP BY adj.n) m
+                 ON l.n = m.n),
+        l2 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l1 l
+               LEFT JOIN (SELECT adj.n, MIN(l1.lab) AS nm FROM adj
+                          JOIN l1 ON adj.nbr = l1.n GROUP BY adj.n) m
+                 ON l.n = m.n),
+        l3 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l2 l
+               LEFT JOIN (SELECT adj.n, MIN(l2.lab) AS nm FROM adj
+                          JOIN l2 ON adj.nbr = l2.n GROUP BY adj.n) m
+                 ON l.n = m.n)"""
+
   private val qGraphLabelProp = Q(
     "q_graph_label_prop",
     (s, dir) => {
-      val edges = sparseEdges(s, dir)
-      val nodes = edges.select(col("a").as("n"))
-        .unionByName(edges.select(col("b").as("n")))
-        .distinct()
-      val adj = edges.select(col("a").as("n"), col("b").as("nbr"))
-        .unionByName(edges.select(col("b").as("n"), col("a").as("nbr")))
-        .localCheckpoint(true)
-      val seedHash = Llm.md5Hex32Spark("concat('lps_', CAST(n AS STRING))")
-      var lab = nodes.select(col("n"),
-          expr(s"CASE WHEN pmod($seedHash, $LpSeedMod) = 0 THEN n END").as("lab"))
-        .localCheckpoint(true)
-      for (_ <- 1 to LpIters) {
-        val nbrMin = adj
-          .join(lab.select(col("n").as("nbr"), col("lab").as("nl")), "nbr")
-          .filter(col("nl").isNotNull)
-          .groupBy("n").agg(min("nl").as("nm"))
-        lab = lab.join(nbrMin, Seq("n"), "left")
-          .select(col("n"), coalesce(col("lab"), col("nm")).as("lab"))
-          .localCheckpoint(true)
-      }
-      lab.groupBy(coalesce(col("lab"), lit(-1L)).as("community"))
+      lpLabels(s, dir).groupBy(coalesce(col("lab"), lit(-1L)).as("community"))
         .agg(count(lit(1)).as("n_members"), sum("n").as("id_sum"))
         .orderBy(col("n_members").desc, col("community"))
         .limit(20)
@@ -500,20 +526,7 @@ object Graph {
                          UNION ALL SELECT b AS n FROM edges) u),
              adj AS (SELECT a AS n, b AS nbr FROM edges
                      UNION ALL SELECT b AS n, a AS nbr FROM edges),
-             l0 AS (SELECT n, CASE WHEN ${Llm.md5Hex32Sql("'lps_' || CAST(n AS VARCHAR)")} % $LpSeedMod = 0
-                              THEN n END AS lab FROM nodes),
-             l1 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l0 l
-                    LEFT JOIN (SELECT adj.n, MIN(l0.lab) AS nm FROM adj
-                               JOIN l0 ON adj.nbr = l0.n GROUP BY adj.n) m
-                      ON l.n = m.n),
-             l2 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l1 l
-                    LEFT JOIN (SELECT adj.n, MIN(l1.lab) AS nm FROM adj
-                               JOIN l1 ON adj.nbr = l1.n GROUP BY adj.n) m
-                      ON l.n = m.n),
-             l3 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l2 l
-                    LEFT JOIN (SELECT adj.n, MIN(l2.lab) AS nm FROM adj
-                               JOIN l2 ON adj.nbr = l2.n GROUP BY adj.n) m
-                      ON l.n = m.n)
+             $lpLabelsSql
              SELECT COALESCE(lab, -1) AS community,
                     CAST(COUNT(*) AS BIGINT) AS n_members,
                     CAST(SUM(n) AS BIGINT) AS id_sum
@@ -794,6 +807,88 @@ object Graph {
                     CAST(SUM(n) AS BIGINT) AS id_sum
              FROM d3 GROUP BY COALESCE(d, -1) ORDER BY dist"""))
 
+  /** NEWMAN MODULARITY of the label-prop partition — the single number
+    * that says whether a community assignment beats chance (Newman &
+    * Girvan 2004; Newman PNAS 2006): Q = Σ_c [e_c/m − (d_c/2m)²] with
+    * m = |E|, e_c = intra-community edges, d_c = degree mass of c —
+    * the quality gate a pipeline checks BEFORE acting on
+    * `q_graph_label_prop`'s assignment (Q ≈ 0 means the "communities"
+    * are no better than a random cut; the audit `q_graph_mixing` reads
+    * classes, this reads the partition itself). Unreached nodes count
+    * as singleton communities (a partition must cover every node —
+    * dropping them would inflate Q). D1: Q is computed EXACTLY as the
+    * integer numerator Σ_c (4·m·e_c − d_c²) over the implied 4·m²
+    * denominator, reported in floor basis points; all joins/censuses
+    * integer. Output: one summary row (communities, nodes, edges,
+    * intra-edge total, q_bp, largest community).
+    *
+    * Scale shape: rides the shared [[lpLabels]] supersteps; then ONE
+    * node-keyed degree join, ONE edge-keyed double label equi-join for
+    * the intra census, map-combinable community aggs, and a 1-row
+    * total broadcast for the final arithmetic — no new corpus-sized
+    * shuffle beyond what label-prop already pays.
+    */
+  private val qGraphModularity = Q(
+    "q_graph_modularity",
+    (s, dir) => {
+      val edges = sparseEdges(s, dir).localCheckpoint(true)
+      val lab = lpLabels(s, dir)
+        .select(col("n"), coalesce(col("lab"), col("n")).as("c"))
+        .localCheckpoint(true)
+      val deg = edges.select(col("a").as("n"))
+        .unionByName(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val dc = lab.join(deg, "n").groupBy("c")
+        .agg(sum("deg").as("d_c"), count(lit(1)).as("sz"))
+      val intra = edges
+        .join(lab.select(col("n").as("a"), col("c").as("ca")), "a")
+        .join(lab.select(col("n").as("b"), col("c").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+      val per = dc.join(intra, Seq("c"), "left")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      val m = edges.agg(count(lit(1)).as("m"))
+      per.crossJoin(broadcast(m))
+        .agg(count(lit(1)).as("n_comms"),
+          sum("sz").as("n_nodes"),
+          max("m").as("n_edges"),
+          sum("e_c").as("intra_edges"),
+          sum(expr("4L * m * e_c - d_c * d_c")).as("q_num"),
+          max("sz").as("top_comm_size"))
+        .select(col("n_comms"), col("n_nodes"), col("n_edges"),
+          col("intra_edges"),
+          expr("q_num * 10000L div (4L * n_edges * n_edges)").as("q_bp"),
+          col("top_comm_size"))
+    },
+    Some(s"""WITH $sparseEdgesSql,
+             nodes AS (SELECT DISTINCT n FROM (
+                         SELECT a AS n FROM edges
+                         UNION ALL SELECT b AS n FROM edges) u),
+             adj AS (SELECT a AS n, b AS nbr FROM edges
+                     UNION ALL SELECT b AS n, a AS nbr FROM edges),
+             $lpLabelsSql,
+             lb AS (SELECT n, COALESCE(lab, n) AS c FROM l3),
+             deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY n),
+             dc AS (SELECT c, CAST(SUM(deg) AS BIGINT) AS d_c,
+                     CAST(COUNT(*) AS BIGINT) AS sz
+                    FROM lb JOIN deg USING (n) GROUP BY c),
+             intra AS (SELECT la.c, CAST(COUNT(*) AS BIGINT) AS e_c
+                       FROM edges e
+                       JOIN lb la ON e.a = la.n
+                       JOIN lb lcb ON e.b = lcb.n
+                       WHERE la.c = lcb.c GROUP BY la.c),
+             per AS (SELECT dc.c, dc.d_c, dc.sz, COALESCE(intra.e_c, 0) AS e_c
+                     FROM dc LEFT JOIN intra USING (c)),
+             mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges)
+             SELECT CAST(COUNT(*) AS BIGINT) AS n_comms,
+              CAST(SUM(sz) AS BIGINT) AS n_nodes,
+              MAX(m) AS n_edges,
+              CAST(SUM(e_c) AS BIGINT) AS intra_edges,
+              CAST(CAST(SUM(4 * m * e_c - d_c * d_c) AS BIGINT) * 10000
+                   // (4 * MAX(m) * MAX(m)) AS BIGINT) AS q_bp,
+              MAX(sz) AS top_comm_size
+             FROM per CROSS JOIN mm"""))
+
   val all: Seq[Q] = Seq(qGraphPagerank, qGraphHits, qGraphMixing, qGraphTriangles, qGraphLabelProp,
-    qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist, qGraphBfs)
+    qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist, qGraphBfs, qGraphModularity)
 }

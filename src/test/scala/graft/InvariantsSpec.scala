@@ -2096,6 +2096,31 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("modularity: Q replays exactly from edges plus labels and beats the trivial partitions") {
+    val row = SparkEntry.queries("q_graph_modularity")(spark, floorDir).collect().head
+    val edges = ops.Graph.sparseEdges(spark, floorDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val lab = ops.Graph.lpLabels(spark, floorDir).collect()
+      .map(r => r.getAs[Long]("n") ->
+        (if (r.isNullAt(1)) r.getAs[Long]("n") else r.getAs[Long]("lab"))).toMap
+    val m = edges.length.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    val dC = deg.groupBy { case (n, _) => lab(n) }.map { case (c, xs) => c -> xs.values.sum }
+    val eC = edges.filter(e => lab(e._1) == lab(e._2))
+      .groupBy(e => lab(e._1)).map { case (c, xs) => c -> xs.length.toLong }
+    val qNum = dC.map { case (c, d) => 4L * m * eC.getOrElse(c, 0L) - d * d }.sum
+    val qBp = qNum * 10000L / (4L * m * m)
+    assert(row.getAs[Long]("n_edges") == m)
+    assert(row.getAs[Long]("n_comms") == dC.size.toLong)
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(row.getAs[Long]("intra_edges") == eC.values.sum)
+    assert(row.getAs[Long]("q_bp") == qBp, s"declared ${row.getAs[Long]("q_bp")} vs replay $qBp")
+    // the partition must beat both trivial baselines: one-community
+    // (Q = 0 exactly) and all-singletons (Q < 0)
+    assert(row.getAs[Long]("q_bp") > 0L, "label-prop partition should beat the trivial cuts")
+    info(s"modularity: ${row.getAs[Long]("n_comms")} communities, Q = ${row.getAs[Long]("q_bp")} bp")
+  }
+
   test("kcenter: farthest-first picks replay exactly and the radius curve is non-increasing") {
     val rows = SparkEntry.queries("q_sample_kcenter")(spark, floorDir).collect()
       .sortBy(_.getAs[Long]("sel_i"))

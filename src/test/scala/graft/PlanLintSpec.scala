@@ -149,7 +149,10 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcast Neyman weight total fanned onto the
       // <= |sources| stats frame; the allocation join back onto the
       // ranked stream is a broadcast EQUI-join on source
-      "q_sample_neyman")
+      "q_sample_neyman",
+      // 1-row broadcast edge total fanned onto the <= |communities|
+      // per-community frame for the exact Q numerator arithmetic
+      "q_graph_modularity")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
