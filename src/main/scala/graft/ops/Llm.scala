@@ -5922,12 +5922,72 @@ object Llm {
                     b.cnt * 10000 // n_vecs AS purity_bp
              FROM m ORDER BY cell"""))
 
+  /** SIMPLIFIED SILHOUETTE per IVF cell — the UNSUPERVISED twin of
+    * [[qVecClusterPurity]] (purity needs labels; silhouette judges the
+    * geometry itself — Rousseeuw 1987, and the "simplified" centroid
+    * variant of Hruschka et al. that production systems compute because
+    * the full pairwise silhouette is O(n²)): per vector, a = cosine
+    * distance to its OWN (nearest) centroid, b = to the second-nearest;
+    * s = (b − a)/max(a, b) which in the cells' 4dp-rounded cosine space
+    * reduces to s_bp = (c1 − c2)·10⁴ div (10⁴ − c2), 0 when c2 = 10⁴
+    * (duplicate centroids) — s near 10⁴ = well-separated cell, near 0 =
+    * the vector sits on a cell boundary and the index's probe-1 recall
+    * will pay for it. D1: both assignments ride the ONE shared
+    * `cellsSpark` election (same rounding/tie contract as the index
+    * build and every IVF consumer), so the audit measures the index
+    * that actually serves. Output per cell: member count, mean/min/max
+    * s_bp.
+    *
+    * Scale shape: ONE broadcast-centroid map-only pass (top-2 of the
+    * same election — no extra cost over the purity audit), then a
+    * cell-keyed map-combinable agg; ≤ √n rows cross the exchange.
+    */
+  private val qVecSilhouette = Q(
+    "q_vec_silhouette",
+    (s, dir) => {
+      vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 1"))
+        .withColumn("cl", expr(cellsSpark("2")))
+        .select(col("vec_id"),
+          expr("element_at(cl, 1).c_id").as("own"),
+          expr("CAST(round(-element_at(cl, 1).negcos * 10000) AS BIGINT)").as("c1"),
+          expr("CAST(round(-element_at(cl, 2).negcos * 10000) AS BIGINT)").as("c2"))
+        .withColumn("s_bp", expr(
+          "CASE WHEN c2 >= 10000L THEN 0L ELSE (c1 - c2) * 10000L DIV (10000L - c2) END"))
+        .groupBy(col("own").as("c_id"))
+        .agg(count(lit(1)).as("n_members"),
+          expr("sum(s_bp) div count(1)").as("mean_s_bp"),
+          min("s_bp").as("min_s_bp"), max("s_bp").as("max_s_bp"))
+        .orderBy("c_id")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             a2 AS (SELECT n.vec_id, c_id,
+                     CAST(round(ROUND(list_dot_product(v, cv) / (nrm * cn), 4) * 10000) AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                       ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id) AS arn
+                    FROM n CROSS JOIN cent),
+             two AS (SELECT vec_id,
+                      MIN(CASE WHEN arn = 1 THEN c_id END) AS own,
+                      MIN(CASE WHEN arn = 1 THEN c END) AS c1,
+                      MIN(CASE WHEN arn = 2 THEN c END) AS c2
+                     FROM a2 WHERE arn <= 2 GROUP BY vec_id
+                     HAVING COUNT(*) = 2),
+             sc AS (SELECT own, CASE WHEN c2 >= 10000 THEN 0
+                     ELSE (c1 - c2) * 10000 // (10000 - c2) END AS s_bp
+                    FROM two)
+             SELECT own AS c_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+              CAST(SUM(s_bp) // COUNT(*) AS BIGINT) AS mean_s_bp,
+              CAST(MIN(s_bp) AS BIGINT) AS min_s_bp,
+              CAST(MAX(s_bp) AS BIGINT) AS max_s_bp
+             FROM sc GROUP BY own ORDER BY own"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qSplitLeakage, qDedupNear, qDedupCluster, qDedupClusterPrecision, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimMmr, qSimPq, qVecKmeansStep,
-    qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity,
+    qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity, qVecSilhouette,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextZipf, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextBoilerplate, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qMixAnneal, qSimDocTopk, qSampleCoreset, qTextDrift,

@@ -2096,6 +2096,32 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("silhouette: scores are bounded, conserve members, and separate structure beats boundary cells") {
+    val rows = SparkEntry.queries("q_vec_silhouette")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") > 0)
+      val (mn, mean, mx) = (r.getAs[Long]("min_s_bp"),
+        r.getAs[Long]("mean_s_bp"), r.getAs[Long]("max_s_bp"))
+      assert(0 <= mn && mn <= mean && mean <= mx && mx <= 10000L,
+        s"cell ${r.getAs[Long]("c_id")}: silhouette stats must be ordered in [0, 10000]")
+    }
+    // conservation: every vector lands in exactly one cell
+    val nVecs = Tables(spark, floorDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nVecs, "membership conserves the corpus")
+    // every cell's own centroid is one of its members' nearest (the
+    // centroids ARE corpus vectors): the centroid vector itself scores
+    // c1 = 10000 in its own cell, so each centroid's cell exists
+    val cells = rows.map(_.getAs[Long]("c_id")).toSet
+    assert(cells.size == rows.length, "one row per cell")
+    // the corpus has real cluster structure: the member-weighted mean
+    // silhouette is strictly positive and some cell clears 2000 bp
+    val wmean = rows.map(r => r.getAs[Long]("mean_s_bp") * r.getAs[Long]("n_members")).sum / nVecs
+    assert(wmean > 0, "geometry must beat the all-boundary degenerate")
+    assert(rows.map(_.getAs[Long]("max_s_bp")).max >= 2000L, "at least one well-separated vector")
+    info(s"silhouette: ${rows.length} cells, weighted mean $wmean bp")
+  }
+
   test("modularity: Q replays exactly from edges plus labels and beats the trivial partitions") {
     val row = SparkEntry.queries("q_graph_modularity")(spark, floorDir).collect().head
     val edges = ops.Graph.sparseEdges(spark, floorDir).collect()

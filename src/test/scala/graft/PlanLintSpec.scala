@@ -152,7 +152,10 @@ class PlanLintSpec extends SparkSpec {
       "q_sample_neyman",
       // 1-row broadcast edge total fanned onto the <= |communities|
       // per-community frame for the exact Q numerator arithmetic
-      "q_graph_modularity")
+      "q_graph_modularity",
+      // the q_vec_cluster_purity class: 1-row broadcast centroid array
+      // fanned onto the scan for the map-only top-2 cell election
+      "q_vec_silhouette")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
