@@ -168,6 +168,80 @@ object Aggregates {
             ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** WINSORIZED and TRIMMED means — the robust-mean pair every metrics
+    * warehouse computes next to its plain mean (Tukey; Dixon & Yuen
+    * 1974: one fat-fingered or adversarial amount moves a raw mean
+    * arbitrarily; clamping to [p5, p95] bounds any single row's
+    * influence, trimming drops the tails outright — the
+    * `q_win_mad`/[[qAggPercentileExact]] family's aggregation-side
+    * member). D1: everything runs on the exact integer-cents path —
+    * p5/p95 are the values at ceil-ranks ⌈n/20⌉ / ⌈19n/20⌉ of the
+    * (cents, orderkey, linenumber)-ordered group (deterministic
+    * integers, the `q_sample_neyman` decile discipline, no
+    * interpolation), clamp/trim compare by VALUE (tie-stable), and all
+    * three means are floor-divided sums. Output per return flag:
+    * n, p5, p95, plain/winsorized/trimmed means, rows trimmed.
+    *
+    * Scale shape: the value at ceil-rank k IS the smallest value whose
+    * cumulative histogram count reaches k — so the thresholds come from
+    * the (g, cents) VALUE HISTOGRAM (map-combinable; the only
+    * corpus-sized work) plus a cumulative window over the ≤ |value
+    * grid| histogram frame (the `q_text_ppl_buckets` bounded-grid
+    * discipline — a per-group rank window over raw rows would push the
+    * whole corpus through |groups| = 3 window tasks), then a ≤ |groups|
+    * threshold broadcast and one map-combinable conditional-sum agg.
+    */
+  private val qAggWinsorize = Q(
+    "q_agg_winsorize",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val hist = li.groupBy("g", "cents").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("g").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+      val thr = cum.groupBy("g").agg(
+        min(when(col("cum") >= expr("(n + 19L) DIV 20L"), col("cents"))).as("p5"),
+        min(when(col("cum") >= expr("(19L * n + 19L) DIV 20L"), col("cents"))).as("p95"))
+      li.join(broadcast(thr), "g")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          min("p5").as("p5_cents"), min("p95").as("p95_cents"),
+          expr("sum(cents) div count(1)").as("mean_cents"),
+          expr("sum(greatest(p5, least(p95, cents))) div count(1)").as("win_mean_cents"),
+          expr("sum(CASE WHEN cents BETWEEN p5 AND p95 THEN cents END) " +
+            "div sum(CAST(cents BETWEEN p5 AND p95 AS BIGINT))").as("trim_mean_cents"),
+          expr("sum(CAST(cents < p5 OR cents > p95 AS BIGINT))").as("n_trimmed"))
+        .orderBy("g")
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS g,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                 FROM lineitem),
+            h AS (SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM li GROUP BY g, cents),
+            r AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+                  FROM h),
+            th AS (SELECT g,
+                    MIN(CASE WHEN cum >= (n + 19) // 20 THEN cents END) AS p5,
+                    MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN cents END) AS p95
+                   FROM r GROUP BY g)
+            SELECT li.g, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(p5) AS p5_cents, MIN(p95) AS p95_cents,
+             CAST(CAST(SUM(cents) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_cents,
+             CAST(CAST(SUM(GREATEST(p5, LEAST(p95, cents))) AS BIGINT)
+                  // COUNT(*) AS BIGINT) AS win_mean_cents,
+             CAST(CAST(SUM(CASE WHEN cents BETWEEN p5 AND p95 THEN cents END) AS BIGINT)
+                  // CAST(SUM(CASE WHEN cents BETWEEN p5 AND p95 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS BIGINT) AS trim_mean_cents,
+             CAST(SUM(CASE WHEN cents < p5 OR cents > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+            FROM li JOIN th USING (g)
+            GROUP BY li.g ORDER BY li.g"""))
+
   // Approx twins — the 100 TB path for distinct/quantile. Sketches are
   // engine-specific, so no DuckDB oracle (D5); our ScalaTest suite sanity-
   // bounds them against the exact values instead.
@@ -1460,7 +1534,7 @@ object Aggregates {
     qAggAbTest, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
-    qAggGroupingSets, qAggStats, qAggPercentileExact, qAggApproxHll,
+    qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel, qAggAttribution,
     qAggRetention, qAggIncremental, qAggCorr, qAggDecay,

@@ -2096,6 +2096,32 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: robust means replay from raw cents and influence-bound the plain mean") {
+    val rows = SparkEntry.queries("q_agg_winsorize")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables(spark, floorDir, "lineitem")
+      .selectExpr("l_returnflag AS g", "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("cents"))).groupBy(_._1)
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val xs = raw(g).map(_._2).sorted
+      val n = xs.length.toLong
+      val (p5, p95) = (xs(((n + 19) / 20).toInt - 1), xs(((19 * n + 19) / 20).toInt - 1))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("p5_cents") == p5
+        && r.getAs[Long]("p95_cents") == p95, s"$g: thresholds must replay")
+      assert(r.getAs[Long]("mean_cents") == xs.sum / n, s"$g: plain mean")
+      val win = xs.map(x => math.max(p5, math.min(p95, x)))
+      assert(r.getAs[Long]("win_mean_cents") == win.sum / n, s"$g: winsorized mean")
+      val kept = xs.filter(x => x >= p5 && x <= p95)
+      assert(r.getAs[Long]("trim_mean_cents") == kept.sum / kept.length, s"$g: trimmed mean")
+      assert(r.getAs[Long]("n_trimmed") == n - kept.length, s"$g: trim count")
+      // robustness structure: both robust means lie within the clamp range
+      assert(r.getAs[Long]("win_mean_cents") >= p5 && r.getAs[Long]("win_mean_cents") <= p95)
+      assert(r.getAs[Long]("trim_mean_cents") >= p5 && r.getAs[Long]("trim_mean_cents") <= p95)
+    }
+    info(s"winsorize: ${rows.length} groups, trimmed ${rows.map(_.getAs[Long]("n_trimmed")).sum} rows")
+  }
+
   test("silhouette: scores are bounded, conserve members, and separate structure beats boundary cells") {
     val rows = SparkEntry.queries("q_vec_silhouette")(spark, floorDir).collect()
     assert(rows.nonEmpty)
