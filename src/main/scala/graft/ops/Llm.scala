@@ -3134,6 +3134,73 @@ object Llm {
     * `q_text_vocab_prune` exemption class) → a 1-row fit. Output: one
     * row — corpus sizes, the slope, and the head frequency.
     */
+  /** HEAPS'-LAW vocabulary-growth audit — the other half of the
+    * `q_text_zipf` corpus-law pair (Heaps 1978; Herdan 1960: V(n) ≈
+    * K·n^β with β < 1, the curve a tokenizer designer extrapolates to
+    * answer "how much NEW vocabulary will the next 10× of corpus
+    * bring" before committing a vocab size — `q_text_vocab_prune`
+    * plans the cutoff at today's corpus, this projects tomorrow's).
+    * The corpus is split into 8 doc-id-VALUE-sliced prefixes
+    * (t_k = mn + (mx−mn+1)·k div 8 — a rank-sliced prefix would need a
+    * corpus-sized partition-less window; ids are near-uniform over
+    * their range so value slices are near-equal); per checkpoint:
+    * docs, token occurrences, and the DISTINCT vocabulary seen so far.
+    * The growth fold is exact: a type is in prefix k iff its FIRST
+    * occurrence (min doc_id) lands below t_k — so the whole curve
+    * reads off the first-occurrence census, one number per type, no
+    * per-prefix re-scan. All-integer (D1).
+    *
+    * Scale shape: two map-combinable censuses (per-doc token counts;
+    * per-type min first-doc — the only corpus-sized work), each fanned
+    * 8× by a sequence explode AFTER collapsing to its census (the
+    * vocab-sized frame, not the corpus), a 1-row id-range broadcast,
+    * and an 8-row equi-join. No windows.
+    */
+  private val qTextHeaps = Q(
+    "q_text_heaps",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      val rng = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      val tk = "mn + ((mx - mn + 1L) * k) DIV 8L"
+      val dstats = docs.crossJoin(broadcast(rng))
+        .select(col("doc_id"), col("ntok"),
+          explode(expr("sequence(1L, 8L)")).as("k"), col("mn"), col("mx"))
+        .filter(expr(s"doc_id < $tk"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tok"))
+      val firstOcc = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(min("doc_id").as("fd"))
+      val vstats = firstOcc.crossJoin(broadcast(rng))
+        .select(col("fd"), explode(expr("sequence(1L, 8L)")).as("k"),
+          col("mn"), col("mx"))
+        .filter(expr(s"fd < $tk"))
+        .groupBy("k").agg(count(lit(1)).as("vocab"))
+      dstats.join(vstats, "k")
+        .select("k", "n_docs", "n_tok", "vocab")
+        .orderBy("k")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                 FROM documents),
+            rng AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM d),
+            ds AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(ntok) AS BIGINT) AS n_tok
+                   FROM d CROSS JOIN rng, unnest(range(1, 9)) AS u(k)
+                   WHERE doc_id < mn + ((mx - mn + 1) * k) // 8
+                   GROUP BY k),
+            fo AS (SELECT t, MIN(doc_id) AS fd
+                   FROM documents, unnest(string_split(text, ' ')) AS s(t)
+                   GROUP BY t),
+            vs AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab
+                   FROM fo CROSS JOIN rng, unnest(range(1, 9)) AS u(k)
+                   WHERE fd < mn + ((mx - mn + 1) * k) // 8
+                   GROUP BY k)
+            SELECT CAST(ds.k AS BIGINT) AS k, n_docs, n_tok, vocab
+            FROM ds JOIN vs ON ds.k = vs.k ORDER BY k"""))
+
   private val qTextZipf = Q(
     "q_text_zipf",
     (s, dir) => {
@@ -5988,7 +6055,7 @@ object Llm {
     qPipelineYield,
     qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimMmr, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity, qVecSilhouette,
-    qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextZipf, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
+    qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextZipf, qTextHeaps, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextBoilerplate, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
     qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qMixAnneal, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)

@@ -2096,6 +2096,31 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("heaps: vocabulary growth replays, is monotone, and the final checkpoint covers the corpus") {
+    val rows = SparkEntry.queries("q_text_heaps")(spark, floorDir).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 8 && rows.map(_.getAs[Long]("k")).sameElements(1L to 8L))
+    // all three series strictly positive and monotone non-decreasing
+    Seq("n_docs", "n_tok", "vocab").foreach { c =>
+      val xs = rows.map(_.getAs[Long](c))
+      assert(xs.head > 0 && xs.zip(xs.tail).forall { case (a, b) => a <= b }, s"$c must grow")
+    }
+    // checkpoint 8 covers the whole corpus exactly
+    val docs = Tables(spark, floorDir, "documents")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS ntok").collect()
+    assert(rows.last.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(rows.last.getAs[Long]("n_tok") == docs.map(_.getAs[Long]("ntok")).sum)
+    val totalVocab = Tables(spark, floorDir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS t").distinct().count()
+    assert(rows.last.getAs[Long]("vocab") == totalVocab, "checkpoint 8 vocab = corpus vocab")
+    // Heaps structure: vocabulary grows SUBLINEARLY in token mass —
+    // the first prefix already holds a disproportionate vocab share
+    val (v1, v8) = (rows.head.getAs[Long]("vocab"), rows.last.getAs[Long]("vocab"))
+    val (t1, t8) = (rows.head.getAs[Long]("n_tok"), rows.last.getAs[Long]("n_tok"))
+    assert(v1 * t8 > v8 * t1, "vocab/token ratio must decay (beta < 1)")
+    info(s"heaps: vocab ${rows.map(_.getAs[Long]("vocab")).mkString(",")} over tok ${t1}..$t8")
+  }
+
   test("winsorize: robust means replay from raw cents and influence-bound the plain mean") {
     val rows = SparkEntry.queries("q_agg_winsorize")(spark, floorDir).collect()
     assert(rows.nonEmpty)

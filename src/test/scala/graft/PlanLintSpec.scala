@@ -155,7 +155,10 @@ class PlanLintSpec extends SparkSpec {
       "q_graph_modularity",
       // the q_vec_cluster_purity class: 1-row broadcast centroid array
       // fanned onto the scan for the map-only top-2 cell election
-      "q_vec_silhouette")
+      "q_vec_silhouette",
+      // 1-row broadcast doc-id range fanned onto the per-doc and
+      // first-occurrence censuses for the 8 value-sliced checkpoints
+      "q_text_heaps")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
