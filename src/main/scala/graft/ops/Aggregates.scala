@@ -1457,6 +1457,85 @@ object Aggregates {
                      JOIN nd nb ON nb.event_type = un.tb
              ORDER BY pair"""))
 
+  /** MANN–WHITNEY U rank-sum readout — the NONPARAMETRIC twin of
+    * [[qAggAbTest]] (Mann & Whitney 1947; the test every experiment
+    * platform falls back to when the metric is heavy-tailed enough that
+    * the z-test's mean is the wrong summary — revenue being the
+    * canonical case): arms by the same user-keyed hash randomization
+    * (salt "mw_"), statistic U = how often an A-order outranks a
+    * B-order, reported as the probability-of-superiority AUC in bp
+    * (U/nA·nB — the effect size Wilcoxon tables don't give you).
+    * D1: midranks with ties are half-integers, so everything runs
+    * DOUBLED — R2_A = Σ_v nA(v)·(2·cumBefore + t_v + 1) is an exact
+    * BIGINT off the value histogram, 2U_A = R2_A − nA(nA+1); the
+    * |z| ≥ 2 verdict is the sqrt-free cross-comparison
+    * 3·D2²·N(N−1) ≥ 4·nA·nB·[(N+1)N(N−1) − ΣT] (D2 = 2U−nA·nB,
+    * ΣT = Σ(t³−t) the tie correction) evaluated in DECIMAL(38)/HUGEINT
+    * — exact at any N, no division, no float.
+    *
+    * Scale shape: map-only hash-assign + ONE map-combinable value
+    * histogram (the `q_agg_winsorize` discipline); the cumulative
+    * window runs on the ≤ |value grid| histogram (declared bounded
+    * partition-less window, the ppl_buckets class) and the final frame
+    * is ONE row.
+    */
+  private val qAggMannwhitney = Q(
+    "q_agg_mannwhitney",
+    (s, dir) => {
+      val h = Llm.md5Hex32Spark("concat('mw_', CAST(o_custkey AS STRING))")
+      val hist = Tables(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr(s"pmod($h, 2)").as("arm"))
+        .groupBy("cents")
+        .agg(sum(expr("CAST(arm = 0 AS BIGINT)")).as("na"),
+          sum(expr("CAST(arm = 1 AS BIGINT)")).as("nb"))
+        .withColumn("t", col("na") + col("nb"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cumb", sum("t").over(w) - col("t"))
+        .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+          sum(expr("na * (2L * cumb + t + 1L)")).as("r2_a"),
+          sum(expr("t * t * t - t")).as("sum_t3"))
+        .withColumn("u2_a", expr("r2_a - n_a * (n_a + 1L)"))
+        .withColumn("auc_bp", expr("u2_a * 10000L div (2L * n_a * n_b)"))
+        .withColumn("significant", expr(
+          """CAST(3BD * CAST(u2_a - n_a * n_b AS DECIMAL(38, 0))
+                 * CAST(u2_a - n_a * n_b AS DECIMAL(38, 0))
+                 * (n_a + n_b) * (n_a + n_b - 1L)
+               >= 4BD * n_a * n_b
+                 * (CAST(n_a + n_b + 1L AS DECIMAL(38, 0)) * (n_a + n_b)
+                    * (n_a + n_b - 1L) - sum_t3) AS BIGINT)"""))
+        .select("n_a", "n_b", "r2_a", "u2_a", "sum_t3", "auc_bp", "significant")
+    },
+    Some(s"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    CAST((${Llm.md5Hex32Sql("'mw_' || CAST(o_custkey AS VARCHAR)")}) % 2 AS BIGINT) AS arm
+                   FROM orders),
+             h AS (SELECT cents,
+                    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                    CAST(COUNT(*) AS BIGINT) AS t
+                   FROM o GROUP BY cents),
+             c AS (SELECT *, CAST(SUM(t) OVER (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t AS cumb
+                   FROM h),
+             agg AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+                      CAST(SUM(nb) AS BIGINT) AS n_b,
+                      CAST(SUM(na * (2 * cumb + t + 1)) AS BIGINT) AS r2_a,
+                      CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t3
+                     FROM c),
+             u AS (SELECT *, r2_a - n_a * (n_a + 1) AS u2_a FROM agg)
+             SELECT n_a, n_b, r2_a, u2_a, sum_t3,
+              CAST(u2_a * 10000 // (2 * n_a * n_b) AS BIGINT) AS auc_bp,
+              CAST(CASE WHEN 3 * CAST(u2_a - n_a * n_b AS HUGEINT)
+                              * CAST(u2_a - n_a * n_b AS HUGEINT)
+                              * (n_a + n_b) * (n_a + n_b - 1)
+                         >= 4 * CAST(n_a AS HUGEINT) * n_b
+                              * (CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b)
+                                 * (n_a + n_b - 1) - sum_t3)
+                        THEN 1 ELSE 0 END AS BIGINT) AS significant
+             FROM u"""))
+
   /** Two-sample A/B EXPERIMENT readout — the analytics table every
     * product experiment ends at: per metric (event type), each arm's
     * size, mean, and variance, the lift, and a z-test verdict. The
@@ -1531,7 +1610,7 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggBenford, qAggSurvival, qAggBootstrap,
+    qAggAbTest, qAggMannwhitney, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,

@@ -2096,6 +2096,40 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("mannwhitney: doubled rank sums replay from raw values and the verdict matches the exact z-square") {
+    val r = SparkEntry.queries("q_agg_mannwhitney")(spark, floorDir).collect().head
+    // driver-side exact replay from raw (cents, arm)
+    val raw = Tables(spark, floorDir, "orders")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "pmod(graft_md5h32(concat('mw_', CAST(o_custkey AS STRING))), 2) AS arm")
+      .collect().map(x => (x.getAs[Long]("cents"), x.getAs[Long]("arm")))
+    val (na, nb) = (raw.count(_._2 == 0L).toLong, raw.count(_._2 == 1L).toLong)
+    val byV = raw.groupBy(_._1).toSeq.sortBy(_._1)
+    var cumb = 0L; var r2a = 0L; var sumT3 = 0L
+    byV.foreach { case (_, xs) =>
+      val t = xs.length.toLong
+      val nav = xs.count(_._2 == 0L).toLong
+      r2a += nav * (2L * cumb + t + 1L); sumT3 += t * t * t - t; cumb += t
+    }
+    val u2a = r2a - na * (na + 1L)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("r2_a") == r2a, s"declared ${r.getAs[Long]("r2_a")} vs replay $r2a")
+    assert(r.getAs[Long]("u2_a") == u2a)
+    assert(r.getAs[Long]("sum_t3") == sumT3)
+    assert(r.getAs[Long]("auc_bp") == u2a * 10000L / (2L * na * nb))
+    // U symmetry: U_A + U_B = nA*nB (doubled: u2_a + u2_b = 2*nA*nB)
+    assert(u2a >= 0 && u2a <= 2L * na * nb, "U must lie in [0, nA*nB]")
+    // verdict replay in BigInt (the exact cross-comparison)
+    val n = na + nb
+    val d2 = BigInt(u2a - na * nb)
+    val lhs = 3 * d2 * d2 * n * (n - 1)
+    val rhs = 4 * BigInt(na) * nb * (BigInt(n + 1) * n * (n - 1) - sumT3)
+    assert(r.getAs[Long]("significant") == (if (lhs >= rhs) 1L else 0L), "verdict must replay")
+    // hash-randomized arms on value-independent parity: AUC near 5000 bp
+    assert(math.abs(r.getAs[Long]("auc_bp") - 5000L) < 1000L, "null-effect fixture AUC near parity")
+    info(s"mannwhitney: nA=$na nB=$nb auc=${r.getAs[Long]("auc_bp")}bp sig=${r.getAs[Long]("significant")}")
+  }
+
   test("heaps: vocabulary growth replays, is monotone, and the final checkpoint covers the corpus") {
     val rows = SparkEntry.queries("q_text_heaps")(spark, floorDir).collect()
       .sortBy(_.getAs[Long]("k"))

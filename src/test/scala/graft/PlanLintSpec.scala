@@ -197,7 +197,10 @@ class PlanLintSpec extends SparkSpec {
       "q_agg_survival" -> 1,
       // centered 7-day moving-sum window over the <= |days| daily
       // census (the q_agg_anomaly class; sum+count share one frame)
-      "q_agg_seasonality" -> 1)
+      "q_agg_seasonality" -> 1,
+      // cumulative rank window over the <= |value grid| cents histogram
+      // (the ppl_buckets bounded-grid class)
+      "q_agg_mannwhitney" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
