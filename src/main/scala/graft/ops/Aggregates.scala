@@ -1457,6 +1457,78 @@ object Aggregates {
                      JOIN nd nb ON nb.event_type = un.tb
              ORDER BY pair"""))
 
+  /** Two-sample KOLMOGOROV–SMIRNOV drift test between order ERAS —
+    * THE distribution-shift monitor of every feature store (Kolmogorov
+    * 1933/Smirnov 1948; Rabanser et al. NeurIPS'19 "Failing Loudly"
+    * benchmarks exactly this for ML drift): where [[qAggMannwhitney]]
+    * detects a LOCATION shift, KS flags ANY shape change — D = max_v
+    * |F_A(v) − F_B(v)| between the pre-1998 and post-1998 order-value
+    * distributions, with the value where the gap peaks (the diagnostic
+    * a drift report drills into). D1: CDFs never materialize as
+    * floats — the gap runs CROSS-MULTIPLIED, Dnum = max|cumA·nB −
+    * cumB·nA| exact BIGINT off the value histogram; the α = 0.05
+    * verdict D ≥ 1.358·√((nA+nB)/nA·nB) is the sqrt-free comparison
+    * Dnum²·10⁶ ≥ 1844164·(nA+nB)·nA·nB in DECIMAL(38)/HUGEINT; the
+    * peak location is a struct-extremum election (deterministic
+    * tie-break, the `q_agg_mode` rule).
+    *
+    * Scale shape: map-only era flag + ONE map-combinable value
+    * histogram; one cumulative window on the ≤ |value grid| histogram
+    * (declared ppl_buckets class — both running CDFs share the frame);
+    * final frame ONE row.
+    */
+  private val qAggKsTest = Q(
+    "q_agg_ks_test",
+    (s, dir) => {
+      val hist = Tables(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AS BIGINT)").as("early"))
+        .groupBy("cents")
+        .agg(sum("early").as("ca"), sum(expr("1L - early")).as("cb"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      hist
+        .withColumn("cuma", sum("ca").over(w))
+        .withColumn("cumb", sum("cb").over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("dn", abs(col("cuma") * col("tb") - col("cumb") * col("ta")))
+        .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+          max(struct(col("dn"), col("cents")).as("x")).as("pk"))
+        .select(col("n_a"), col("n_b"),
+          col("pk.dn").as("d_num"), col("pk.cents").as("at_cents"))
+        .withColumn("d_bp", expr("d_num * 10000L div (n_a * n_b)"))
+        .withColumn("significant", expr(
+          """CAST(CAST(d_num AS DECIMAL(38, 0)) * d_num * 1000000L
+               >= 1844164BD * (n_a + n_b) * n_a * n_b AS BIGINT)"""))
+        .select("n_a", "n_b", "d_num", "d_bp", "at_cents", "significant")
+    },
+    Some(s"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    CAST(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                         THEN 1 ELSE 0 END AS BIGINT) AS early
+                   FROM orders),
+             h AS (SELECT cents, CAST(SUM(early) AS BIGINT) AS ca,
+                    CAST(SUM(1 - early) AS BIGINT) AS cb
+                   FROM o GROUP BY cents),
+             t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                    CAST(SUM(cb) AS BIGINT) AS n_b FROM h),
+             c AS (SELECT cents,
+                    CAST(SUM(ca) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+                    CAST(SUM(cb) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+                   FROM h),
+             pk AS (SELECT MAX(struct_pack(
+                     dn := abs(cuma * t.n_b - cumb * t.n_a), cents := cents)) AS x
+                    FROM c CROSS JOIN t)
+             SELECT t.n_a, t.n_b, x.dn AS d_num,
+              CAST(x.dn * 10000 // (t.n_a * t.n_b) AS BIGINT) AS d_bp,
+              x.cents AS at_cents,
+              CAST(CASE WHEN CAST(x.dn AS HUGEINT) * x.dn * 1000000
+                        >= 1844164 * CAST(t.n_a + t.n_b AS HUGEINT) * t.n_a * t.n_b
+                        THEN 1 ELSE 0 END AS BIGINT) AS significant
+             FROM pk CROSS JOIN t"""))
+
   /** MANN–WHITNEY U rank-sum readout — the NONPARAMETRIC twin of
     * [[qAggAbTest]] (Mann & Whitney 1947; the test every experiment
     * platform falls back to when the metric is heavy-tailed enough that
@@ -1610,7 +1682,7 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggMannwhitney, qAggBenford, qAggSurvival, qAggBootstrap,
+    qAggAbTest, qAggMannwhitney, qAggKsTest, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,

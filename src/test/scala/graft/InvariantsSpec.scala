@@ -2096,6 +2096,34 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ks: the cross-multiplied CDF gap replays from raw values with its peak and verdict") {
+    val r = SparkEntry.queries("q_agg_ks_test")(spark, floorDir).collect().head
+    val raw = Tables(spark, floorDir, "orders")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "CAST(o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AS LONG) AS early")
+      .collect().map(x => (x.getAs[Long]("cents"), x.getAs[Long]("early")))
+    val (na, nb) = (raw.count(_._2 == 1L).toLong, raw.count(_._2 == 0L).toLong)
+    val byV = raw.groupBy(_._1).toSeq.sortBy(_._1)
+    var (cuma, cumb) = (0L, 0L); var best = (0L, Long.MinValue)
+    byV.foreach { case (v, xs) =>
+      cuma += xs.count(_._2 == 1L); cumb += xs.count(_._2 == 0L)
+      val dn = math.abs(cuma * nb - cumb * na)
+      if (dn > best._1 || (dn == best._1 && v > best._2)) best = (dn, v)
+    }
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("d_num") == best._1,
+      s"declared gap ${r.getAs[Long]("d_num")} vs replay ${best._1}")
+    assert(r.getAs[Long]("at_cents") == best._2, "peak location must replay")
+    assert(r.getAs[Long]("d_bp") == best._1 * 10000L / (na * nb))
+    val lhs = BigInt(best._1) * best._1 * 1000000L
+    val rhs = BigInt(1844164L) * (na + nb) * na * nb
+    assert(r.getAs[Long]("significant") == (if (lhs >= rhs) 1L else 0L), "verdict must replay")
+    // the synthetic eras draw from one price process: the gap stays
+    // well under a gross shift (D < 10% of mass)
+    assert(r.getAs[Long]("d_bp") < 1000L, "same-process eras should not show a gross KS gap")
+    info(s"ks: nA=$na nB=$nb D=${r.getAs[Long]("d_bp")}bp at ${r.getAs[Long]("at_cents")} sig=${r.getAs[Long]("significant")}")
+  }
+
   test("mannwhitney: doubled rank sums replay from raw values and the verdict matches the exact z-square") {
     val r = SparkEntry.queries("q_agg_mannwhitney")(spark, floorDir).collect().head
     // driver-side exact replay from raw (cents, arm)

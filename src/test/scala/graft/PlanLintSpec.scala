@@ -158,7 +158,10 @@ class PlanLintSpec extends SparkSpec {
       "q_vec_silhouette",
       // 1-row broadcast doc-id range fanned onto the per-doc and
       // first-occurrence censuses for the 8 value-sliced checkpoints
-      "q_text_heaps")
+      "q_text_heaps",
+      // 1-row broadcast era totals fanned onto the <= |value grid|
+      // histogram for the cross-multiplied CDF gap
+      "q_agg_ks_test")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
@@ -200,7 +203,10 @@ class PlanLintSpec extends SparkSpec {
       "q_agg_seasonality" -> 1,
       // cumulative rank window over the <= |value grid| cents histogram
       // (the ppl_buckets bounded-grid class)
-      "q_agg_mannwhitney" -> 1)
+      "q_agg_mannwhitney" -> 1,
+      // twin running CDFs over the <= |value grid| cents histogram
+      // (one shared frame, the same ppl_buckets class)
+      "q_agg_ks_test" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
