@@ -1457,6 +1457,85 @@ object Aggregates {
                      JOIN nd nb ON nb.event_type = un.tb
              ORDER BY pair"""))
 
+  /** CHI-SQUARE independence audit of the source × language contingency
+    * table — the CATEGORICAL member of the drift/test trio
+    * ([[qAggMannwhitney]] location, [[qAggKsTest]] shape, this one
+    * composition; Pearson 1900, and the categorical-drift detector of
+    * Rabanser et al. NeurIPS'19): does language mix depend on source?
+    * χ² = Σ (o − e)²/e with e = r·c/N. D1: the deviation d = o·N − r·c
+    * is an EXACT BIGINT per cell; the per-cell contribution
+    * ⌊d²·10⁶/(r·c·N)⌋ (the algebraic identity (o−e)²/e = d²/(r·c·N))
+    * is floored over the
+    * BIT-IDENTICAL double quotient of exact integer inputs (the
+    * `q_dedup_jaccard` floor-over-identical-quotient rule: both
+    * engines run the same IEEE ops in the same order, so the floor
+    * cannot straddle). χ²·10⁶ = Σ cells; reported with dof and the
+    * top-contributing cell (struct-extremum election, `q_agg_mode`
+    * rule) — the cell a drift report drills into.
+    *
+    * Scale shape: ONE map-combinable (source, lang) census (the only
+    * corpus-sized work) + two margin censuses + a 1-row N broadcast
+    * fanned onto the ≤ |sources|·|langs| cell frame; final frame ONE
+    * row.
+    */
+  private val qAggChisq = Q(
+    "q_agg_chisq",
+    (s, dir) => {
+      val cont = Tables(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // feeds both margins and the cell frame
+      val rm = cont.groupBy("source").agg(sum("o").as("r"))
+      val cm = cont.groupBy("lang").agg(sum("o").as("c"))
+      val nn = cont.agg(sum("o").as("nn"))
+      cont.join(rm, "source").join(cm, "lang")
+        .crossJoin(broadcast(nn))
+        .withColumn("d", expr("o * nn - r * c"))
+        .withColumn("contrib_micro", expr(
+          "CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * 1000000D " +
+            "/ (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))) AS BIGINT)"))
+        .agg(max("nn").as("n_docs"),
+          count(lit(1)).as("n_cells"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("lang").as("n_langs"),
+          sum("contrib_micro").as("chi2_micro"),
+          max(struct(col("contrib_micro"), col("source"), col("lang")).as("x")).as("pk"))
+        .withColumn("dof", expr("(n_sources - 1L) * (n_langs - 1L)"))
+        .select(col("n_docs"), col("n_cells"), col("dof"),
+          col("chi2_micro"),
+          expr("chi2_micro div dof").as("chi2_per_dof_micro"),
+          col("pk.source").as("top_source"), col("pk.lang").as("top_lang"),
+          col("pk.contrib_micro").as("top_contrib_micro"))
+    },
+    Some("""WITH ct AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+                  FROM documents GROUP BY source, lang),
+            rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM ct GROUP BY source),
+            cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM ct GROUP BY lang),
+            nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM ct),
+            cell AS (SELECT ct.source, ct.lang,
+                      o * nn.nn - r * c AS d, r, c, nn.nn AS nn
+                     FROM ct JOIN rm USING (source) JOIN cm USING (lang)
+                     CROSS JOIN nn),
+            sc AS (SELECT source, lang, nn,
+                    CAST(FLOOR(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * 1000000
+                      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                         * CAST(nn AS DOUBLE))) AS BIGINT) AS contrib_micro
+                   FROM cell)
+            SELECT MAX(nn) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             (CAST(COUNT(DISTINCT source) AS BIGINT) - 1)
+               * (CAST(COUNT(DISTINCT lang) AS BIGINT) - 1) AS dof,
+             CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro,
+             CAST(CAST(SUM(contrib_micro) AS BIGINT)
+                  // ((CAST(COUNT(DISTINCT source) AS BIGINT) - 1)
+                     * (CAST(COUNT(DISTINCT lang) AS BIGINT) - 1)) AS BIGINT) AS chi2_per_dof_micro,
+             MAX(struct_pack(contrib_micro := contrib_micro,
+                             source := source, lang := lang)).source AS top_source,
+             MAX(struct_pack(contrib_micro := contrib_micro,
+                             source := source, lang := lang)).lang AS top_lang,
+             MAX(struct_pack(contrib_micro := contrib_micro,
+                             source := source, lang := lang)).contrib_micro AS top_contrib_micro
+            FROM sc"""))
+
   /** Two-sample KOLMOGOROV–SMIRNOV drift test between order ERAS —
     * THE distribution-shift monitor of every feature store (Kolmogorov
     * 1933/Smirnov 1948; Rabanser et al. NeurIPS'19 "Failing Loudly"
@@ -1682,7 +1761,7 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggMannwhitney, qAggKsTest, qAggBenford, qAggSurvival, qAggBootstrap,
+    qAggAbTest, qAggMannwhitney, qAggKsTest, qAggChisq, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,

@@ -2096,6 +2096,32 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("chisq: contingency contributions replay cell-by-cell from raw counts") {
+    val r = SparkEntry.queries("q_agg_chisq")(spark, floorDir).collect().head
+    val raw = Tables(spark, floorDir, "documents")
+      .selectExpr("source", "lang").collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("lang")))
+    val n = raw.length.toLong
+    val cells = raw.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rm = raw.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val cm = raw.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val contribs = cells.map { case ((src, lg), o) =>
+      val d = o * n - rm(src) * cm(lg)
+      ((src, lg), math.floor(d.toDouble * d.toDouble * 1000000.0 /
+        (rm(src).toDouble * cm(lg).toDouble * n.toDouble)).toLong)
+    }
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_cells") == cells.size.toLong)
+    assert(r.getAs[Long]("dof") == (rm.size - 1).toLong * (cm.size - 1).toLong)
+    assert(r.getAs[Long]("chi2_micro") == contribs.values.sum,
+      s"declared ${r.getAs[Long]("chi2_micro")} vs replay ${contribs.values.sum}")
+    val top = contribs.maxBy { case ((src, lg), c) => (c, src, lg) }
+    assert(r.getAs[String]("top_source") == top._1._1 && r.getAs[String]("top_lang") == top._1._2
+      && r.getAs[Long]("top_contrib_micro") == top._2, "top cell must replay")
+    assert(r.getAs[Long]("chi2_per_dof_micro") == contribs.values.sum / r.getAs[Long]("dof"))
+    info(s"chisq: chi2=${r.getAs[Long]("chi2_micro")}micro dof=${r.getAs[Long]("dof")} top=${top._1}")
+  }
+
   test("ks: the cross-multiplied CDF gap replays from raw values with its peak and verdict") {
     val r = SparkEntry.queries("q_agg_ks_test")(spark, floorDir).collect().head
     val raw = Tables(spark, floorDir, "orders")

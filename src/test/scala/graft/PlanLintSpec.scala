@@ -161,7 +161,10 @@ class PlanLintSpec extends SparkSpec {
       "q_text_heaps",
       // 1-row broadcast era totals fanned onto the <= |value grid|
       // histogram for the cross-multiplied CDF gap
-      "q_agg_ks_test")
+      "q_agg_ks_test",
+      // 1-row broadcast N fanned onto the <= |sources|x|langs| cell
+      // frame for the exact deviation arithmetic
+      "q_agg_chisq")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
