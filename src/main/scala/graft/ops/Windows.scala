@@ -633,6 +633,72 @@ object Windows {
     * corpus-sized work; both median ranks are type-PARTITIONED windows
     * over the ≤ |types|·|days| daily frame, then a ≤ |types|-row census.
     */
+  /** Autocorrelation lags probed: adjacent-day persistence, the weekly
+    * cycle, and its first harmonic. */
+  private val AcfLags = Seq(1, 7, 14)
+
+  /** LAG-k AUTOCORRELATION of daily ingest volume — the detector that
+    * says WHICH cycle [[graft.ops.Aggregates]]' seasonality index
+    * should decompose (Box & Jenkins, "Time Series Analysis" §2.1: a
+    * spike at lag 7 is the signature of weekly seasonality; lag-1 mass
+    * is day-to-day persistence — the first plot every forecasting
+    * workflow draws before fitting `q_win_holt`). D1: no float means —
+    * deviations are exact integers around the FLOOR mean, d_t = y_t −
+    * ⌊S/n⌋ (the n-scaled exact form d·n − S overflows BIGINT once
+    * Σd·d_prev·10⁴ crosses 2⁶³ at large day counts; the floor-mean is
+    * identical in both engines and keeps every sum small), so
+    * acf_bp = ⌊Σ d_t·d_{t−k}·10⁴ / Σ d_t²⌋ is a ratio of exact BIGINT
+    * sums; numerator AND denominator run over the paired t-range (the
+    * Box–Jenkins sample ACF with a paired-range denominator — both
+    * conventions deterministic, this one pinned).
+    *
+    * Scale shape: one map-combinable daily census; the lag alignment is
+    * a calendar-keyed self-EQUI-join (day = day − k — no window at
+    * all), the 1-row (n, S) broadcast the `q_agg_activity_dist` class;
+    * everything after the census lives on ≤ |days|·|lags| rows.
+    */
+  private val qWinAutocorr = Q(
+    "q_win_autocorr",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds totals + both join sides
+      val tot = daily.agg(count(lit(1)).as("n"), sum("cnt").as("ss"))
+      val dev = daily.crossJoin(broadcast(tot))
+        .select(col("day"), expr("cnt - ss DIV n").as("d"))
+        .localCheckpoint(true)
+      val lags = dev.sparkSession.range(0, AcfLags.length)
+        .select(expr(s"element_at(array(${AcfLags.mkString(",")}), CAST(id AS INT) + 1)")
+          .cast("long").as("lag"))
+      dev.crossJoin(broadcast(lags))
+        .join(dev.select(col("day").as("d2"), col("d").as("dprev")),
+          expr("d2 = day - lag"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(d * dprev) * 10000L").as("num_e4"),
+          expr("sum(d * d)").as("den"))
+        .select(col("lag"), col("n_pairs"),
+          expr("CASE WHEN den = 0 THEN 0L ELSE num_e4 div den END").as("acf_bp"))
+        .orderBy("lag")
+    },
+    Some(s"""WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cnt) AS BIGINT) AS ss FROM dd),
+            dv AS (SELECT day, cnt - ss // n AS d FROM dd CROSS JOIN t),
+            lg AS (SELECT CAST(u.lag AS BIGINT) AS lag
+                   FROM unnest([${AcfLags.mkString(",")}]) u(lag)),
+            pr AS (SELECT lg.lag, a.d AS d, b.d AS dprev
+                   FROM dv a CROSS JOIN lg
+                   JOIN dv b ON b.day = a.day - lg.lag)
+            SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(CASE WHEN SUM(d * d) = 0 THEN 0
+                  ELSE CAST(SUM(d * dprev) AS BIGINT) * 10000
+                       // CAST(SUM(d * d) AS BIGINT) END AS BIGINT) AS acf_bp
+            FROM pr GROUP BY lag ORDER BY lag"""))
+
   private val qWinMad = Q(
     "q_win_mad",
     (s, dir) => {
@@ -695,5 +761,5 @@ object Windows {
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
     qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions, qWinCusum,
-    qWinHolt, qWinMad)
+    qWinHolt, qWinMad, qWinAutocorr)
 }

@@ -2096,6 +2096,29 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("autocorr: lag correlations replay from the daily series and stay in the correlation band") {
+    val rows = SparkEntry.queries("q_win_autocorr")(spark, floorDir).collect()
+      .sortBy(_.getAs[Long]("lag"))
+    assert(rows.map(_.getAs[Long]("lag")).sameElements(Seq(1L, 7L, 14L)))
+    val daily = Tables.events(spark, floorDir)
+      .groupBy(expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("cnt")))
+    val n = daily.length.toLong
+    val mu = daily.map(_._2).sum / n
+    val dv = daily.map { case (d, c) => d -> (c - mu) }.toMap
+    rows.foreach { r =>
+      val k = r.getAs[Long]("lag")
+      val pairs = dv.toSeq.flatMap { case (d, x) => dv.get(d - k).map(p => (x, p)) }
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong, s"lag $k: pair count")
+      val den = pairs.map(p => p._1 * p._1).sum
+      val expect = if (den == 0) 0L else pairs.map(p => p._1 * p._2).sum * 10000L / den
+      assert(r.getAs[Long]("acf_bp") == expect, s"lag $k: declared ${r.getAs[Long]("acf_bp")} vs $expect")
+      assert(math.abs(r.getAs[Long]("acf_bp")) <= 15000L, s"lag $k: outside the plausible band")
+    }
+    info(s"autocorr: ${rows.map(r => s"lag${r.getAs[Long]("lag")}=${r.getAs[Long]("acf_bp")}bp").mkString(" ")}")
+  }
+
   test("chisq: contingency contributions replay cell-by-cell from raw counts") {
     val r = SparkEntry.queries("q_agg_chisq")(spark, floorDir).collect().head
     val raw = Tables(spark, floorDir, "documents")

@@ -164,7 +164,11 @@ class PlanLintSpec extends SparkSpec {
       "q_agg_ks_test",
       // 1-row broadcast N fanned onto the <= |sources|x|langs| cell
       // frame for the exact deviation arithmetic
-      "q_agg_chisq")
+      "q_agg_chisq",
+      // 1-row broadcasts ((n, S) totals; the 3-row lag list) fanned
+      // onto the <= |days| daily deviation frame; the lag alignment
+      // itself is a calendar-keyed EQUI-join
+      "q_win_autocorr")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
