@@ -633,6 +633,80 @@ object Windows {
     * corpus-sized work; both median ranks are type-PARTITIONED windows
     * over the ≤ |types|·|days| daily frame, then a ≤ |types|-row census.
     */
+  /** OFFLINE CHANGEPOINT detection (at-most-one-change) over the daily
+    * ingest series — the batch companion of [[qWinCusum]]'s online
+    * alarm (Hinkley 1970; the binary-segmentation first split of Scott
+    * & Knott 1974, and the unit step of PELT, Killick et al. 2012):
+    * the best split k maximizes the two-segment SSE reduction
+    * gain(k) = S_k²/k + (S−S_k)²/(n−k) − S²/n — CUSUM says "something
+    * shifted", this says WHERE, on the full history. D1: prefix sums
+    * S_k are exact BIGINT off one calendar-bounded cumulative window;
+    * gain_micro is floored over the bit-identical double expression of
+    * those exact integers (the jaccard floor rule — same IEEE ops,
+    * same order, both engines), the split elected by struct-extremum
+    * (gain desc, later day on ties — deterministic). Output: one row
+    * with the split day, segment sizes, both floor-milli segment
+    * means, and the gain.
+    *
+    * Scale shape: map-combinable daily census → ONE cumulative window
+    * + row index on the ≤ |days| frame (the `q_agg_anomaly` declared
+    * class, one Window node) → 1-row totals broadcast → struct-max
+    * election. Nothing after the census scales with the corpus.
+    */
+  private val qWinChangepoint = Q(
+    "q_win_changepoint",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day")
+      val tot = daily.agg(count(lit(1)).as("n"), sum("cnt").as("ss"))
+      daily
+        .withColumn("sk", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(tot))
+        .filter(col("k") < col("n"))
+        .withColumn("gain_micro", expr(
+          """CAST(floor((CAST(sk AS DOUBLE) * sk / k
+             + CAST(ss - sk AS DOUBLE) * (ss - sk) / (n - k)
+             - CAST(ss AS DOUBLE) * ss / n) * 1000000D) AS BIGINT)"""))
+        .agg(max("n").as("n_days"), max("ss").as("total"),
+          max(struct(col("gain_micro"), col("day"), col("k"), col("sk"))).as("pk"))
+        .select(col("n_days"),
+          col("pk.day").as("split_day"),
+          col("pk.k").as("n_left"),
+          (col("n_days") - col("pk.k")).as("n_right"),
+          expr("pk.sk * 1000L div pk.k").as("mean_left_milli"),
+          expr("(total - pk.sk) * 1000L div (n_days - pk.k)").as("mean_right_milli"),
+          col("pk.gain_micro").as("gain_micro"))
+    },
+    Some("""WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cnt) AS BIGINT) AS ss FROM dd),
+            c AS (SELECT day,
+                   CAST(SUM(cnt) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+                   CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+                  FROM dd),
+            g AS (SELECT day, k, sk, n, ss,
+                   CAST(FLOOR((CAST(sk AS DOUBLE) * sk / k
+                     + CAST(ss - sk AS DOUBLE) * (ss - sk) / (n - k)
+                     - CAST(ss AS DOUBLE) * ss / n) * 1000000) AS BIGINT) AS gain_micro
+                  FROM c CROSS JOIN t WHERE k < n),
+            pk AS (SELECT MAX(n) AS n_days, MAX(ss) AS total,
+                    MAX(struct_pack(gain_micro := gain_micro, day := day,
+                                    k := k, sk := sk)) AS pk
+                   FROM g)
+            SELECT n_days, pk.day AS split_day, pk.k AS n_left,
+             n_days - pk.k AS n_right,
+             CAST(pk.sk * 1000 // pk.k AS BIGINT) AS mean_left_milli,
+             CAST((total - pk.sk) * 1000 // (n_days - pk.k) AS BIGINT) AS mean_right_milli,
+             pk.gain_micro AS gain_micro
+            FROM pk"""))
+
   /** Autocorrelation lags probed: adjacent-day persistence, the weekly
     * cycle, and its first harmonic. */
   private val AcfLags = Seq(1, 7, 14)
@@ -761,5 +835,5 @@ object Windows {
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
     qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions, qWinCusum,
-    qWinHolt, qWinMad, qWinAutocorr)
+    qWinHolt, qWinMad, qWinAutocorr, qWinChangepoint)
 }

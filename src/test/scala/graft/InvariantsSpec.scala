@@ -2096,6 +2096,36 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("changepoint: the elected split replays the exhaustive gain scan") {
+    val r = SparkEntry.queries("q_win_changepoint")(spark, floorDir).collect().head
+    val daily = Tables.events(spark, floorDir)
+      .groupBy(expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(x => (x.getAs[Long]("day"), x.getAs[Long]("cnt"))).sortBy(_._1)
+    val n = daily.length.toLong
+    val ss = daily.map(_._2).sum
+    var sk = 0L
+    var best = (Long.MinValue, Long.MinValue, 0L, 0L) // (gain, day, k, sk)
+    daily.zipWithIndex.dropRight(1).foreach { case ((day, c), i) =>
+      sk += c
+      val k = i + 1L
+      val g = math.floor((sk.toDouble * sk / k
+        + (ss - sk).toDouble * (ss - sk) / (n - k)
+        - ss.toDouble * ss / n) * 1000000.0).toLong
+      if (g > best._1 || (g == best._1 && day > best._2)) best = (g, day, k, sk)
+    }
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("split_day") == best._2 && r.getAs[Long]("n_left") == best._3
+      && r.getAs[Long]("gain_micro") == best._1,
+      s"declared (${r.getAs[Long]("split_day")}, ${r.getAs[Long]("n_left")}, ${r.getAs[Long]("gain_micro")}) " +
+        s"vs replay (${best._2}, ${best._3}, ${best._1})")
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == n)
+    assert(r.getAs[Long]("mean_left_milli") == best._4 * 1000L / best._3)
+    assert(r.getAs[Long]("mean_right_milli") == (ss - best._4) * 1000L / (n - best._3))
+    assert(r.getAs[Long]("gain_micro") >= 0L, "SSE reduction is non-negative by convexity")
+    info(s"changepoint: split at day ${best._2} (k=${best._3}/${n}), gain ${best._1} micro")
+  }
+
   test("autocorr: lag correlations replay from the daily series and stay in the correlation band") {
     val rows = SparkEntry.queries("q_win_autocorr")(spark, floorDir).collect()
       .sortBy(_.getAs[Long]("lag"))
