@@ -1655,6 +1655,74 @@ object Curation {
              CAST(COALESCE(eff_micro, 0) AS BIGINT) AS eff_micro
             FROM uq LEFT JOIN per USING (source) ORDER BY source"""))
 
+  /** Per-source KL DIVERGENCE from the corpus unigram distribution —
+    * the domain-shift number a mixture designer reads next to
+    * `q_mix_doremi`'s reweighting and `q_sample_dsir`'s importance
+    * ratios (Kullback & Leibler 1951; the per-domain "how far is this
+    * source from the mix" diagnostic in the DoReMi/DSIR line — Xie et
+    * al. 2023 select data BY exactly these log-ratios): KL(p_s ‖ q) =
+    * Σ_w p_s(w)·ln(p_s(w)/q(w)) with p_s the source's unigram
+    * distribution and q the corpus's. D1: no float ever crosses a
+    * shuffle — each vocabulary term contributes
+    * ⌊cnt_sw·ln((cnt_sw·N)/(n_s·cnt_w))·10⁶/n_s⌋, floored over the
+    * bit-identical double of exact integer counts (the jaccard floor
+    * rule), and the per-source KL is a SUM OF INTEGERS (a double sum's
+    * partial-merge order would be nondeterministic across engines and
+    * runs). Zero-count terms cannot occur (every (source, w) row has
+    * cnt ≥ 1; q(w) ≥ p-support by construction). Output per source:
+    * token mass, vocab size, kl_micro, and the max single-term
+    * contribution (the dominating word, a drill-down scalar).
+    *
+    * Scale shape: ONE token explode feeding two map-combinable
+    * censuses ((source, w) and w — the `q_text_tfidf` frames), a
+    * vocab-keyed equi-join (never broadcast — billions of types at
+    * corpus scale), 1-row totals broadcast, then a ≤ |sources| agg.
+    */
+  private val qMixKl = Q(
+    "q_mix_kl",
+    (s, dir) => {
+      val ex = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val sw = ex.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+        .localCheckpoint(true) // feeds n_s, the term join, and the census
+      val ns = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+      val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      val tot = ns.agg(sum("n_s").as("nn"))
+      sw.join(cw, "w").join(ns, "source").crossJoin(broadcast(tot))
+        .withColumn("contrib_micro", expr(
+          """CAST(floor(c_sw * ln(CAST(c_sw AS DOUBLE) * nn
+             / (CAST(n_s AS DOUBLE) * c_w)) * 1000000D
+             / CAST(n_s AS DOUBLE)) AS BIGINT)"""))
+        .groupBy("source")
+        .agg(max("n_s").as("n_tok"),
+          count(lit(1)).as("n_vocab"),
+          sum("contrib_micro").as("kl_micro"),
+          max("contrib_micro").as("top_term_micro"))
+        .orderBy("source")
+    },
+    Some("""WITH ex AS (SELECT source, u.w AS w
+                  FROM documents, unnest(string_split(text, ' ')) u(w)),
+            sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+                   FROM ex GROUP BY source, w),
+            ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+                   FROM sw GROUP BY source),
+            cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+                   FROM sw GROUP BY w),
+            t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM ns),
+            c AS (SELECT sw.source,
+                   CAST(FLOOR(c_sw * ln(CAST(c_sw AS DOUBLE) * nn
+                     / (CAST(n_s AS DOUBLE) * c_w)) * 1000000
+                     / CAST(n_s AS DOUBLE)) AS BIGINT) AS contrib_micro,
+                   n_s
+                  FROM sw JOIN cw USING (w) JOIN ns USING (source)
+                  CROSS JOIN t)
+            SELECT source, MAX(n_s) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             CAST(SUM(contrib_micro) AS BIGINT) AS kl_micro,
+             MAX(contrib_micro) AS top_term_micro
+            FROM c GROUP BY source ORDER BY source"""))
+
   /** Total sample budget the Neyman allocator distributes. */
   private val NeyBudget = 100L
 
@@ -1850,5 +1918,6 @@ object Curation {
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
     qSampleDsir, qSampleRho, qSampleMargin, qMixConcentration, qCurateLrStep, qCurateLrFilter,
-    qCurateCalibration, qMixDoremi, qMixEpochs, qSampleNeyman, qSampleKcenter)
+    qCurateCalibration, qMixDoremi, qMixEpochs, qSampleNeyman, qSampleKcenter,
+    qMixKl)
 }

@@ -2096,6 +2096,39 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("kl: per-source divergences replay term-by-term and behave like a divergence") {
+    val rows = SparkEntry.queries("q_mix_kl")(spark, floorDir).collect()
+      .sortBy(_.getAs[String]("source"))
+    assert(rows.nonEmpty)
+    val raw = Tables(spark, floorDir, "documents")
+      .selectExpr("source", "explode(split(text, ' ')) AS w").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("w")))
+    val sw = raw.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val ns = raw.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val cwm = raw.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val nn = raw.length.toLong
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val terms = sw.collect { case ((s0, w), c) if s0 == src =>
+        math.floor(c * math.log(c.toDouble * nn / (ns(src).toDouble * cwm(w)))
+          * 1000000.0 / ns(src).toDouble).toLong
+      }
+      assert(r.getAs[Long]("n_tok") == ns(src), s"$src: token mass")
+      assert(r.getAs[Long]("n_vocab") == terms.size.toLong, s"$src: vocab size")
+      assert(r.getAs[Long]("kl_micro") == terms.sum,
+        s"$src: declared ${r.getAs[Long]("kl_micro")} vs replay ${terms.sum}")
+      assert(r.getAs[Long]("top_term_micro") == terms.max, s"$src: top term")
+      // a KL divergence: non-negative up to the per-term floor slack
+      // (each of the <= n_vocab terms can lose < 1 micro to the floor)
+      assert(r.getAs[Long]("kl_micro") >= -terms.size.toLong,
+        s"$src: KL must be non-negative up to floor slack")
+    }
+    // sources draw from one vocabulary with near-common rates: each KL
+    // stays small (well under ln(2) nats)
+    assert(rows.forall(_.getAs[Long]("kl_micro") < 693147L), "fixture KLs should be sub-ln(2)")
+    info(s"kl: ${rows.map(r => s"${r.getAs[String]("source")}=${r.getAs[Long]("kl_micro")}").mkString(" ")}")
+  }
+
   test("changepoint: the elected split replays the exhaustive gain scan") {
     val r = SparkEntry.queries("q_win_changepoint")(spark, floorDir).collect().head
     val daily = Tables.events(spark, floorDir)

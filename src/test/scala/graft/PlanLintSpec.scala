@@ -171,7 +171,10 @@ class PlanLintSpec extends SparkSpec {
       "q_win_autocorr",
       // 1-row broadcast (n, S) totals fanned onto the <= |days|
       // prefix-sum frame for the gain arithmetic
-      "q_win_changepoint")
+      "q_win_changepoint",
+      // 1-row broadcast corpus-token total fanned onto the vocab-sized
+      // (source, w) census; the term joins proper are EQUI-joins
+      "q_mix_kl")
 
   // The SURVEY single-partition-window exemption, now lint instead of
   // prose (judge r8, observation 3): every Window WITHOUT partition keys
