@@ -1074,6 +1074,85 @@ object Aggregates {
     * partitioning, floor-truncated at 6dp (engine ROUND rules differ at
     * .5; floor does not).
     */
+  /** SPEARMAN rank correlation between quantity and price — the robust
+    * twin of [[qAggCorr]] (Spearman 1904: Pearson on RANKS is immune
+    * to the monotone-transform and outlier sensitivity that makes a
+    * raw-value r misleading on heavy-tailed amounts — the robust
+    * family's correlation member next to [[qAggWinsorize]] and
+    * `q_win_mad`). D1: tie midranks are half-integers, so ranks run
+    * DOUBLED off the two VALUE HISTOGRAMS (u(v) = 2·cumBefore + t + 1,
+    * exact BIGINT — the `q_agg_mannwhitney` discipline); the moment
+    * sums Σu, Σv, Σuv, Σu², Σv² accumulate in DECIMAL(38)/HUGEINT
+    * (they cross 2⁶³ at warehouse row counts), and the textbook
+    * formula runs ONCE on the merged scalars via identical IEEE
+    * doubles (exact big integers convert round-to-nearest identically
+    * in both engines — the [[qAggCorr]] conversion rule), floor-bp.
+    *
+    * Scale shape: two map-combinable value histograms + two bounded
+    * cumulative windows (≤ |value grid| each, the declared
+    * ppl_buckets class) + two value-keyed EQUI-joins back onto the
+    * skinny (x, y) projection + ONE map-combinable moment agg; final
+    * frame ONE row, no broadcast at all.
+    */
+  private val qAggSpearman = Q(
+    "q_agg_spearman",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+        .localCheckpoint(true) // feeds both histograms and the rank joins
+      def ranks(c: String) = {
+        val w = Window.orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.groupBy(c).agg(count(lit(1)).as("t"))
+          .withColumn("cum", sum("t").over(w))
+          .select(col(c), expr("2L * (cum - t) + t + 1L").as(s"r$c"))
+      }
+      li.join(ranks("x"), "x").join(ranks("y"), "y")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(rx AS DECIMAL(38, 0))")).as("su"),
+          sum(expr("CAST(ry AS DECIMAL(38, 0))")).as("sv"),
+          sum(expr("CAST(rx * ry AS DECIMAL(38, 0))")).as("suv"),
+          sum(expr("CAST(rx * rx AS DECIMAL(38, 0))")).as("su2"),
+          sum(expr("CAST(ry * ry AS DECIMAL(38, 0))")).as("sv2"))
+        .select(col("n"), expr(
+          """CAST(floor((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+             - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE)
+                     - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+                     - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+             * 10000D) AS BIGINT)""").as("rho_bp"))
+    },
+    Some("""WITH t0 AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                 FROM lineitem),
+            hx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM t0 GROUP BY x),
+            rx AS (SELECT x, 2 * (CAST(SUM(t) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t)
+                     + t + 1 AS rx
+                   FROM hx),
+            hy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM t0 GROUP BY y),
+            ry AS (SELECT y, 2 * (CAST(SUM(t) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t)
+                     + t + 1 AS ry
+                   FROM hy),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(rx AS HUGEINT)) AS su, SUM(CAST(ry AS HUGEINT)) AS sv,
+                   SUM(CAST(rx * ry AS HUGEINT)) AS suv,
+                   SUM(CAST(rx * rx AS HUGEINT)) AS su2,
+                   SUM(CAST(ry * ry AS HUGEINT)) AS sv2
+                  FROM t0 JOIN rx USING (x) JOIN ry USING (y))
+            SELECT n,
+             CAST(FLOOR((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+               - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE)
+                       - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+               * 10000) AS BIGINT) AS rho_bp
+            FROM m"""))
+
   private val qAggCorr = Q(
     "q_agg_corr",
     (s, dir) => {
@@ -1767,7 +1846,7 @@ object Aggregates {
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel, qAggAttribution,
-    qAggRetention, qAggIncremental, qAggCorr, qAggDecay,
+    qAggRetention, qAggIncremental, qAggCorr, qAggSpearman, qAggDecay,
     qAggRollingDistinct, qAggBitmapSetops, qAggOhlc, qAggAnomaly, qAggActivityDist,
     qAggSeasonality)
 }

@@ -2096,6 +2096,38 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("spearman: the rank correlation replays from raw values and shows the independence null") {
+    val r = SparkEntry.queries("q_agg_spearman")(spark, floorDir).collect().head
+    val raw = Tables(spark, floorDir, "lineitem")
+      .selectExpr("CAST(floor(l_quantity) AS LONG) AS x",
+        "CAST(round(l_extendedprice * 100) AS LONG) AS y")
+      .collect().map(z => (z.getAs[Long]("x"), z.getAs[Long]("y")))
+    def ranks(xs: Array[Long]): Map[Long, Long] = {
+      var cum = 0L
+      xs.groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) =>
+        val t = g.length.toLong; val r = 2L * cum + t + 1L; cum += t; v -> r
+      }.toMap
+    }
+    val (rx, ry) = (ranks(raw.map(_._1)), ranks(raw.map(_._2)))
+    val n = raw.length.toLong
+    val u = raw.map(p => BigInt(rx(p._1))); val v = raw.map(p => BigInt(ry(p._2)))
+    val (su, sv) = (u.sum, v.sum)
+    val suv = u.zip(v).map { case (a, b) => a * b }.sum
+    val (su2, sv2) = (u.map(a => a * a).sum, v.map(b => b * b).sum)
+    val rho = math.floor((n.toDouble * suv.toDouble - su.toDouble * sv.toDouble) /
+      math.sqrt((n.toDouble * su2.toDouble - su.toDouble * su.toDouble) *
+        (n.toDouble * sv2.toDouble - sv.toDouble * sv.toDouble)) * 10000.0).toLong
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("rho_bp") == rho, s"declared ${r.getAs[Long]("rho_bp")} vs replay $rho")
+    // the synthetic generator draws price independently of quantity:
+    // rank correlation sits in the CLT null band around zero (and a
+    // legal correlation regardless)
+    assert(math.abs(r.getAs[Long]("rho_bp")) <= 10000L, "rho must be a correlation")
+    assert(math.abs(r.getAs[Long]("rho_bp")) < 1000L,
+      "independent draws must show near-zero rank correlation")
+    info(s"spearman: n=$n rho=${r.getAs[Long]("rho_bp")} bp (independence fixture)")
+  }
+
   test("kl: per-source divergences replay term-by-term and behave like a divergence") {
     val rows = SparkEntry.queries("q_mix_kl")(spark, floorDir).collect()
       .sortBy(_.getAs[String]("source"))

@@ -220,6 +220,9 @@ class PlanLintSpec extends SparkSpec {
       // twin running CDFs over the <= |value grid| cents histogram
       // (one shared frame, the same ppl_buckets class)
       "q_agg_ks_test" -> 1,
+      // two rank windows, one per value histogram (quantity grid +
+      // cents grid — both the ppl_buckets bounded-grid class)
+      "q_agg_spearman" -> 2,
       // prefix-sum + row-index windows (different frames) over the
       // <= |days| daily census — the q_win_cusum two-node class
       "q_win_changepoint" -> 2)
