@@ -1788,6 +1788,87 @@ object Aggregates {
     * map-combinable (type, arm) aggregate → 5×2 rows pivoted by
     * conditional sums into 5. Nothing after the first agg scales.
     */
+  /** EXPERIMENT POWER / MDE readout — the "how long must this test
+    * run" table every experimentation platform prints next to its
+    * verdict (Cohen 1988; Kohavi et al., "Trustworthy Online
+    * Controlled Experiments" §17): at α = 0.05 two-sided and 80% power
+    * the detectable lift is MDE = (z_{α/2} + z_β)·SE = 2.8016·SE, and
+    * the per-arm sample needed for a 5%-of-mean lift is
+    * n* = 2.8016²·(σ²_A + σ²_B)/Δ². Reuses [[qAggAbTest]]'s exact
+    * census verbatim (same salt "ab_", same integer milli moments —
+    * the plan is FOR that experiment): variances are the identical
+    * truncating-integer spellings, and the two float steps (one sqrt,
+    * one division) are floored over bit-identical doubles of those
+    * exact integers (jaccard floor rule). Output per metric: arm
+    * sizes, mean, variances, MDE in milli and in bp of the control
+    * mean, and the 5%-lift sample requirement.
+    *
+    * Scale shape: identical to `q_agg_ab_test` — one scan, map-only
+    * hash-assign + quantize, ONE map-combinable (type)-keyed agg with
+    * conditional sums; nothing after the agg scales.
+    */
+  private val qAggPower = Q(
+    "q_agg_power",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("arm", expr(s"pmod(${Llm.md5Hex32Spark(
+          "concat('ab_', CAST(user_id AS STRING))")}, 2L)"))
+        .withColumn("vm", expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(
+          sum(expr("CASE WHEN arm = 0 THEN 1L ELSE 0L END")).as("n_a"),
+          sum(expr("CASE WHEN arm = 1 THEN 1L ELSE 0L END")).as("n_b"),
+          sum(expr("CASE WHEN arm = 0 THEN vm ELSE 0L END")).as("sa"),
+          sum(expr("CASE WHEN arm = 1 THEN vm ELSE 0L END")).as("sb"),
+          sum(expr("CASE WHEN arm = 0 THEN vm * vm ELSE 0L END")).as("qa"),
+          sum(expr("CASE WHEN arm = 1 THEN vm * vm ELSE 0L END")).as("qb"))
+        .withColumn("mean_a_milli", expr("sa div n_a"))
+        .withColumn("var_a", expr("qa div n_a - (sa div n_a) * (sa div n_a)"))
+        .withColumn("var_b", expr("qb div n_b - (sb div n_b) * (sb div n_b)"))
+        .withColumn("mde_milli", expr(
+          "CAST(floor(2.8016D * sqrt(CAST(var_a div n_a + var_b div n_b AS DOUBLE))) AS BIGINT)"))
+        .withColumn("mde_bp", expr(
+          "CASE WHEN mean_a_milli > 0 THEN mde_milli * 10000L div mean_a_milli ELSE 0L END"))
+        .withColumn("n_need_5pct", expr(
+          """CASE WHEN mean_a_milli > 0 THEN
+               CAST(floor(7.84896256D * CAST(var_a + var_b AS DOUBLE)
+                 / (CAST(mean_a_milli DIV 20L AS DOUBLE)
+                    * CAST(mean_a_milli DIV 20L AS DOUBLE))) AS BIGINT) + 1L
+             ELSE 0L END"""))
+        .select("event_type", "n_a", "n_b", "mean_a_milli", "var_a",
+          "var_b", "mde_milli", "mde_bp", "n_need_5pct")
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_type,
+                   (${Llm.md5Hex32Sql("'ab_' || CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+                  FROM events),
+            g AS (SELECT event_type,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS sa,
+                   CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS sb,
+                   CAST(SUM(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS qa,
+                   CAST(SUM(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS qb
+                  FROM e GROUP BY event_type),
+            v AS (SELECT event_type, n_a, n_b,
+                   CAST(sa // n_a AS BIGINT) AS mean_a_milli,
+                   CAST(qa // n_a - (sa // n_a) * (sa // n_a) AS BIGINT) AS var_a,
+                   CAST(qb // n_b - (sb // n_b) * (sb // n_b) AS BIGINT) AS var_b
+                  FROM g),
+            m AS (SELECT *,
+                   CAST(FLOOR(2.8016 * sqrt(CAST(var_a // n_a + var_b // n_b AS DOUBLE))) AS BIGINT) AS mde_milli
+                  FROM v)
+            SELECT event_type, n_a, n_b, mean_a_milli, var_a, var_b, mde_milli,
+             CAST(CASE WHEN mean_a_milli > 0
+                  THEN mde_milli * 10000 // mean_a_milli ELSE 0 END AS BIGINT) AS mde_bp,
+             CAST(CASE WHEN mean_a_milli > 0 THEN
+                    CAST(FLOOR(7.84896256 * CAST(var_a + var_b AS DOUBLE)
+                      / (CAST(mean_a_milli // 20 AS DOUBLE)
+                         * CAST(mean_a_milli // 20 AS DOUBLE))) AS BIGINT) + 1
+                  ELSE 0 END AS BIGINT) AS n_need_5pct
+            FROM m ORDER BY event_type"""))
+
   private val qAggAbTest = Q(
     "q_agg_ab_test",
     (s, dir) => {
@@ -1840,7 +1921,7 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggMannwhitney, qAggKsTest, qAggChisq, qAggBenford, qAggSurvival, qAggBootstrap,
+    qAggAbTest, qAggPower, qAggMannwhitney, qAggKsTest, qAggChisq, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,

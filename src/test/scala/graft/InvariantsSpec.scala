@@ -2096,6 +2096,38 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("power: MDE and sample requirements replay from the ab_test census") {
+    val pw = SparkEntry.queries("q_agg_power")(spark, floorDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val ab = SparkEntry.queries("q_agg_ab_test")(spark, floorDir).collect()
+    assert(pw.size == ab.length, "one power row per ab_test metric")
+    ab.foreach { a =>
+      val r = pw(a.getAs[String]("event_type"))
+      // shared census: arm sizes and variances must be IDENTICAL values
+      assert(r.getAs[Long]("n_a") == a.getAs[Long]("n_a")
+        && r.getAs[Long]("n_b") == a.getAs[Long]("n_b")
+        && r.getAs[Long]("var_a") == a.getAs[Long]("var_a")
+        && r.getAs[Long]("var_b") == a.getAs[Long]("var_b")
+        && r.getAs[Long]("mean_a_milli") == a.getAs[Long]("mean_a_milli"),
+        s"${a.getAs[String]("event_type")}: census must match ab_test verbatim")
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val (va, vb) = (r.getAs[Long]("var_a"), r.getAs[Long]("var_b"))
+      val mean = r.getAs[Long]("mean_a_milli")
+      val mde = math.floor(2.8016 * math.sqrt((va / na + vb / nb).toDouble)).toLong
+      assert(r.getAs[Long]("mde_milli") == mde, "MDE replay")
+      assert(r.getAs[Long]("mde_bp") == (if (mean > 0) mde * 10000L / mean else 0L))
+      val d = mean / 20L
+      val need = if (mean > 0)
+        math.floor(7.84896256 * (va + vb).toDouble / (d.toDouble * d)).toLong + 1L
+      else 0L
+      assert(r.getAs[Long]("n_need_5pct") == need, "sample-size replay")
+      // structure: positive MDE on a noisy metric; more variance never
+      // lowers the requirement (within this row's own scaling)
+      assert(mde >= 0 && need >= 0)
+    }
+    info(s"power: ${pw.size} metrics, mde_bp=${pw.values.map(_.getAs[Long]("mde_bp")).toSeq.sorted.mkString(",")}")
+  }
+
   test("spearman: the rank correlation replays from raw values and shows the independence null") {
     val r = SparkEntry.queries("q_agg_spearman")(spark, floorDir).collect().head
     val raw = Tables(spark, floorDir, "lineitem")
