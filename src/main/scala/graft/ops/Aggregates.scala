@@ -1110,11 +1110,15 @@ object Aggregates {
       }
       li.join(ranks("x"), "x").join(ranks("y"), "y")
         .agg(count(lit(1)).as("n"),
+          // one operand widened BEFORE the multiply: doubled midranks
+          // reach ~2n, so a 64-bit rx*ry product crosses 2^63 near
+          // n ≈ 1.5e9 rows — Spark (non-ANSI) would wrap silently while
+          // DuckDB errors (ADVICE r10)
           sum(expr("CAST(rx AS DECIMAL(38, 0))")).as("su"),
           sum(expr("CAST(ry AS DECIMAL(38, 0))")).as("sv"),
-          sum(expr("CAST(rx * ry AS DECIMAL(38, 0))")).as("suv"),
-          sum(expr("CAST(rx * rx AS DECIMAL(38, 0))")).as("su2"),
-          sum(expr("CAST(ry * ry AS DECIMAL(38, 0))")).as("sv2"))
+          sum(expr("CAST(rx AS DECIMAL(38, 0)) * ry")).as("suv"),
+          sum(expr("CAST(rx AS DECIMAL(38, 0)) * rx")).as("su2"),
+          sum(expr("CAST(ry AS DECIMAL(38, 0)) * ry")).as("sv2"))
         .select(col("n"), expr(
           """CAST(floor((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
              - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
@@ -1139,9 +1143,9 @@ object Aggregates {
                    FROM hy),
             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    SUM(CAST(rx AS HUGEINT)) AS su, SUM(CAST(ry AS HUGEINT)) AS sv,
-                   SUM(CAST(rx * ry AS HUGEINT)) AS suv,
-                   SUM(CAST(rx * rx AS HUGEINT)) AS su2,
-                   SUM(CAST(ry * ry AS HUGEINT)) AS sv2
+                   SUM(CAST(rx AS HUGEINT) * ry) AS suv,
+                   SUM(CAST(rx AS HUGEINT) * rx) AS su2,
+                   SUM(CAST(ry AS HUGEINT) * ry) AS sv2
                   FROM t0 JOIN rx USING (x) JOIN ry USING (y))
             SELECT n,
              CAST(FLOOR((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
@@ -1400,7 +1404,13 @@ object Aggregates {
       val daily = Tables.events(s, dir)
         .groupBy(expr("ts_us DIV 86400000000").as("day"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      // RANGE frame keyed on the day NUMBER, not a positional ROWS
+      // frame: with a gap in the daily calendar a ±3-ROWS frame would
+      // silently span more than 7 calendar days and misattribute
+      // ratios to weekdays (ADVICE r10); the value-keyed frame is
+      // calendar-centered by construction and n7 = 7 still drops
+      // partial windows (now including windows made partial by a gap)
+      val w = Window.orderBy("day").rangeBetween(-3, 3)
       daily
         .withColumn("sum7", sum("cnt").over(w))
         .withColumn("n7", count(lit(1)).over(w))
@@ -1417,9 +1427,9 @@ object Aggregates {
                  FROM events GROUP BY 1),
             m AS (SELECT day, cnt,
                    SUM(cnt) OVER (ORDER BY day
-                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+                     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
                    COUNT(*) OVER (ORDER BY day
-                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+                     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
                   FROM d),
             r AS (SELECT ((day + 3) % 7 + 7) % 7 AS dow,
                    cnt * 7 * 10000 // sum7 AS ratio_bp
@@ -1655,7 +1665,12 @@ object Aggregates {
           max(struct(col("dn"), col("cents")).as("x")).as("pk"))
         .select(col("n_a"), col("n_b"),
           col("pk.dn").as("d_num"), col("pk.cents").as("at_cents"))
-        .withColumn("d_bp", expr("d_num * 10000L div (n_a * n_b)"))
+        // numerator widened like the significance comparison below:
+        // d_num reaches nA·nB, so d_num·10⁴ crosses 2⁶³ near nA ≈ nB ≈
+        // 10⁹·√10 — Spark would wrap silently where DuckDB errors
+        // (ADVICE r10); div on DECIMAL operands still yields BIGINT
+        .withColumn("d_bp", expr(
+          "(CAST(d_num AS DECIMAL(38, 0)) * 10000L) div (CAST(n_a AS DECIMAL(38, 0)) * n_b)"))
         .withColumn("significant", expr(
           """CAST(CAST(d_num AS DECIMAL(38, 0)) * d_num * 1000000L
                >= 1844164BD * (n_a + n_b) * n_a * n_b AS BIGINT)"""))
@@ -1680,7 +1695,8 @@ object Aggregates {
                      dn := abs(cuma * t.n_b - cumb * t.n_a), cents := cents)) AS x
                     FROM c CROSS JOIN t)
              SELECT t.n_a, t.n_b, x.dn AS d_num,
-              CAST(x.dn * 10000 // (t.n_a * t.n_b) AS BIGINT) AS d_bp,
+              CAST((CAST(x.dn AS HUGEINT) * 10000)
+                   // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS d_bp,
               x.cents AS at_cents,
               CAST(CASE WHEN CAST(x.dn AS HUGEINT) * x.dn * 1000000
                         >= 1844164 * CAST(t.n_a + t.n_b AS HUGEINT) * t.n_a * t.n_b
@@ -1728,7 +1744,10 @@ object Aggregates {
           sum(expr("na * (2L * cumb + t + 1L)")).as("r2_a"),
           sum(expr("t * t * t - t")).as("sum_t3"))
         .withColumn("u2_a", expr("r2_a - n_a * (n_a + 1L)"))
-        .withColumn("auc_bp", expr("u2_a * 10000L div (2L * n_a * n_b)"))
+        // same widening as ks_test's d_bp: u2_a reaches 2·nA·nB, so the
+        // ·10⁴ numerator wraps in BIGINT at warehouse arm sizes
+        .withColumn("auc_bp", expr(
+          "(CAST(u2_a AS DECIMAL(38, 0)) * 10000L) div (2BD * n_a * n_b)"))
         .withColumn("significant", expr(
           """CAST(3BD * CAST(u2_a - n_a * n_b AS DECIMAL(38, 0))
                  * CAST(u2_a - n_a * n_b AS DECIMAL(38, 0))
@@ -1756,7 +1775,8 @@ object Aggregates {
                      FROM c),
              u AS (SELECT *, r2_a - n_a * (n_a + 1) AS u2_a FROM agg)
              SELECT n_a, n_b, r2_a, u2_a, sum_t3,
-              CAST(u2_a * 10000 // (2 * n_a * n_b) AS BIGINT) AS auc_bp,
+              CAST((CAST(u2_a AS HUGEINT) * 10000)
+                   // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS auc_bp,
               CAST(CASE WHEN 3 * CAST(u2_a - n_a * n_b AS HUGEINT)
                               * CAST(u2_a - n_a * n_b AS HUGEINT)
                               * (n_a + n_b) * (n_a + n_b - 1)
@@ -1829,8 +1849,13 @@ object Aggregates {
           "CAST(floor(2.8016D * sqrt(CAST(var_a div n_a + var_b div n_b AS DOUBLE))) AS BIGINT)"))
         .withColumn("mde_bp", expr(
           "CASE WHEN mean_a_milli > 0 THEN mde_milli * 10000L div mean_a_milli ELSE 0L END"))
+        // guard >= 20, not > 0: the 5% delta is mean DIV 20, which is 0
+        // for 0 < mean < 20 milli — Spark's double 0/0 would give
+        // +Inf → Long.MaxValue → wrap while DuckDB yields NULL
+        // (ADVICE r10); a sub-2-cent-mean metric has no meaningful
+        // 5%-MDE plan, so it reports the same 0 sentinel as mean = 0
         .withColumn("n_need_5pct", expr(
-          """CASE WHEN mean_a_milli > 0 THEN
+          """CASE WHEN mean_a_milli >= 20 THEN
                CAST(floor(7.84896256D * CAST(var_a + var_b AS DOUBLE)
                  / (CAST(mean_a_milli DIV 20L AS DOUBLE)
                     * CAST(mean_a_milli DIV 20L AS DOUBLE))) AS BIGINT) + 1L
@@ -1862,7 +1887,7 @@ object Aggregates {
             SELECT event_type, n_a, n_b, mean_a_milli, var_a, var_b, mde_milli,
              CAST(CASE WHEN mean_a_milli > 0
                   THEN mde_milli * 10000 // mean_a_milli ELSE 0 END AS BIGINT) AS mde_bp,
-             CAST(CASE WHEN mean_a_milli > 0 THEN
+             CAST(CASE WHEN mean_a_milli >= 20 THEN
                     CAST(FLOOR(7.84896256 * CAST(var_a + var_b AS DOUBLE)
                       / (CAST(mean_a_milli // 20 AS DOUBLE)
                          * CAST(mean_a_milli // 20 AS DOUBLE))) AS BIGINT) + 1

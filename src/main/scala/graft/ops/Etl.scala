@@ -381,6 +381,130 @@ object Etl {
             FROM i GROUP BY user_id, sid
             ORDER BY user_id, session_start_s"""))
 
+  /** WATERMARK / LATE-DROP semantics as a DECLARED, oracled query — the
+    * batch twin of `graft.streaming.Pipeline.windowedCounts`'s
+    * `withWatermark("ts_ts", "10 minutes")` (whose live-stream behavior
+    * StreamingSpec proves by replay). Structured Streaming advances the
+    * watermark BETWEEN micro-batches: a row is dropped when its event
+    * time is older than (max event time of all PRIOR batches − delay).
+    * The twin reproduces exactly that trajectory over a deterministic
+    * replay: arrival order is event_id, sliced into a FIXED 1024
+    * arrival batches (so the per-batch max table is bounded at any
+    * corpus size — the ppl_buckets discipline), with 5% of events
+    * (md5 salt late_) arriving 8 batches late to make the drop rule
+    * non-vacuous (in-order arrival of a time-ordered fixture would
+    * never be late). Micros-exact integer comparisons throughout, so
+    * both engines elect the identical late set.
+    *
+    * Scale shape: one count, one map-only batch/lateness assign, one
+    * map-combinable ≤1032-row batch-max agg, the watermark running max
+    * on that bounded frame (declared partition-less-window exemption
+    * class), broadcast back, final ≤|routes| rows.
+    */
+  private val qStreamLateDrop = Q(
+    "q_stream_late_drop",
+    (s, dir) => {
+      val bsz = Tables.events(s, dir).agg(count(lit(1)).as("n"))
+        .select(expr("CAST(ceil(CAST(n AS DOUBLE) / 1024.0D) AS BIGINT)").as("bsz"))
+      val arr = withRoute(Tables.events(s, dir)).crossJoin(broadcast(bsz))
+        .select(col("route"), col("ts_us"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v_us"),
+          expr(s"""event_id DIV bsz + CASE WHEN ${Llm.md5U01Spark(
+            "concat('late_', CAST(event_id AS STRING))")} < 0.05D
+               THEN 8L ELSE 0L END""").as("abatch"))
+      val bmax = arr.groupBy("abatch").agg(max("ts_us").as("bmax"))
+      val wm = bmax.withColumn("wm_us",
+        max("bmax").over(Window.orderBy("abatch")
+          .rowsBetween(Window.unboundedPreceding, -1)) - lit(600000000L))
+      arr.join(broadcast(wm.select("abatch", "wm_us")), Seq("abatch"))
+        .withColumn("late",
+          expr("CAST(wm_us IS NOT NULL AND ts_us < wm_us AS BIGINT)"))
+        .groupBy("route")
+        .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"),
+          sum(expr("1L - late")).as("n_kept"),
+          sum(expr("CASE WHEN late = 0 THEN v_us ELSE 0L END")).as("sum_value_us"))
+        .orderBy("route")
+    },
+    Some(s"""WITH prm AS (SELECT CAST(ceil(COUNT(*) / 1024.0) AS BIGINT) AS bsz
+                          FROM events),
+             a AS (SELECT $routeSql AS route, epoch_us(ts) AS ts_us,
+                    CAST(round(value * 1000000) AS BIGINT) AS v_us,
+                    event_id // bsz + CASE WHEN
+                      ${Llm.md5U01Sql("'late_' || CAST(event_id AS VARCHAR)")} < 0.05
+                      THEN 8 ELSE 0 END AS abatch
+                   FROM events CROSS JOIN prm),
+             bm AS (SELECT abatch, MAX(ts_us) AS bmax FROM a GROUP BY abatch),
+             wm AS (SELECT abatch, MAX(bmax) OVER (ORDER BY abatch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      - 600000000 AS wm_us
+                    FROM bm),
+             k AS (SELECT a.route, a.v_us,
+                    CASE WHEN wm_us IS NOT NULL AND a.ts_us < wm_us
+                         THEN 1 ELSE 0 END AS late
+                   FROM a JOIN wm USING (abatch))
+             SELECT route, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(late) AS BIGINT) AS n_late,
+              CAST(SUM(1 - late) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN late = 0 THEN v_us ELSE 0 END) AS BIGINT) AS sum_value_us
+             FROM k GROUP BY route ORDER BY route"""))
+
+  /** Streaming INGESTION DEDUP semantics as a DECLARED, oracled query —
+    * the batch twin of `graft.streaming.Pipeline.dedupPersistent`
+    * (transformWithState, corpus-lifetime state; StreamingSpec proves
+    * the live operator drops re-arrivals across batches). At-least-once
+    * delivery is simulated deterministically: 10% of events (md5 salt
+    * dup_) are delivered a second time, and the retry carries DRIFTED
+    * payload (+7777 micro-units — enrichment/retry drift is why
+    * first-wins vs last-wins is an observable contract, not a
+    * bookkeeping detail). The dedup keeps the FIRST arrival per
+    * event_id — a struct-extremum election on (arrival_seq, value), the
+    * `q_agg_mode` rule — so the kept sum proves WHICH arrival won, not
+    * merely how many survived.
+    *
+    * Scale shape: map-only replay union (no shuffle on the dup side),
+    * one hash-agg election keyed by event_id, one ≤|event types|
+    * rollup. The corpus-lifetime state the streaming twin holds in
+    * RocksDB is here the groupBy key space — both are O(distinct ids).
+    */
+  private val qStreamDedup = Q(
+    "q_stream_dedup",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v_us"))
+      val retries = ev
+        .filter(expr(Llm.md5U01Spark(
+          "concat('dup_', CAST(event_id AS STRING))")) < 0.1)
+        .select(col("event_id"), col("event_type"),
+          (col("v_us") + lit(7777L)).as("v_us"), lit(1L).as("seq"))
+      val arrivals = ev.withColumn("seq", lit(0L)).unionByName(retries)
+      arrivals
+        .groupBy("event_id", "event_type")
+        .agg(count(lit(1)).as("n_arr"),
+          min(struct(col("seq"), col("v_us"))).as("w"))
+        .groupBy("event_type")
+        .agg(sum("n_arr").as("n_arrivals"),
+          count(lit(1)).as("n_kept"),
+          sum(expr("n_arr - 1L")).as("n_dropped"),
+          sum("w.v_us").as("sum_value_us"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_id, event_type,
+                    CAST(round(value * 1000000) AS BIGINT) AS v_us
+                   FROM events),
+             arr AS (SELECT event_id, event_type, v_us, 0 AS seq FROM e
+                     UNION ALL
+                     SELECT event_id, event_type, v_us + 7777, 1 AS seq FROM e
+                     WHERE ${Llm.md5U01Sql("'dup_' || CAST(event_id AS VARCHAR)")} < 0.1),
+             k AS (SELECT event_id, event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_arr,
+                    MIN(struct_pack(seq := seq, v_us := v_us)) AS w
+                   FROM arr GROUP BY event_id, event_type)
+             SELECT event_type, CAST(SUM(n_arr) AS BIGINT) AS n_arrivals,
+              CAST(COUNT(*) AS BIGINT) AS n_kept,
+              CAST(SUM(n_arr - 1) AS BIGINT) AS n_dropped,
+              CAST(SUM(w.v_us) AS BIGINT) AS sum_value_us
+             FROM k GROUP BY event_type ORDER BY event_type"""))
+
   /** Reference-parity capstone (§0.1 steps 1–3 end to end): events are
     * packed into multi-record Lambda/Kinesis envelopes — the exact AWS
     * event shape, 100 records per envelope, payloads base64-wrapped —
@@ -1126,5 +1250,6 @@ object Etl {
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlManifest, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
     qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qEtlKanon, qEtlLdp,
-    qStreamTumbling, qStreamSliding, qStreamSession)
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamLateDrop,
+    qStreamDedup)
 }

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Per-reducer pair budget for `q_join_theta_range`'s hot-bucket
+    * sub-split: a range bucket whose probe×build product exceeds this is
+    * split into ceil(product/target) sub-keys so no single task
+    * evaluates more than ~this many residual predicates. 2²⁰ ≈ 1M pairs
+    * is comfortably one task-second of codegen'd filter work; the split
+    * only engages where the product warrants it (ns = 1 at the small
+    * correctness SFs, so the cheap path is byte-identical to the
+    * unsplit plan).
+    */
+  private val ThetaPairTarget = 1 << 20
+
   private val qJoinInnerBroadcast = Q(
     "q_join_inner_broadcast",
     (s, dir) => {
@@ -95,14 +106,23 @@ object Joins {
   private val qJoinLeftAnti = Q(
     "q_join_left_anti",
     (s, dir) => {
+      // Customers with NO high-value order. The unfiltered anti-join
+      // ("customers with no orders") is VACUOUSLY empty at every sf —
+      // the fixture gives every customer at least one order — so its
+      // oracle pass proved only schema agreement (VERDICT r10 #4); the
+      // build-side predicate makes the result non-empty (30 rows at
+      // sf0.01, 308 at sf0.1, 3080 at the sf1.0 rehearsal) so the pass
+      // proves anti-join semantics.
       val c = Tables(s, dir, "customer")
-      val o = Tables(s, dir, "orders")
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
             ORDER BY c_custkey"""))
 
   private val qJoinCross = Q(
@@ -141,7 +161,39 @@ object Joins {
         .select(col("p_partkey").as("k2"), col("p_retailprice").as("price2"), col("p_brand"))
         .withColumn("bkt", explode(expr(
           "sequence(CAST(floor(price2) AS BIGINT), CAST(floor(price2 * 1.001) AS BIGINT))")))
-      p1.join(p2, Seq("bkt"))
+      // Hot-bucket sub-split (the capCells discipline applied to the
+      // range buckets): the bucket domain is the PRICE RANGE — fixed by
+      // the data model, not by n — so per-bucket occupancy, hence the
+      // per-bucket pair product this join must evaluate, grows as n²
+      // while the number of join tasks stays capped at ~|buckets|. Split
+      // every bucket whose pair product exceeds ThetaPairTarget into
+      // ceil(product/target) sub-keys: a probe row picks ONE sub-key by
+      // id, a build row replicates to ALL of them, so each (probe,
+      // build) pair still meets exactly once — the result (and the
+      // oracle) is unchanged, but reducer load is bounded at ~target
+      // pairs and parallelism grows with the data instead of saturating
+      // at the bucket count. The sub-key table is |buckets|-sized
+      // (price-domain-bounded), so the broadcast stays trivially small
+      // at any corpus size.
+      val ns = p1.groupBy("bkt").agg(count(lit(1)).as("n1"))
+        .join(p2.groupBy("bkt").agg(count(lit(1)).as("n2")), Seq("bkt"))
+        .select(col("bkt"), expr(
+          s"greatest(1, CAST(ceil(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / $ThetaPairTarget) AS INT))")
+          .as("ns"))
+      val p1s = p1.join(broadcast(ns), Seq("bkt"))
+        .withColumn("sub", pmod(col("k1"), col("ns")).cast("int")).drop("ns")
+      val p2s = p2.join(broadcast(ns), Seq("bkt"))
+        .withColumn("sub", explode(expr("sequence(0, ns - 1)"))).drop("ns")
+      // The join MUST be a shuffle join on the sub-split key, never a
+      // broadcast: under a broadcast join the streamed side keeps the
+      // SCAN's partitioning — the fixture's part table is one parquet
+      // file, so the entire per-bucket pair product (756M residual
+      // evaluations at the sf1.0 rehearsal) funnelled through ONE task
+      // and the sub-split bought nothing. Exchanging both sides on
+      // (bkt, sub) spreads the ~target-sized sub-buckets across all
+      // reducers — per-task work is bounded by ThetaPairTarget and
+      // parallelism grows with the data, which is the whole point.
+      p1s.hint("shuffle_hash").join(p2s, Seq("bkt", "sub"))
         .filter(
           col("price1") >= col("price2") &&
           col("price1") <= col("price2") * 1.001 &&

@@ -57,6 +57,37 @@ object Llm {
     */
   private val LshBucketTarget = 250
 
+  /** Candidates per query that survive the multi-probe search's sketch-
+    * hamming PRESCREEN and pay the exact-cosine join (see [[lshSketch]]).
+    * The multi-probe candidate set is ~4·LshBands·target ≈ 4–8k pairs
+    * per query — linear in n but with a constant that dominated the
+    * sf1.0 wall clock (116.9 s, 19% of the whole r10 suite) once every
+    * candidate joined two d-double arrays. Ranking candidates by the
+    * [[LshSketchWords]]·[[LshSketchBits]]-bit sign-sketch hamming first
+    * (skinny integer columns, codegen'd bit_count chain) and
+    * exact-scoring only the top-LshProbeScreen cuts the per-candidate
+    * cost ~100×; measured recall@3 of the screened search at sf0.1 is
+    * 0.993 vs the exact-probe endpoint's 0.903 (floor pinned in
+    * InvariantsSpec).
+    */
+  private[graft] val LshProbeScreen = 48
+
+  /** Width of the dedicated prescreen sign sketch: words × bits-per-word
+    * hyperplanes (salt sk — independent of the bucket planes per the
+    * shared-seed-leakage rule). Sizing is driven by the fixture's honest
+    * physics: true top-3 cosines are only ~0.31–0.53 against a ~0.085
+    * background (near-uniform synthetic vectors), so the per-bit
+    * disagreement gap is ~0.07 and separating neighbor from background
+    * by >2σ at a 48-deep screen needs ~1000 bits (σ/gap ∝ 1/√bits); a
+    * 240-bit prototype measured recall 0.15, the 1020-bit sketch 0.991.
+    * 60 bits per word keeps every word positive — bit 63 semantics
+    * (sign, shift overflow) differ across engines. Cost is per-VECTOR
+    * (n·1020 dots), replacing per-CANDIDATE array cosines (~4k·n dots)
+    * — the right side of the trade by ~2 orders.
+    */
+  private[graft] val LshSketchWords = 17
+  private[graft] val LshSketchBits = 60
+
   /** Probe cells per query for IVF (nprobe). 1 is classic fastest-path;
     * 4 is the standard recall knob — candidate volume stays
     * nprobe·√n per query.
@@ -1282,6 +1313,18 @@ object Llm {
   private def planeWeightSql(t: String, i: String): String =
     s"""CAST(${md5Hex32Sql(s"CAST($t AS VARCHAR) || '_' || CAST($i AS VARCHAR)")} AS DOUBLE) / 2147483648.0 - 1.0"""
 
+  /** [[planeWeightSpark]]/[[planeWeightSql]] under the independent `sk`
+    * seed space — the prescreen sketch's hyperplanes must not share a
+    * seed with the bucket planes (shared-seed-leakage rule: correlated
+    * planes would make the sketch systematically blind exactly where
+    * the buckets already collided).
+    */
+  private def sketchWeightSpark(t: String, i: String): String =
+    s"""CAST(${md5Hex32Spark(s"concat('sk', CAST($t AS STRING), '_', CAST($i AS STRING))")} AS DOUBLE) / 2147483648.0D - 1.0D"""
+
+  private def sketchWeightSql(t: String, i: String): String =
+    s"""CAST(${md5Hex32Sql(s"'sk' || CAST($t AS VARCHAR) || '_' || CAST($i AS VARCHAR)")} AS DOUBLE) / 2147483648.0 - 1.0"""
+
   /** One row: (rb, pl) where pl = LshBands·rb hyperplanes of dimension d,
     * derived from corpus size alone. Computed once and broadcast — the
     * planes are ~rb·8·d·8 bytes (14 KB at rb = 22, d = 64(!)), never
@@ -1336,6 +1379,33 @@ object Llm {
       // bucket is a mega-cluster of (near-)identical vectors; its
       // members keep their other 7 bands' candidates
       Seq("band", "sig"), SignBucketCap)
+
+  /** One row holding the [[LshSketchWords]]·[[LshSketchBits]] dedicated
+    * prescreen hyperplanes (salt sk, engine-portable md5 weights like
+    * [[lshPlanes]] but an independent seed space). ~0.5 MB at d = 64 —
+    * broadcast once.
+    */
+  private def lshSketchPlanes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .agg(max(size(col("embedding"))).as("d"))
+      .select(expr(
+        s"""transform(sequence(0, ${LshSketchWords * LshSketchBits - 1}), t ->
+              transform(sequence(0, d - 1), i -> ${sketchWeightSpark("t", "i")}))""")
+        .as("kpl"))
+
+  /** (vec_id, k0..k16): the wide sign sketch as LshSketchWords bigint
+    * WORD columns (60 bits each — see [[LshSketchBits]]), map-only off
+    * the broadcast planes. Hamming between two sketches is a calibrated
+    * cosine estimator (Charikar, STOC 2002: P[bit agree] = 1 − θ/π);
+    * the probed search ranks candidates by it before exact cosine.
+    */
+  private def lshSketch(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).crossJoin(broadcast(lshSketchPlanes(s, dir)))
+      .select(col("vec_id") +: (0 until LshSketchWords).map(wd => expr(
+        s"""aggregate(transform(sequence(0, ${LshSketchBits - 1}), r ->
+              IF(graft_dot(v, element_at(kpl, ${wd * LshSketchBits} + r + 1)) > 0D,
+                 shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as(s"k$wd")): _*)
 
   /** UNDIRECTED candidate pairs (d1 < d2): vectors sharing ANY band
     * signature. Skinny self-join on (band, sig) — the arrays never ride
@@ -1487,6 +1557,64 @@ object Llm {
     topKByScore(directed, "cos")
   }
 
+  /** The multi-probe search's scoring tail with the sketch-hamming
+    * PRESCREEN (see [[LshProbeScreen]], [[lshSketch]]): the probe→bucket
+    * join carries both sides' wide sign sketches as WIDE bigint word
+    * columns, so each raw match's hamming distance is one codegen'd
+    * bit_count chain — and the raw match stream (≈10⁸ rows at sf1.0,
+    * duplicates across bands/probes included) folds DIRECTLY into the
+    * presence-deduping O(k)-state [[graft.udf.TopKCandDistinct]]
+    * aggregate, mirrored to both directions in the same stage. No
+    * pair-level distinct(), no pair materialization, no array join on
+    * raw candidates: the only shuffle after the bucket join is the
+    * per-query 48-slot buffers. (The r10 tail distinct()-ed ~3×10⁷
+    * pairs then joined two d-double arrays onto every one — 116.9 s at
+    * sf1.0; the fold needs none of it because only LshProbeScreen
+    * survivors per query were ever wanted.) Survivors then join the
+    * vectors for exact cosine + top-3. Hamming is integer arithmetic —
+    * bit-identical across engines — so the survivor set (hence the
+    * final result) is deterministic and the oracle's distinct-then-rank
+    * spelling elects the same set.
+    */
+  private def lshTopkScreened(s: SparkSession, dir: String): DataFrame = {
+    val bk = lshBuckets(s, dir)
+    val sk = lshSketch(s, dir).localCheckpoint(true) // shared by probe + build sides
+    val probes = bk.select(col("vec_id"), col("band"), explode(expr(
+      """array_distinct(array(sig,
+           sig ^ shiftleft(CAST(1 AS BIGINT), f1),
+           sig ^ shiftleft(CAST(1 AS BIGINT), f2),
+           sig ^ shiftleft(CAST(1 AS BIGINT), f1)
+               ^ shiftleft(CAST(1 AS BIGINT), f2)))""")).as("sig"))
+      .join(sk, "vec_id")
+    val build = bk.select("vec_id", "band", "sig").join(sk, "vec_id")
+    val negham = expr((0 until LshSketchWords)
+      .map(w => s"bit_count(a.k$w ^ b.k$w)")
+      .mkString("CAST(-(", " + ", ") AS DOUBLE)"))
+    val raw = probes.as("a").join(build.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        negham.as("negham"))
+    val directed = raw.select(explode(array(
+        struct(col("d1").as("q_id"), col("d2").as("n_id"), col("negham")),
+        struct(col("d2").as("q_id"), col("d1").as("n_id"), col("negham")))).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"),
+        col("p.negham").as("negham"))
+    val screen = udaf(new graft.udf.TopKCandDistinct(LshProbeScreen))
+    val surv = directed.groupBy("q_id")
+      .agg(screen(col("negham"), col("n_id")).as("cands"))
+      .select(col("q_id"), explode(expr("transform(cands, c -> c.nId)")).as("n_id"))
+    val e = vecs(s, dir)
+    val scored = surv
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn")), "n_id")
+      .withColumn("cos", cosCol)
+      .select("q_id", "n_id", "cos")
+    topKByScore(scored, "cos")
+  }
+
   /** The shared SQL tail (score + window) over whichever `cand` CTE. */
   private def lshTopkSql(candSql: String): String =
     s"""WITH $vecsSql,
@@ -1494,6 +1622,40 @@ object Llm {
         p AS (SELECT q_id, n_id,
                      ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
               FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON n_id = b.vec_id),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
+        SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
+        ORDER BY q_id, rnk"""
+
+  /** SQL twin of [[lshTopkScreened]] over the directed `cand` CTE:
+    * dedicated wide-sketch hamming rank (integer-exact in both
+    * engines), top-LshProbeScreen per query under (ham, n_id), exact
+    * cosine + top-3 on the survivors only. `kpl`/`sk` mirror
+    * [[lshSketchPlanes]]/[[lshSketch]] (independent `sk` seed salt).
+    */
+  private def lshTopkScreenedSql(candSql: String): String =
+    s"""WITH $vecsSql,
+        $candSql,
+        kpl AS (SELECT list_transform(range(${LshSketchWords * LshSketchBits}), t ->
+                  list_transform(range(d), i -> ${sketchWeightSql("t", "i")})) AS pl
+                FROM prm),
+        sk AS (SELECT vec_id, list_transform(range($LshSketchWords), wd ->
+                 CAST(list_sum(list_transform(range($LshSketchBits), r ->
+                   CASE WHEN list_dot_product(v, pl[wd * $LshSketchBits + r + 1]) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(r AS INT)) ELSE 0 END)) AS BIGINT)) AS ks
+               FROM n CROSS JOIN kpl),
+        hm AS (SELECT q_id, n_id,
+                 list_sum(list_transform(range($LshSketchWords), i ->
+                   bit_count(xor(a.ks[i + 1], b.ks[i + 1])))) AS ham
+               FROM cand JOIN sk a ON q_id = a.vec_id
+                         JOIN sk b ON n_id = b.vec_id),
+        sv AS (SELECT q_id, n_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY ham, n_id) AS hrnk FROM hm)
+               WHERE hrnk <= $LshProbeScreen),
+        p AS (SELECT q_id, n_id,
+                     ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+              FROM sv JOIN n a ON q_id = a.vec_id JOIN n b ON n_id = b.vec_id),
         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                 ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM p)
         SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
@@ -1518,21 +1680,23 @@ object Llm {
     "q_sim_ann_lsh_probed",
     (s, dir) => {
       // The multi-probe endpoint of the LSH recall dial (Lv et al.
-      // VLDB'07 — see lshCandidatesProbed): same planes, same buckets,
-      // same scoring tail as q_sim_ann_lsh, but each vector also probes
-      // its 2 lowest-|margin| bit flips and their combination per band.
-      // ~4-5x the exact path's candidate volume and runtime, bought for
-      // recall@3 = 1.000 at sf0.1 and 0.882 at the sf1.0 rehearsal
-      // where the exact path's recall decays to 0.339 (rb = 7). The
-      // trade is declared as its own query because on structureless
-      // data recall IS candidate volume — a user picks the endpoint
-      // (or an intermediate probe set) per corpus and SLA; the floor
-      // that must survive scale is pinned on THIS query in
-      // InvariantsSpec, while the exact query's floor is its candidate
-      // economy.
-      lshTopk(s, dir, lshCandidatesProbed(s, dir))
+      // VLDB'07 — see lshCandidatesProbed): same planes, same buckets
+      // as q_sim_ann_lsh, but each vector also probes its 2 lowest-
+      // |margin| bit flips and their combination per band, and the
+      // 4-5x candidate volume is paid in sketch-hamming integer
+      // comparisons, not array joins: the scoring tail prescreens to
+      // LshProbeScreen candidates per query before exact cosine (see
+      // lshTopkScreened — the r10 unscreened tail spent 116.9 s at the
+      // sf1.0 rehearsal joining d-double arrays onto every candidate).
+      // The trade is declared as its own query because on
+      // structureless data recall IS candidate volume — a user picks
+      // the endpoint (or an intermediate probe set) per corpus and
+      // SLA; the floor that must survive scale is pinned on THIS query
+      // in InvariantsSpec, while the exact query's floor is its
+      // candidate economy.
+      lshTopkScreened(s, dir)
     },
-    Some(lshTopkSql(lshCandProbedSql)))
+    Some(lshTopkScreenedSql(lshCandProbedSql)))
 
   /** One row holding the k ≈ √n hash-sampled IVF centroids as a sorted
     * struct array (u(vec_id) < 1/√n with u = md5-derived uniform in

@@ -114,16 +114,25 @@ object SortsSets {
   private val qSetExcept = Q(
     "q_set_except",
     (s, dir) => {
-      Tables(s, dir, "customer")
-        .select(col("c_nationkey").cast("long").as("nationkey"))
-        .except(Tables(s, dir, "supplier")
-          .select(col("s_nationkey").cast("long").as("nationkey")))
-        .orderBy("nationkey")
+      // Customers whose EVERY order is high-value: keys from the
+      // high-value scan minus keys from the rest. The previous estimand
+      // (customer nations EXCEPT supplier nations) was VACUOUSLY empty
+      // at every sf — each nation has both — so the oracle pass proved
+      // only schema agreement (VERDICT r10 #4); this split is non-empty
+      // at all four rehearsal SFs (11 rows at sf0.01, 95 at sf0.1, 950
+      // at sf1.0) so the pass proves EXCEPT semantics.
+      Tables(s, dir, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey").cast("long").as("custkey"))
+        .except(Tables(s, dir, "orders").filter(col("o_totalprice") <= 250000)
+          .select(col("o_custkey").cast("long").as("custkey")))
+        .orderBy("custkey")
     },
-    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    Some("""SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+            WHERE o_totalprice > 250000
             EXCEPT
-            SELECT CAST(s_nationkey AS BIGINT) FROM supplier
-            ORDER BY nationkey"""))
+            SELECT CAST(o_custkey AS BIGINT) FROM orders
+            WHERE o_totalprice <= 250000
+            ORDER BY custkey"""))
 
   /** Bag-semantics set ops (ALL variants): multiplicity-aware — a nation
     * key appearing 3× among customers and 1× among suppliers survives

@@ -69,3 +69,55 @@ final class TopKCand(k: Int) extends Aggregator[Cand, Array[Cand], Array[Cand]] 
   def bufferEncoder: Encoder[Array[Cand]] = ExpressionEncoder()
   def outputEncoder: Encoder[Array[Cand]] = ExpressionEncoder()
 }
+
+/** [[TopKCand]] for candidate relations with DUPLICATE arrivals: an nId
+  * already in the buffer is skipped instead of inserted twice, so a
+  * multi-band/multi-probe bucket join can fold its raw match stream
+  * straight into the aggregate WITHOUT a pair-level `distinct()` first —
+  * at the sf1.0 rehearsal the probed-LSH search emitted ~10⁸ raw matches
+  * whose distinct was the single largest shuffle in the suite, all of it
+  * avoidable because only ≤ k survivors per query were ever wanted.
+  *
+  * CONTRACT: a given (group, nId) must always arrive with the SAME score
+  * (true for any deterministic pair function — hamming, cosine); then
+  * presence-dedup commutes with the top-k order and merging per-partition
+  * buffers yields exactly the global top-k over the deduped relation. The
+  * presence scan is O(k) per insert with k ≤ ~32 — cheaper than the
+  * shuffle it replaces by orders of magnitude.
+  */
+final class TopKCandDistinct(k: Int) extends Aggregator[Cand, Array[Cand], Array[Cand]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  def zero: Array[Cand] = Array.empty
+
+  def reduce(buf: Array[Cand], v: Cand): Array[Cand] = insert(buf, v)
+
+  def merge(a: Array[Cand], b: Array[Cand]): Array[Cand] = b.foldLeft(a)(insert)
+
+  def finish(buf: Array[Cand]): Array[Cand] = buf
+
+  private def before(a: Cand, b: Cand): Boolean =
+    a.cos > b.cos || (a.cos == b.cos && a.nId < b.nId)
+
+  private def insert(buf: Array[Cand], v: Cand): Array[Cand] = {
+    var i = 0
+    while (i < buf.length) { if (buf(i).nId == v.nId) return buf; i += 1 }
+    var ins = 0
+    while (ins < buf.length && before(buf(ins), v)) ins += 1
+    if (ins >= k) buf
+    else if (buf.length == k) {
+      System.arraycopy(buf, ins, buf, ins + 1, k - ins - 1)
+      buf(ins) = v
+      buf
+    } else {
+      val out = new Array[Cand](buf.length + 1)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = v
+      System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+      out
+    }
+  }
+
+  def bufferEncoder: Encoder[Array[Cand]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Array[Cand]] = ExpressionEncoder()
+}

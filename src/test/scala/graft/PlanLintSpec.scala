@@ -71,6 +71,10 @@ class PlanLintSpec extends SparkSpec {
       // census to derive the tempered rates; the per-doc join proper is
       // a broadcast EQUI-join on source
       "q_mix_temperature",
+      // 1-row broadcast arrival-batch size (ceil(n/1024)) fanned onto
+      // the events scan to derive each row's arrival batch; the
+      // watermark attach proper is a broadcast EQUI-join on abatch
+      "q_stream_late_drop",
       // 1-row broadcast (tot_t, tot_r) fanned onto the 1024-row hashed
       // model; the corpus-sized scoring join is a broadcast EQUI-join
       // on the feature id, asserted separately below
@@ -225,7 +229,11 @@ class PlanLintSpec extends SparkSpec {
       "q_agg_spearman" -> 2,
       // prefix-sum + row-index windows (different frames) over the
       // <= |days| daily census — the q_win_cusum two-node class
-      "q_win_changepoint" -> 2)
+      "q_win_changepoint" -> 2,
+      // the watermark-trajectory running max over the FIXED 1024-batch
+      // arrival-max census (bounded by construction — the batch count
+      // is a constant, not a corpus dimension)
+      "q_stream_late_drop" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
