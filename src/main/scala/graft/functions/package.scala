@@ -56,6 +56,12 @@ package functions {
           classOf[org.apache.spark.sql.graftnative.CellsTopN].getCanonicalName,
           null, "graft_cells"),
         GraftNative.cellsBuilder))
+      ext.injectFunction((
+        new FunctionIdentifier("graft_sketch"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.graftnative.SignSketch].getCanonicalName,
+          null, "graft_sketch"),
+        GraftNative.sketchBuilder))
       // whole-plan rewrite (SURVEY §4): bounded explode — see the rule's doc
       ext.injectOptimizerRule(_ => graft.plans.BoundedPosExplode)
     }

@@ -1393,19 +1393,22 @@ object Llm {
               transform(sequence(0, d - 1), i -> ${sketchWeightSpark("t", "i")}))""")
         .as("kpl"))
 
-  /** (vec_id, k0..k16): the wide sign sketch as LshSketchWords bigint
-    * WORD columns (60 bits each — see [[LshSketchBits]]), map-only off
-    * the broadcast planes. Hamming between two sketches is a calibrated
-    * cosine estimator (Charikar, STOC 2002: P[bit agree] = 1 − θ/π);
-    * the probed search ranks candidates by it before exact cosine.
+  /** (vec_id, ks): the wide sign sketch, all LshSketchWords 60-bit words
+    * packed by ONE pass of the native [[graft.functions]] `graft_sketch`
+    * expression over the broadcast plane matrix (the HOF spelling
+    * entered the lambda interpreter 1020× per row and dominated the
+    * probed search's sf1.0 time after the candidate-fold rework; the
+    * native pass is bit-identical, so the DuckDB twin keeps the list
+    * spelling). Hamming between two sketches is a calibrated cosine
+    * estimator (Charikar, STOC 2002: P[bit agree] = 1 − θ/π); the
+    * probed search ranks candidates by it before exact cosine.
+    * Consumers checkpoint, then pivot the words to flat bigint columns
+    * so the per-match hamming is a codegen'd bit_count chain.
     */
   private def lshSketch(s: SparkSession, dir: String): DataFrame =
     vecs(s, dir).crossJoin(broadcast(lshSketchPlanes(s, dir)))
-      .select(col("vec_id") +: (0 until LshSketchWords).map(wd => expr(
-        s"""aggregate(transform(sequence(0, ${LshSketchBits - 1}), r ->
-              IF(graft_dot(v, element_at(kpl, ${wd * LshSketchBits} + r + 1)) > 0D,
-                 shiftleft(CAST(1 AS BIGINT), r), CAST(0 AS BIGINT))),
-            CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as(s"k$wd")): _*)
+      .select(col("vec_id"),
+        expr(s"graft_sketch(v, kpl, $LshSketchBits)").as("ks"))
 
   /** UNDIRECTED candidate pairs (d1 < d2): vectors sharing ANY band
     * signature. Skinny self-join on (band, sig) — the arrays never ride
@@ -1534,27 +1537,32 @@ object Llm {
                   (SELECT q_id, n_id FROM cand0
                    UNION ALL SELECT n_id AS q_id, q_id AS n_id FROM cand0))"""
 
-  /** Shared scoring tail of the two LSH ANN queries: attach vectors to
-    * the UNDIRECTED candidate pairs, score each pair's cosine ONCE
-    * (cosine is symmetric — the arrays join to half the rows), mirror
-    * to directed form, per-query top-3. The mirror is a 2-way EXPLODE,
-    * not a union: Union(Project(X), Project(X)) physically executes the
-    * joins+cosine subtree twice (Spark does not CSE plan subtrees),
-    * while the explode fans each scored row out in the same single pass.
+  /** Scoring tail of the EXACT-probe LSH search: attach vectors to the
+    * band rows once (LshBands array copies per vector, in-stage), self-
+    * join on (band, sig), compute each raw match's cosine with the
+    * codegen'd dot product, and fold the duplicate-bearing match stream
+    * (a pair collides in every shared band) straight into the
+    * presence-deduping [[graft.udf.TopKCandDistinct]] top-3 — the same
+    * no-distinct no-rescore shape as [[lshTopkScreened]], legal because
+    * cosine is a deterministic pair function, and RESULT-IDENTICAL to
+    * the oracle's distinct-then-rank spelling. (The previous tail
+    * distinct()-ed the pair set, joined the arrays back onto it, scored,
+    * mirrored, then ranked — 13.3 s at sf1.0 against this fold's one
+    * bucket join.) The self-join emits both directions of every pair,
+    * so no mirror step exists either.
     */
-  private def lshTopk(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
-    val e = vecs(s, dir)
-    val q = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
-    val nn = e.select(col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
-    val scored = cands
-      .join(q, "d1").join(nn, "d2")
+  private def lshTopkFold(s: SparkSession, dir: String): DataFrame = {
+    val withVec = lshBuckets(s, dir).select("vec_id", "band", "sig")
+      .join(vecs(s, dir).select("vec_id", "v", "nrm"), "vec_id")
+    val q = withVec.select(col("vec_id").as("q_id"), col("band"), col("sig"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val nn = withVec.select(col("vec_id").as("n_id"), col("band"), col("sig"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val raw = q.join(nn, Seq("band", "sig"))
+      .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosCol)
-      .select("d1", "d2", "cos")
-    val directed = scored.select(explode(array(
-        struct(col("d1").as("q_id"), col("d2").as("n_id"), col("cos")),
-        struct(col("d2").as("q_id"), col("d1").as("n_id"), col("cos")))).as("p"))
-      .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"), col("p.cos").as("cos"))
-    topKByScore(directed, "cos")
+      .select("q_id", "n_id", "cos")
+    topKByScore(raw, "cos", dedup = true)
   }
 
   /** The multi-probe search's scoring tail with the sketch-hamming
@@ -1578,7 +1586,13 @@ object Llm {
     */
   private def lshTopkScreened(s: SparkSession, dir: String): DataFrame = {
     val bk = lshBuckets(s, dir)
-    val sk = lshSketch(s, dir).localCheckpoint(true) // shared by probe + build sides
+    // materialize the packed words FIRST (shared by probe + build
+    // sides), THEN pivot to flat columns — pivoting before the
+    // checkpoint would let CollapseProject inline the sketch expression
+    // once per extracted word
+    val sk = lshSketch(s, dir).localCheckpoint(true)
+      .select(col("vec_id") +: (0 until LshSketchWords).map(w =>
+        expr(s"element_at(ks, ${w + 1})").as(s"k$w")): _*)
     val probes = bk.select(col("vec_id"), col("band"), explode(expr(
       """array_distinct(array(sig,
            sig ^ shiftleft(CAST(1 AS BIGINT), f1),
@@ -1600,10 +1614,8 @@ object Llm {
         struct(col("d2").as("q_id"), col("d1").as("n_id"), col("negham")))).as("p"))
       .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"),
         col("p.negham").as("negham"))
-    val screen = udaf(new graft.udf.TopKCandDistinct(LshProbeScreen))
-    val surv = directed.groupBy("q_id")
-      .agg(screen(col("negham"), col("n_id")).as("cands"))
-      .select(col("q_id"), explode(expr("transform(cands, c -> c.nId)")).as("n_id"))
+    val surv = topKByScore(directed, "negham", LshProbeScreen, dedup = true)
+      .select("q_id", "n_id")
     val e = vecs(s, dir)
     val scored = surv
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -1671,8 +1683,11 @@ object Llm {
       // ~LshBands · LshBucketTarget candidate cosines INDEPENDENT of
       // corpus size — the property the previous 3-fixed-hyperplane
       // design lacked. This is the LOW-COST endpoint of the declared
-      // recall dial; q_sim_ann_lsh_probed is the other.
-      lshTopk(s, dir, lshCandidates(s, dir))
+      // recall dial; q_sim_ann_lsh_probed is the other. The candidate
+      // RELATION is lshCandidates (pinned against the probed superset
+      // in InvariantsSpec); the plan folds raw matches directly
+      // (lshTopkFold) instead of materializing it.
+      lshTopkFold(s, dir)
     },
     Some(lshTopkSql(lshCandSql)))
 
@@ -1782,8 +1797,14 @@ object Llm {
     * deduped before scoring). CellTopKSpec pins frame-for-frame
     * equality against the window spelling.
     */
-  private def topKByScore(cands: DataFrame, score: String, k: Int = 3): DataFrame = {
-    val topk = udaf(new graft.udf.TopKCand(k))
+  private def topKByScore(cands: DataFrame, score: String, k: Int = 3,
+      dedup: Boolean = false): DataFrame = {
+    // dedup = true swaps in the presence-deduping variant so a candidate
+    // relation with DUPLICATE (q_id, n_id) arrivals (multi-band bucket
+    // matches) folds without a pair-level distinct() — legal only when
+    // the score is a deterministic pair function (see TopKCandDistinct)
+    val topk = if (dedup) udaf(new graft.udf.TopKCandDistinct(k))
+               else udaf(new graft.udf.TopKCand(k))
     cands.groupBy("q_id")
       .agg(topk(col(score), col("n_id")).as("cands"))
       .select(col("q_id"), posexplode(col("cands")).as(Seq("p", "c")))
@@ -2230,6 +2251,112 @@ object Llm {
                      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
                    FROM b$NswSteps)
              SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 3
+             ORDER BY q_id, rnk"""))
+
+  /** INCREMENTAL NSW graph maintenance — the insert path the graph
+    * index was missing (the IVF lifecycle has build/serve/append/
+    * compact/delete in AnnIndex; the NSW graph only had build+search).
+    * The standard NSW/HNSW insertion (Malkov 2014 §4; Malkov & Yashunin
+    * 2016 alg. 1) is SEARCH-THEN-LINK: a new vector beam-searches the
+    * EXISTING graph for its top-M neighbors and links to them
+    * bidirectionally — no rebuild, no re-clustering. Declared here in
+    * its BULK variant: a deterministic 10% arrival batch (md5 salt
+    * nswi_) is withheld from the graph build, every withheld vector
+    * runs the fixed-[[NswSteps]] beam search against the BASE-generation
+    * graph (all inserts see the pre-batch graph — the standard bulk-load
+    * approximation; sequential insert visibility is a stream concern,
+    * cf. the AnnIndex append twin), and the declared result is each
+    * insert's new adjacency: its top-[[NswM]] links with scores. The
+    * coarse quantizer seeding the searches is the shared corpus-derived
+    * election (the frozen-quantizer rule every IVF lifecycle op obeys).
+    *
+    * Scale shape: identical to `q_sim_nsw`'s search tail — the batch
+    * pays seeds + NswSteps equi-join supersteps against the base edge
+    * frame, all per-insert work constant-bounded; the graph update is
+    * an edge APPEND (batch·2M skinny rows), never a rebuild.
+    */
+  private val qSimNswInsert = Q(
+    "q_sim_nsw_insert",
+    (s, dir) => {
+      val probed = vecs(s, dir).crossJoin(broadcast(ivfCentArr(s, dir)))
+        .filter(expr("size(cents) > 0"))
+        .withColumn("pc", expr(cellsSpark(s"$IvfProbes")))
+        .withColumn("ins", expr(
+          md5U01Spark("concat('nswi_', CAST(vec_id AS STRING))")) < 0.1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("pc"), col("ins"))
+        .localCheckpoint(true)
+      val base = probed.filter(!col("ins"))
+      val idx = base.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
+      val wq = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      // base-generation graph: the q_sim_nsw build restricted to base rows
+      val ranked = probedQry(base).join(idx, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos")
+        .withColumn("rn", row_number().over(wq))
+      val out = ranked.filter(col("rn") <= NswM)
+        .select(col("q_id").as("src"), col("n_id").as("dst"))
+      val edges = out
+        .unionByName(out.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      // search: each insert's beam over the base graph, seeded by its
+      // probes into base cells
+      val seeds = probedQry(probed.filter(col("ins"))).join(idx, Seq("cell"))
+        .withColumn("cos", cosCol)
+        .select("q_id", "n_id", "cos")
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= NswSeeds).select("q_id", "n_id", "cos")
+      val st = NswState(seeds, edges,
+        probed.filter(col("ins")).select(col("vec_id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qn")),
+        base.select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("nrm").as("nn")), wq)
+      var beam = st.seeds
+      for (_ <- 1 to NswSteps) beam = nswStep(st, beam)
+      // link: the insert's new adjacency = its top-M of the final beam
+      beam.withColumn("rnk", row_number().over(wq).cast("long"))
+        .filter(col("rnk") <= NswM)
+        .select("q_id", "rnk", "n_id", "cos")
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH $vecsSql,
+             $ivfCentSql,
+             $ivfAsgSql,
+             mem AS (SELECT vec_id,
+                      ${md5U01Sql("'nswi_' || CAST(vec_id AS VARCHAR)")} < 0.1 AS ins
+                     FROM n),
+             idx AS (SELECT asg.vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
+                     FROM asg JOIN mem ON asg.vec_id = mem.vec_id
+                     WHERE arn = 1 AND NOT ins),
+             qryb AS (SELECT asg.vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                      FROM asg JOIN mem ON asg.vec_id = mem.vec_id
+                      WHERE arn <= $IvfProbes AND NOT ins),
+             pb AS MATERIALIZED (SELECT q_id, n_id,
+                   ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                  FROM qryb JOIN idx USING (cell) WHERE q_id <> n_id),
+             prb AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, n_id) AS rn FROM pb),
+             eo AS (SELECT q_id AS src, n_id AS dst FROM prb WHERE rn <= $NswM),
+             ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM eo
+                   UNION ALL SELECT dst AS src, src AS dst FROM eo)),
+             qryi AS (SELECT asg.vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+                      FROM asg JOIN mem ON asg.vec_id = mem.vec_id
+                      WHERE arn <= $IvfProbes AND ins),
+             pi AS (SELECT q_id, n_id,
+                     ROUND(list_dot_product(qv, nv) / (qn * nn), 4) AS cos
+                    FROM qryi JOIN idx USING (cell)),
+             b0 AS MATERIALIZED (SELECT q_id, n_id, cos FROM
+                  (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS rn FROM pi)
+                  WHERE rn <= $NswSeeds),
+             ${(1 to NswSteps).map(nswStepSql).mkString(",\n")},
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+                   FROM b$NswSteps)
+             SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= $NswM
              ORDER BY q_id, rnk"""))
 
   /** Filtered ANN search — top-3 same-label neighbors per query: the
@@ -6217,7 +6344,7 @@ object Llm {
     qDedupExact, qDedupJaccard, qDedupWeighted, qDedupWeightedNear, qDedupEval, qSourceOverlap, qSplitLeakage, qDedupNear, qDedupCluster, qDedupClusterPrecision, qDedupCanonicalBest, qDedupContain, qDedupSimhash, qDedupEditdist,
     qDedupSimhashPairs, qDedupEmbed, qDedupSemantic, qDedupNgramSpan, qPipelineFilter,
     qPipelineYield,
-    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimMmr, qSimPq, qVecKmeansStep,
+    qSimTopk, qSimKnnLabel, qSimAnnLsh, qSimAnnLshProbed, qSimIvf, qSimNsw, qSimNswInsert, qSimAnnFiltered, qSimMips, qSimRangeSearch, qSimRecallEval, qSimRecallSweep, qSimIvfPq, qSimRerank, qSimMmr, qSimPq, qVecKmeansStep,
     qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity, qVecSilhouette,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextZipf, qTextHeaps, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextBoilerplate, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,

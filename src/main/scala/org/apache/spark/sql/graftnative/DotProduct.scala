@@ -200,6 +200,13 @@ object GraftNative {
     CellsTopN(children(0), children(1), children(2), children(3))
   }
 
+  val sketchBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_sketch expects 3 arguments (v, planes, bits), got ${children.length}")
+    SignSketch(children(0), children(1), children(2))
+  }
+
   /** Register the SQL names on an already-running session (extensions
     * only apply at session construction).
     */
@@ -214,6 +221,8 @@ object GraftNative {
       "graft_pq_recon", pqReconBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cells", cellsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sketch", sketchBuilder, "built-in")
   }
 }
 
@@ -466,6 +475,76 @@ object CellsTopN {
       out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](neg(o), ids(o)))
       i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Wide sign-sketch in one native pass: dot `v` against every plane of
+  * `planes` (an ARRAY<ARRAY<DOUBLE>> — the broadcast hyperplane matrix)
+  * and pack the sign bits, `bits` per 64-bit word, into an ARRAY<BIGINT>
+  * of numPlanes/bits words (the caller passes an exact multiple; a
+  * remainder shorter than `bits` is dropped). Bit r of word w is set iff
+  * dot(v, planes[w·bits + r]) > 0, dots strictly sequential
+  * left-to-right with null elements contributing 0 — BIT-IDENTICAL to
+  * the composable spelling `aggregate(transform(sequence(0, bits-1),
+  * r -> IF(graft_dot(v, element_at(pl, w·bits+r+1)) > 0D, shiftleft(1L,
+  * r), 0L)), 0L, +)` and to the DuckDB twin's list_dot_product chain,
+  * so the oracle spelling is untouched.
+  *
+  * Exists because the HOF spelling enters the lambda interpreter once
+  * per PLANE (1020× per row for the probed-LSH prescreen sketch — the
+  * dominant sf1.0 term after the r11 candidate-fold rework); this is
+  * one primitive double loop entered once per ROW (CodegenFallback, the
+  * PqRecon precedent).
+  */
+case class SignSketch(v: Expression, planes: Expression, bits: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = v
+  override def second: Expression = planes
+  override def third: Expression = bits
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)),
+      org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_sketch"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SignSketch =
+    copy(v = newFirst, planes = newSecond, bits = newThird)
+
+  override protected def nullSafeEval(va: Any, pa: Any, ba: Any): Any = {
+    val vec = va.asInstanceOf[ArrayData]
+    val pls = pa.asInstanceOf[ArrayData]
+    val bits = ba.asInstanceOf[Int]
+    require(bits > 0 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    val d = vec.numElements()
+    val vs = new Array[Double](d)
+    var i = 0
+    while (i < d) { vs(i) = if (vec.isNullAt(i)) 0.0 else vec.getDouble(i); i += 1 }
+    val words = pls.numElements() / bits
+    val out = new Array[Any](words)
+    var w = 0
+    while (w < words) {
+      var word = 0L
+      var r = 0
+      while (r < bits) {
+        val pl = pls.getArray(w * bits + r)
+        val n = math.min(d, pl.numElements())
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          if (!pl.isNullAt(j)) s += vs(j) * pl.getDouble(j)
+          j += 1
+        }
+        if (s > 0.0) word |= (1L << r)
+        r += 1
+      }
+      out(w) = word
+      w += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
