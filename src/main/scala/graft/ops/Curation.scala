@@ -1192,7 +1192,12 @@ object Curation {
           max("m").as("max_mass"), sum(expr("i * m")).as("im"))
         .select(col("n_sources"), col("total_tokens"),
           expr("max_mass * 10000L div total_tokens").as("max_share_bp"),
-          expr("(2L * im - (n_sources + 1L) * total_tokens) * 10000L div (n_sources * total_tokens)")
+          // numerator widened: im is (|sources|·total_tokens)-scale, so
+          // the ·10⁴ product wraps past ~10¹⁵ total tokens in BIGINT
+          // (the ADVICE r10 overflow class)
+          expr("""(CAST(2L * im AS DECIMAL(38, 0))
+                   - CAST(n_sources + 1L AS DECIMAL(38, 0)) * total_tokens) * 10000L
+                  div (CAST(n_sources AS DECIMAL(38, 0)) * total_tokens)""")
             .as("gini_bp"))
         .crossJoin(broadcast(
           m.crossJoin(broadcast(m.agg(sum("m").as("tt"))))
@@ -1217,7 +1222,9 @@ object Curation {
             SELECT n_sources, total_tokens,
              CAST(max_mass * 10000 // total_tokens AS BIGINT) AS max_share_bp,
              hhi_bp,
-             CAST((2 * im - (n_sources + 1) * total_tokens) * 10000 // (n_sources * total_tokens) AS BIGINT) AS gini_bp
+             CAST((2 * CAST(im AS HUGEINT)
+                   - CAST(n_sources + 1 AS HUGEINT) * total_tokens) * 10000
+                  // (CAST(n_sources AS HUGEINT) * total_tokens) AS BIGINT) AS gini_bp
             FROM g CROSS JOIN h"""))
 
   /** Per-source keep budget for the RHO-style learnability selection. */

@@ -853,11 +853,17 @@ object Graph {
           sum("sz").as("n_nodes"),
           max("m").as("n_edges"),
           sum("e_c").as("intra_edges"),
-          sum(expr("4L * m * e_c - d_c * d_c")).as("q_num"),
+          // summand widened BEFORE the multiply: 4·m·e_c is E²-scale,
+          // so a 64-bit product wraps silently past |E| ≈ 1.5e9 in Spark
+          // where DuckDB errors (the ADVICE r10 overflow class)
+          sum(expr(
+            "CAST(4L * m AS DECIMAL(38, 0)) * e_c - CAST(d_c AS DECIMAL(38, 0)) * d_c"))
+            .as("q_num"),
           max("sz").as("top_comm_size"))
         .select(col("n_comms"), col("n_nodes"), col("n_edges"),
           col("intra_edges"),
-          expr("q_num * 10000L div (4L * n_edges * n_edges)").as("q_bp"),
+          expr("(q_num * 10000L) div (CAST(4L * n_edges AS DECIMAL(38, 0)) * n_edges)")
+            .as("q_bp"),
           col("top_comm_size"))
     },
     Some(s"""WITH $sparseEdgesSql,
@@ -884,8 +890,9 @@ object Graph {
               CAST(SUM(sz) AS BIGINT) AS n_nodes,
               MAX(m) AS n_edges,
               CAST(SUM(e_c) AS BIGINT) AS intra_edges,
-              CAST(CAST(SUM(4 * m * e_c - d_c * d_c) AS BIGINT) * 10000
-                   // (4 * MAX(m) * MAX(m)) AS BIGINT) AS q_bp,
+              CAST(SUM(4 * CAST(m AS HUGEINT) * e_c - CAST(d_c AS HUGEINT) * d_c)
+                   * 10000
+                   // (4 * CAST(MAX(m) AS HUGEINT) * MAX(m)) AS BIGINT) AS q_bp,
               MAX(sz) AS top_comm_size
              FROM per CROSS JOIN mm"""))
 
