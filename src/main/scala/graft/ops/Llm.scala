@@ -1112,20 +1112,31 @@ object Llm {
   private val qDedupEmbed = Q(
     "q_dedup_embed",
     (s, dir) => {
-      // Embedding-cosine near-dup, blocked by the SAME scale-true
-      // multi-probe LSH buckets as q_sim_ann_lsh (previously a 10-value
-      // class label — O(n²/10) pair space at any scale). A pair is
-      // scored iff either side's 4-probe set reaches the other's bucket
-      // in any of the 8 bands; candidate volume is ~4 · bands ·
-      // bucket_target per vector, corpus-size independent.
-      val e = vecs(s, dir)
-      val a = e.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("qn"))
-      val b = e.select(col("vec_id").as("d2"), col("v").as("nv"), col("nrm").as("nn"))
-      lshCandidates(s, dir) // already undirected (d1 < d2)
-        .join(a, "d1").join(b, "d2")
+      // Embedding-cosine near-dup, blocked by the SAME scale-true sign-
+      // LSH buckets as q_sim_ann_lsh (previously a 10-value class label
+      // — O(n²/10) pair space at any scale). A pair is scored iff the
+      // two vectors share any of the 8 band buckets; candidate volume
+      // is ~bands · bucket_target per vector, corpus-size independent.
+      // The candidate RELATION is lshCandidates (which the oracle
+      // spells); the PLAN is the r11 raw-match fold: cosine is computed
+      // in-stage on the bucket self-join and the ≥ τ filter runs BEFORE
+      // the pair dedup, so the distinct() shuffles only the HITS — the
+      // previous shape distinct()-ed the full ~10⁷-pair candidate set
+      // and joined two d-double arrays back onto every pair (13.3 s of
+      // the sf1.0 rehearsal). cos is a deterministic pair function, so
+      // dedup-after-filter is result-identical.
+      val withVec = lshBuckets(s, dir).select("vec_id", "band", "sig")
+        .join(vecs(s, dir).select("vec_id", "v", "nrm"), "vec_id")
+      val a = withVec.select(col("vec_id").as("d1"), col("band"), col("sig"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      val b = withVec.select(col("vec_id").as("d2"), col("band"), col("sig"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      a.join(b, Seq("band", "sig"))
+        .filter(col("d1") < col("d2"))
         .withColumn("cos", cosCol)
         .filter(col("cos") >= 0.3)
         .select(col("d1"), col("d2"), col("cos"))
+        .distinct()
         .orderBy("d1", "d2")
     },
     Some(s"""WITH $vecsSql,
@@ -1554,15 +1565,23 @@ object Llm {
   private def lshTopkFold(s: SparkSession, dir: String): DataFrame = {
     val withVec = lshBuckets(s, dir).select("vec_id", "band", "sig")
       .join(vecs(s, dir).select("vec_id", "v", "nrm"), "vec_id")
-    val q = withVec.select(col("vec_id").as("q_id"), col("band"), col("sig"),
+    val q = withVec.select(col("vec_id").as("d1"), col("band"), col("sig"),
       col("v").as("qv"), col("nrm").as("qn"))
-    val nn = withVec.select(col("vec_id").as("n_id"), col("band"), col("sig"),
+    val nn = withVec.select(col("vec_id").as("d2"), col("band"), col("sig"),
       col("v").as("nv"), col("nrm").as("nn"))
-    val raw = q.join(nn, Seq("band", "sig"))
-      .filter(col("q_id") =!= col("n_id"))
+    // cosine is symmetric: score each raw match ONCE under d1 < d2 (half
+    // the dot products), then mirror the SKINNY scored row to both
+    // directions in the same stage before the per-query fold
+    val scored = q.join(nn, Seq("band", "sig"))
+      .filter(col("d1") < col("d2"))
       .withColumn("cos", cosCol)
-      .select("q_id", "n_id", "cos")
-    topKByScore(raw, "cos", dedup = true)
+      .select("d1", "d2", "cos")
+    val directed = scored.select(explode(array(
+        struct(col("d1").as("q_id"), col("d2").as("n_id"), col("cos")),
+        struct(col("d2").as("q_id"), col("d1").as("n_id"), col("cos")))).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"),
+        col("p.cos").as("cos"))
+    topKByScore(directed, "cos", dedup = true)
   }
 
   /** The multi-probe search's scoring tail with the sketch-hamming
