@@ -1625,6 +1625,74 @@ object Aggregates {
                              source := source, lang := lang)).contrib_micro AS top_contrib_micro
             FROM sc"""))
 
+  /** CRAMÉR's V effect size off the SAME source×lang contingency census
+    * as [[qAggChisq]] (r11 — Cramér 1946 §21.9): χ² says "dependent or
+    * not" but grows with n, so two corpora cannot be compared by χ²
+    * alone; V² = χ²/(n·min(r−1,c−1)) ∈ [0,1] is the scale-free effect
+    * size a curation gate actually thresholds on ("is source↔lang
+    * coupling strong enough to stratify by?"). D1: sqrt-free by
+    * declaration — V² in ppm is exactly chi2_micro div (n·k) since
+    * chi2_micro carries the 10⁶ scale already; the φ² companion
+    * (chi2_micro div n) comes free. The strong-association verdict is
+    * the V ≥ 0.2 gate, integer-compared as v2_ppm ≥ 40000.
+    *
+    * Scale shape: identical to chisq — ONE map-combinable contingency
+    * census + margin joins on the ≤|sources|×|langs| frame; one row out.
+    */
+  private val qAggCramersV = Q(
+    "q_agg_cramers_v",
+    (s, dir) => {
+      val cont = Tables(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        .localCheckpoint(true)
+      val rm = cont.groupBy("source").agg(sum("o").as("r"))
+      val cm = cont.groupBy("lang").agg(sum("o").as("c"))
+      val nn = cont.agg(sum("o").as("nn"))
+      cont.join(rm, "source").join(cm, "lang")
+        .crossJoin(broadcast(nn))
+        .withColumn("d", expr("o * nn - r * c"))
+        .withColumn("contrib_micro", expr(
+          "CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * 1000000D " +
+            "/ (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))) AS BIGINT)"))
+        .agg(max("nn").as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("lang").as("n_langs"),
+          sum("contrib_micro").as("chi2_micro"))
+        .withColumn("k", expr(
+          "CASE WHEN n_sources < n_langs THEN n_sources - 1L ELSE n_langs - 1L END"))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("chi2_micro"),
+          expr("chi2_micro div n_docs").as("phi2_ppm"),
+          expr("chi2_micro div (n_docs * k)").as("v2_ppm"),
+          expr("CAST(chi2_micro div (n_docs * k) >= 40000L AS BIGINT)")
+            .as("strong_assoc"))
+    },
+    Some("""WITH ct AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+                  FROM documents GROUP BY source, lang),
+            rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM ct GROUP BY source),
+            cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM ct GROUP BY lang),
+            nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM ct),
+            sc AS (SELECT ct.source, ct.lang, nn.nn,
+                    CAST(FLOOR(CAST(o * nn.nn - r * c AS DOUBLE)
+                      * CAST(o * nn.nn - r * c AS DOUBLE) * 1000000
+                      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                         * CAST(nn.nn AS DOUBLE))) AS BIGINT) AS contrib_micro
+                   FROM ct JOIN rm USING (source) JOIN cm USING (lang)
+                   CROSS JOIN nn),
+            agg AS (SELECT MAX(nn) AS n_docs,
+                     CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                     CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                     CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+                    FROM sc),
+            kk AS (SELECT *, CASE WHEN n_sources < n_langs THEN n_sources - 1
+                                  ELSE n_langs - 1 END AS k
+                   FROM agg)
+            SELECT n_docs, n_sources, n_langs, chi2_micro,
+             CAST(chi2_micro // n_docs AS BIGINT) AS phi2_ppm,
+             CAST(chi2_micro // (n_docs * k) AS BIGINT) AS v2_ppm,
+             CAST(chi2_micro // (n_docs * k) >= 40000 AS BIGINT) AS strong_assoc
+            FROM kk"""))
+
   /** Two-sample KOLMOGOROV–SMIRNOV drift test between order ERAS —
     * THE distribution-shift monitor of every feature store (Kolmogorov
     * 1933/Smirnov 1948; Rabanser et al. NeurIPS'19 "Failing Loudly"
@@ -1946,7 +2014,7 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggPower, qAggMannwhitney, qAggKsTest, qAggChisq, qAggBenford, qAggSurvival, qAggBootstrap,
+    qAggAbTest, qAggPower, qAggMannwhitney, qAggKsTest, qAggChisq, qAggCramersV, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,

@@ -1920,8 +1920,125 @@ object Curation {
           ORDER BY sel_i"""
     })
 
+  /** TEMPORAL train/test split with an EMBARGO gap (r11 — the
+    * time-series counterpart of [[qSplitTrain]]'s hash split: when the
+    * eval question is "does the model generalize FORWARD", a hash split
+    * leaks the future into training; finance backtesting calls the fix
+    * purged/embargoed splitting, de Prado 2018 ch.7). Cut day =
+    * min + ⌊0.8·span⌋ of the event calendar; the 3 days before the cut
+    * are EMBARGOED (dropped from both sides) so sessions straddling the
+    * boundary cannot leak near-duplicate rows across it. The declared
+    * audit is the one-row split census plus the residual ENTITY overlap
+    * — users active on both sides (legitimately unavoidable for a
+    * returning-user product, exactly what the reviewer of a temporal
+    * split needs to see quantified): users_both and its share of test
+    * users in bp.
+    *
+    * Scale shape: 1-row calendar-bounds broadcast onto the scan (the
+    * q_agg_decay class), map-only split flags, one corpus census + one
+    * user-keyed election census — two map-combinable aggs, no join of
+    * corpus-sized frames.
+    */
+  private val qSplitTemporal = Q(
+    "q_split_temporal",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("dd"))
+      val bounds = ev.agg(min("dd").as("lo"), max("dd").as("hi"))
+      val flagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("cut", expr("lo + (hi - lo) * 4L div 5L"))
+        .withColumn("split", expr(
+          """CASE WHEN dd < cut - 3L THEN 'train'
+                  WHEN dd < cut THEN 'embargo'
+                  ELSE 'test' END"""))
+        .localCheckpoint(true) // feeds the row census + the user census
+      val rows = flagged.groupBy().agg(
+        sum(expr("CAST(split = 'train' AS BIGINT)")).as("n_train"),
+        sum(expr("CAST(split = 'embargo' AS BIGINT)")).as("n_embargo"),
+        sum(expr("CAST(split = 'test' AS BIGINT)")).as("n_test"))
+      val users = flagged.groupBy("user_id").agg(
+        max(expr("CAST(split = 'train' AS BIGINT)")).as("in_tr"),
+        max(expr("CAST(split = 'test' AS BIGINT)")).as("in_te"))
+        .agg(sum("in_tr").as("users_train"), sum("in_te").as("users_test"),
+          sum(expr("in_tr * in_te")).as("users_both"))
+      rows.crossJoin(users)
+        .withColumn("leak_bp", expr(
+          "CASE WHEN users_test = 0 THEN 0L ELSE users_both * 10000L div users_test END"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dd
+                  FROM events),
+            bo AS (SELECT MIN(dd) AS lo, MAX(dd) AS hi FROM ev),
+            fl AS (SELECT user_id,
+                    CASE WHEN dd < lo + (hi - lo) * 4 // 5 - 3 THEN 'train'
+                         WHEN dd < lo + (hi - lo) * 4 // 5 THEN 'embargo'
+                         ELSE 'test' END AS split
+                   FROM ev CROSS JOIN bo),
+            rw AS (SELECT
+                    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                    CAST(SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
+                    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+                   FROM fl),
+            uc AS (SELECT user_id,
+                    MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+                    MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+                   FROM fl GROUP BY user_id),
+            us AS (SELECT CAST(SUM(in_tr) AS BIGINT) AS users_train,
+                    CAST(SUM(in_te) AS BIGINT) AS users_test,
+                    CAST(SUM(in_tr * in_te) AS BIGINT) AS users_both
+                   FROM uc)
+            SELECT n_train, n_embargo, n_test, users_train, users_test,
+             users_both,
+             CAST(CASE WHEN users_test = 0 THEN 0
+                       ELSE users_both * 10000 // users_test END AS BIGINT) AS leak_bp
+            FROM rw CROSS JOIN us"""))
+
+  /** Weight the weighted-sample budget selects. */
+  private val EswK = 100L
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT via exponential races (r11 —
+    * Efraimidis & Spirakis IPL'06 A-ES, the distributed-reservoir
+    * classic: each row draws key u^(1/w), the k largest keys win;
+    * equivalently the k SMALLEST exponential arrival times −ln(V)/w —
+    * one map-only pass + a global top-k, which is exactly the shape a
+    * 1000-executor reservoir needs, no sequential scan, no rejection
+    * loop, rerun-stable because the "randomness" is the md5 hash of the
+    * key). Weights are the exact order cents; V = 1 − u keeps ln away
+    * from 0 (u ∈ [0,1) ⇒ V ∈ (0,1]). Declared result: the winning 100
+    * rows with their exact arrival-time nano-score — bigger orders win
+    * disproportionately often (the invariant pins the selected-mean ≫
+    * corpus-mean separation).
+    *
+    * D1: score_nano = ⌊−ln(1−u)·10¹⁵ / cents⌋ — the double pipeline is
+    * the (ln, ×, ÷, floor) chain both engines evaluate in IEEE order
+    * (the q_mix_kl ln precedent); total order (score, key) through ties.
+    *
+    * Scale shape: map-only score + TakeOrderedAndProject(100) — no
+    * shuffle beyond the k-row final gather.
+    */
+  private val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr(s"""CAST(floor(-ln(1.0D - ${Llm.md5U01Spark(
+            "concat('esw_', CAST(o_orderkey AS STRING))")}) * 1e15D
+               / CAST(round(o_totalprice * 100) AS DOUBLE)) AS BIGINT)""")
+            .as("score_nano"))
+        .orderBy("score_nano", "o_orderkey")
+        .limit(EswK.toInt)
+    },
+    Some(s"""SELECT o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+              CAST(FLOOR(-ln(1.0 - ${Llm.md5U01Sql(
+      "'esw_' || CAST(o_orderkey AS VARCHAR)")}) * 1e15
+                / CAST(round(o_totalprice * 100) AS DOUBLE)) AS BIGINT) AS score_nano
+             FROM orders
+             ORDER BY score_nano, o_orderkey LIMIT $EswK"""))
+
   val all: Seq[Q] = Seq(
     qDecontaminate, qSampleMixture, qMixTokenBudget, qMixCurriculum, qSplitTrain,
+    qSplitTemporal, qSampleWeighted,
     qPackSequences, qSourceCap, qDedupIncremental, qSampleNegatives,
     qSampleHardNegatives, qSourceScorecard, qSampleImportance, qMixTemperature,
     qSampleDsir, qSampleRho, qSampleMargin, qMixConcentration, qCurateLrStep, qCurateLrFilter,

@@ -505,6 +505,105 @@ object Etl {
               CAST(SUM(w.v_us) AS BIGINT) AS sum_value_us
              FROM k GROUP BY event_type ORDER BY event_type"""))
 
+  /** STREAM-STREAM INTERVAL JOIN semantics as a declared, oracled query
+    * (r11 — the third core streaming semantic after [[qStreamLateDrop]]'s
+    * watermark and [[qStreamDedup]]'s at-least-once election; Structured
+    * Streaming's `left.join(right, expr("user && rts BETWEEN lts AND
+    * lts+5min"))` with both sides watermarked — the attribution join of
+    * every event pipeline: "view followed by a click by the same user
+    * within 5 minutes"). The replay splits events into two streams by
+    * event_id parity, runs BOTH through the SAME 1024-batch arrival
+    * trajectory as late_drop (5% late, salt `sjln_`; the watermark is
+    * GLOBAL across inputs — min over sides — exactly Spark's multi-input
+    * advance), drops each side's late rows, and interval-joins the
+    * survivors. Declared approximation, documented: filter-late-then-join
+    * equals the live operator whenever watermark delay (10 min) ≥ join
+    * range (5 min), boundary ties excepted — state for an on-time row
+    * cannot be evicted while a joinable partner is still on time.
+    *
+    * Scale shape: the join is bucket-equi, never a range scan — the left
+    * side explodes its two candidate 5-min buckets (map-only ×2), the
+    * right side sits in its own bucket, so each pair matches EXACTLY
+    * once (the q_join_interval_overlap stamp-bucket discipline) and the
+    * shuffle is an equi-join on (user, bucket) — co-partitionable at
+    * 1000 executors, skew-bounded by per-user-per-5-min activity.
+    */
+  private val qStreamJoin = Q(
+    "q_stream_join",
+    (s, dir) => {
+      val bsz = Tables.events(s, dir).agg(count(lit(1)).as("n"))
+        .select(expr("CAST(ceil(CAST(n AS DOUBLE) / 1024.0D) AS BIGINT)").as("bsz"))
+      val arr = Tables.events(s, dir).crossJoin(broadcast(bsz))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+          expr(s"""event_id DIV bsz + CASE WHEN ${Llm.md5U01Spark(
+            "concat('sjln_', CAST(event_id AS STRING))")} < 0.05D
+               THEN 8L ELSE 0L END""").as("abatch"))
+      val bmax = arr.groupBy("abatch").agg(max("ts_us").as("bmax"))
+      val wm = bmax.withColumn("wm_us",
+        max("bmax").over(Window.orderBy("abatch")
+          .rowsBetween(Window.unboundedPreceding, -1)) - lit(600000000L))
+      val kept = arr.join(broadcast(wm.select("abatch", "wm_us")), Seq("abatch"))
+        .filter(expr("wm_us IS NULL OR ts_us >= wm_us"))
+        .localCheckpoint(true) // feeds both sides + the left census
+      val lft = kept.filter(expr("event_id % 2 = 0"))
+        .select(col("user_id"), col("event_id").as("leid"),
+          col("event_type").as("l_type"), col("ts_us").as("lts"))
+      val rgt = kept.filter(expr("event_id % 2 = 1"))
+        .select(col("user_id"), col("ts_us").as("rts"),
+          expr("ts_us DIV 300000000").as("bk"))
+      val pairs = lft
+        .withColumn("bk", explode(expr(
+          "array(lts DIV 300000000, lts DIV 300000000 + 1)")))
+        .join(rgt, Seq("user_id", "bk"))
+        .filter(expr("rts >= lts AND rts < lts + 300000000L"))
+        .groupBy("l_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("leid").as("n_left_matched"),
+          sum(expr("rts - lts")).as("gap_sum_us"))
+      lft.groupBy("l_type").agg(count(lit(1)).as("n_left_kept"))
+        .join(pairs, Seq("l_type"), "left")
+        .select(col("l_type"), col("n_left_kept"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_left_matched"), lit(0L)).as("n_left_matched"),
+          coalesce(col("gap_sum_us"), lit(0L)).as("gap_sum_us"))
+        .withColumn("match_share_bp",
+          expr("n_left_matched * 10000L div n_left_kept"))
+        .orderBy("l_type")
+    },
+    Some(s"""WITH prm AS (SELECT CAST(ceil(COUNT(*) / 1024.0) AS BIGINT) AS bsz
+                          FROM events),
+             a AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                    event_id // bsz + CASE WHEN
+                      ${Llm.md5U01Sql("'sjln_' || CAST(event_id AS VARCHAR)")} < 0.05
+                      THEN 8 ELSE 0 END AS abatch
+                   FROM events CROSS JOIN prm),
+             bm AS (SELECT abatch, MAX(ts_us) AS bmax FROM a GROUP BY abatch),
+             wm AS (SELECT abatch, MAX(bmax) OVER (ORDER BY abatch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      - 600000000 AS wm_us
+                    FROM bm),
+             k AS (SELECT a.* FROM a JOIN wm USING (abatch)
+                   WHERE wm_us IS NULL OR ts_us >= wm_us),
+             l AS (SELECT user_id, event_id AS leid, event_type AS l_type,
+                    ts_us AS lts
+                   FROM k WHERE event_id % 2 = 0),
+             r AS (SELECT user_id, ts_us AS rts FROM k WHERE event_id % 2 = 1),
+             p AS (SELECT l.l_type, l.leid, r.rts - l.lts AS gap
+                   FROM l JOIN r ON l.user_id = r.user_id
+                    AND r.rts >= l.lts AND r.rts < l.lts + 300000000),
+             ps AS (SELECT l_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(COUNT(DISTINCT leid) AS BIGINT) AS n_left_matched,
+                     CAST(SUM(gap) AS BIGINT) AS gap_sum_us
+                    FROM p GROUP BY l_type),
+             lc AS (SELECT l_type, CAST(COUNT(*) AS BIGINT) AS n_left_kept
+                    FROM l GROUP BY l_type)
+             SELECT lc.l_type, n_left_kept,
+              COALESCE(n_pairs, 0) AS n_pairs,
+              COALESCE(n_left_matched, 0) AS n_left_matched,
+              COALESCE(gap_sum_us, 0) AS gap_sum_us,
+              COALESCE(n_left_matched, 0) * 10000 // n_left_kept AS match_share_bp
+             FROM lc LEFT JOIN ps USING (l_type) ORDER BY lc.l_type"""))
+
   /** Reference-parity capstone (§0.1 steps 1–3 end to end): events are
     * packed into multi-record Lambda/Kinesis envelopes — the exact AWS
     * event shape, 100 records per envelope, payloads base64-wrapped —
@@ -1246,10 +1345,84 @@ object Etl {
             FROM g WHERE n_rows < 6
             ORDER BY n_rows DESC, nk, seg, bal_kb"""))
 
+  /** CDC APPLY — collapse an ordered insert/update/delete change log to
+    * final table state (r11; the Debezium/Delta `MERGE`-from-changelog
+    * verb, the lakehouse ingestion step between [[qEtlMerge]]'s two-sided
+    * upsert and [[qEtlScd2]]'s full history). The log is synthesized
+    * deterministically from orders — every key INSERTs at version 1, a
+    * 30% md5 cohort (salt `cdcu_`) UPDATEs at version 2 with +11.11
+    * price drift, a 10% cohort (salt `cdcd_`) DELETEs at version 3 — and
+    * the apply is a pure LAST-WRITER-WINS election per key on version
+    * order: one struct-extremum per key (the `q_agg_mode` rule), with
+    * tombstones erased AFTER the election (a delete must beat an earlier
+    * update, which a filter-before-election would get wrong). The
+    * declared result audits the apply per order status: live/deleted/
+    * update-won counts and the exact live cents sum proving WHICH
+    * version each surviving row carries.
+    *
+    * Scale shape: map-only 3-arm union off ONE scan (no dimension join;
+    * each arm is a filtered projection), one hash-agg election keyed by
+    * order key — the `q_stream_dedup` ingestion shape — then a ≤|status|
+    * rollup. At 100 TB the election shuffle carries only (key, version,
+    * op, cents) skinny rows, ~1.4 rows per key.
+    */
+  private val qEtlCdcApply = Q(
+    "q_etl_cdc_apply",
+    (s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr(s"""${Llm.md5U01Spark("concat('cdcu_', CAST(o_orderkey AS STRING))")}
+                   < 0.30D""").as("has_u"),
+          expr(s"""${Llm.md5U01Spark("concat('cdcd_', CAST(o_orderkey AS STRING))")}
+                   < 0.10D""").as("has_d"))
+      val ins = base.select(col("k"), col("status"), lit(1L).as("ver"),
+        lit("I").as("op"), col("cents"))
+      val upd = base.filter(col("has_u")).select(col("k"), col("status"),
+        lit(2L).as("ver"), lit("U").as("op"),
+        expr("cents + 1111L").as("cents"))
+      val del = base.filter(col("has_d")).select(col("k"), col("status"),
+        lit(3L).as("ver"), lit("D").as("op"),
+        lit(null).cast("long").as("cents"))
+      ins.unionByName(upd).unionByName(del)
+        .groupBy("k", "status")
+        .agg(max(struct(col("ver"), col("op"), col("cents"))).as("f"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(expr("CAST(f.op <> 'D' AS BIGINT)")).as("n_live"),
+          sum(expr("CAST(f.op = 'D' AS BIGINT)")).as("n_deleted"),
+          sum(expr("CAST(f.op = 'U' AS BIGINT)")).as("n_update_won"),
+          sum(expr("CASE WHEN f.op <> 'D' THEN f.cents ELSE 0L END"))
+            .as("live_cents"))
+        .orderBy("status")
+    },
+    Some(s"""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    ${Llm.md5U01Sql("'cdcu_' || CAST(o_orderkey AS VARCHAR)")}
+                      < 0.30 AS has_u,
+                    ${Llm.md5U01Sql("'cdcd_' || CAST(o_orderkey AS VARCHAR)")}
+                      < 0.10 AS has_d
+                   FROM orders),
+             log AS (SELECT k, status, 1 AS ver, 'I' AS op, cents FROM base
+                     UNION ALL
+                     SELECT k, status, 2, 'U', cents + 1111 FROM base WHERE has_u
+                     UNION ALL
+                     SELECT k, status, 3, 'D', NULL FROM base WHERE has_d),
+             fin AS (SELECT k, status,
+                      MAX(struct_pack(ver := ver, op := op, cents := cents)) AS f
+                     FROM log GROUP BY k, status)
+             SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+              CAST(SUM(CASE WHEN f.op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+              CAST(SUM(CASE WHEN f.op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+              CAST(SUM(CASE WHEN f.op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update_won,
+              CAST(SUM(CASE WHEN f.op <> 'D' THEN f.cents ELSE 0 END) AS BIGINT) AS live_cents
+             FROM fin GROUP BY status ORDER BY status"""))
+
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlManifest, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
     qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qEtlKanon, qEtlLdp,
+    qEtlCdcApply,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamLateDrop,
-    qStreamDedup)
+    qStreamDedup, qStreamJoin)
 }

@@ -258,6 +258,75 @@ object Graph {
              mean_src_deg, mean_dst_deg
             FROM cl CROSS JOIN tt ORDER BY jb, kb"""))
 
+  /** EXACT Pearson degree assortativity (r11 — completes what
+    * [[qGraphMixing]] deliberately substituted): on a SYMMETRIZED edge
+    * list (both orientations present, as `bipartiteEdges` stores it) the
+    * source- and destination-degree marginals are identical, so Newman's
+    * r = cov(j,k)/(σ_j·σ_k) collapses to NUM/DEN with
+    * NUM = M·Σjk − (Σj)² and DEN = M·Σj² − (Σj)² — NO sqrt anywhere,
+    * which is exactly the obstruction that forced the r10 mixing-matrix
+    * substitution (SURVEY §2.15: "the Pearson coefficient needs a sqrt").
+    * The second obstruction (raw moments overflow BIGINT at sf1.0,
+    * |E|·deg² ≈ 1e20) falls to the ADVICE-r10 widening discipline: every
+    * moment is accumulated in DECIMAL(38,0)/HUGEINT BEFORE the multiply.
+    * Output keeps sign and magnitude separate (r_sign, r_abs_bp) so both
+    * integer divisions run on non-negative operands — Spark `div`
+    * truncates toward zero while DuckDB `//` floors, and the two only
+    * agree on non-negatives (DEN ≥ 0 by Cauchy–Schwarz).
+    *
+    * Scale shape: ONE dst-degree equi-join on the persisted artifact +
+    * ONE map-combinable 5-moment agg; final frame is a single row.
+    */
+  private val qGraphAssortativity = Q(
+    "q_graph_assortativity",
+    (s, dir) => {
+      val e = bipartiteEdges(s, dir) // (src, dst, deg) with deg = deg(src)
+      val dd = e.select(col("src").as("dst"), col("deg").as("ddeg")).distinct()
+      e.join(dd, "dst")
+        .agg(count(lit(1)).as("m_d"),
+          sum(expr("CAST(deg AS DECIMAL(38, 0))")).as("sj"),
+          sum(expr("CAST(deg AS DECIMAL(38, 0)) * deg")).as("sjj"),
+          sum(expr("CAST(deg AS DECIMAL(38, 0)) * ddeg")).as("sjk"),
+          max("deg").as("max_deg"))
+        .withColumn("num", expr("CAST(m_d AS DECIMAL(38, 0)) * sjk - sj * sj"))
+        .withColumn("den", expr("CAST(m_d AS DECIMAL(38, 0)) * sjj - sj * sj"))
+        .select(
+          col("m_d").as("n_edges"),
+          col("max_deg"),
+          expr("(sj * 1000L) div m_d").as("mean_deg_milli"),
+          expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)")
+            .as("r_sign"),
+          expr("CASE WHEN den = 0 THEN 0L ELSE (abs(num) * 10000L) div den END")
+            .as("r_abs_bp"))
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            edges AS (SELECT c * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+                      UNION ALL
+                      SELECT sk * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+            deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            an AS (SELECT d1.deg AS deg, d2.deg AS ddeg
+                   FROM edges e JOIN deg d1 ON e.src = d1.src
+                   JOIN deg d2 ON e.dst = d2.src),
+            mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_d,
+                     SUM(CAST(deg AS HUGEINT)) AS sj,
+                     SUM(CAST(deg AS HUGEINT) * deg) AS sjj,
+                     SUM(CAST(deg AS HUGEINT) * ddeg) AS sjk,
+                     MAX(deg) AS max_deg
+                    FROM an),
+            rd AS (SELECT m_d, max_deg, sj,
+                    m_d * sjk - sj * sj AS num,
+                    m_d * sjj - sj * sj AS den
+                   FROM mom)
+            SELECT m_d AS n_edges, max_deg,
+             CAST(sj * 1000 // m_d AS BIGINT) AS mean_deg_milli,
+             CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+                  AS BIGINT) AS r_sign,
+             CAST(CASE WHEN den = 0 THEN 0
+                       ELSE abs(num) * 10000 // den END AS BIGINT) AS r_abs_bp
+            FROM rd"""))
+
   /** Per-node out-edge budget for the k-NN sparsification below. Each node
     * KEEPS ≤ TriKnn edges, so |E| ≤ n·TriKnn and average degree ≤ 2·TriKnn
     * (OR-survival means a popular node's IN-degree is not individually
@@ -896,6 +965,7 @@ object Graph {
               MAX(sz) AS top_comm_size
              FROM per CROSS JOIN mm"""))
 
-  val all: Seq[Q] = Seq(qGraphPagerank, qGraphHits, qGraphMixing, qGraphTriangles, qGraphLabelProp,
+  val all: Seq[Q] = Seq(qGraphPagerank, qGraphHits, qGraphMixing, qGraphAssortativity,
+    qGraphTriangles, qGraphLabelProp,
     qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist, qGraphBfs, qGraphModularity)
 }

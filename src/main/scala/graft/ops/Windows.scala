@@ -831,9 +831,85 @@ object Windows {
             FROM dv JOIN ma USING (event_type)
             GROUP BY dv.event_type ORDER BY dv.event_type"""))
 
+  /** THEIL–SEN robust trend slope of the daily volume series (r11 —
+    * Theil 1950 / Sen JASA'68; the median-of-pairwise-slopes estimator
+    * every monitoring stack reaches for when OLS is wrecked by the
+    * outlier days [[qWinMad]] flags — 29.3% breakdown point vs OLS's
+    * zero). Estimand: lower median of slope(i,j) = (v_j−v_i)/(day_j−day_i)
+    * over ALL day pairs i<j, reported in events/day micro-units.
+    *
+    * D1, integer-exact: each pairwise slope is floored to micro-units
+    * WITHOUT touching a float — Spark `div` truncates toward zero and
+    * DuckDB `//` floors, so the numerator is first shifted non-negative
+    * by `off = vmax·10⁶` per day of run ((v_j−v_i)·10⁶ + (day_j−day_i)·off
+    * ≥ 0 since |v_j−v_i| ≤ vmax), divided, then un-shifted; truncation
+    * equals floor on non-negatives, making the two engines bit-equal on
+    * negative slopes too. The median element is the (n+1) div 2-th row
+    * under the total order (slope, da, db) — deterministic through ties.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the per-day census; the
+    * pair frame is ≤|days|² — a CALENDAR dimension, constant in corpus
+    * size (the q_win_autocorr discipline) — so the registered bounded
+    * cross join and the registered partition-less rank window both run
+    * on a metadata-sized frame at any sf.
+    */
+  private val qWinTheilSen = Q(
+    "q_win_theil_sen",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("v"))
+        .localCheckpoint(true) // feeds vmax + both pair sides
+      val mx = daily.agg(max("v").as("vmax"), count(lit(1)).as("n_days"))
+      val pairs = daily.select(col("day").as("da"), col("v").as("va"))
+        .crossJoin(daily.select(col("day").as("db"), col("v").as("vb")))
+        .filter(col("db") > col("da"))
+        .crossJoin(broadcast(mx))
+        .withColumn("slope_micro", expr(
+          """((vb - va) * 1000000L + (db - da) * (vmax * 1000000L))
+             div (db - da) - vmax * 1000000L"""))
+      val ranked = pairs
+        .withColumn("rn", row_number().over(
+          Window.orderBy("slope_micro", "da", "db")))
+        .withColumn("np", count(lit(1)).over(
+          Window.orderBy("slope_micro", "da", "db")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      ranked
+        .agg(max("n_days").as("n_days"), max("np").as("n_pairs"),
+          min("slope_micro").as("min_slope_micro"),
+          max("slope_micro").as("max_slope_micro"),
+          max(expr("CASE WHEN rn = (np + 1L) div 2L THEN slope_micro END"))
+            .as("sen_slope_micro"))
+        .withColumn("trend_sign", expr(
+          "CAST(CASE WHEN sen_slope_micro > 0 THEN 1 WHEN sen_slope_micro < 0 THEN -1 ELSE 0 END AS BIGINT)"))
+    },
+    Some("""WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(COUNT(*) AS BIGINT) AS v
+                 FROM events GROUP BY 1),
+            mx AS (SELECT MAX(v) AS vmax, CAST(COUNT(*) AS BIGINT) AS n_days
+                   FROM dd),
+            pr AS (SELECT a.day AS da, b.day AS db,
+                    ((b.v - a.v) * 1000000 + (b.day - a.day) * (vmax * 1000000))
+                      // (b.day - a.day) - vmax * 1000000 AS slope_micro
+                   FROM dd a CROSS JOIN dd b CROSS JOIN mx
+                   WHERE b.day > a.day),
+            rk AS (SELECT slope_micro,
+                    ROW_NUMBER() OVER (ORDER BY slope_micro, da, db) AS rn,
+                    COUNT(*) OVER () AS np
+                   FROM pr)
+            SELECT (SELECT n_days FROM mx) AS n_days,
+             MAX(np) AS n_pairs,
+             MIN(slope_micro) AS min_slope_micro,
+             MAX(slope_micro) AS max_slope_micro,
+             MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_micro END) AS sen_slope_micro,
+             CAST(CASE WHEN MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_micro END) > 0 THEN 1
+                       WHEN MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_micro END) < 0 THEN -1
+                       ELSE 0 END AS BIGINT) AS trend_sign
+            FROM rk"""))
+
   val all: Seq[Q] = Seq(
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
     qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions, qWinCusum,
-    qWinHolt, qWinMad, qWinAutocorr, qWinChangepoint)
+    qWinHolt, qWinMad, qWinAutocorr, qWinChangepoint, qWinTheilSen)
 }

@@ -2698,4 +2698,126 @@ class InvariantsSpec extends SparkSpec {
       } finally docs.unpersist()
     } finally res.unpersist()
   }
+
+  // ------------------------------------------------------- r11 session-2
+
+  test("cdc apply: keys conserve, tombstones erased after the election, deletes replay the cohort") {
+    val out = SparkEntry.queries("q_etl_cdc_apply")(spark, sf).collect()
+    val orders = Tables(spark, sf, "orders")
+    assert(out.map(_.getAs[Long]("n_keys")).sum == orders.count(),
+      "per-status key census must cover every order exactly once")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_live") + r.getAs[Long]("n_deleted") ==
+        r.getAs[Long]("n_keys"), "live + deleted must tile the keys")
+      assert(r.getAs[Long]("n_update_won") <= r.getAs[Long]("n_live"),
+        "an update can only win on a live row (a later delete erases it)")
+    }
+    // the delete verb always carries the highest version, so the deleted
+    // census must equal the raw cohort regardless of update overlap
+    val nDel = orders.filter(expr(
+      s"${ops.Llm.md5U01Spark("concat('cdcd_', CAST(o_orderkey AS STRING))")} < 0.10D")).count()
+    assert(out.map(_.getAs[Long]("n_deleted")).sum == nDel,
+      "deleted keys must replay the cdcd_ cohort exactly")
+  }
+
+  test("temporal split: censuses tile the corpus and the embargo is non-degenerate") {
+    val r = SparkEntry.queries("q_split_temporal")(spark, sf).collect()(0)
+    val total = Tables.events(spark, sf).count()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_embargo") +
+      r.getAs[Long]("n_test") == total, "split censuses must tile the corpus")
+    assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_embargo") > 0 &&
+      r.getAs[Long]("n_test") > 0, "all three regions must be populated")
+    assert(r.getAs[Long]("users_both") <=
+      math.min(r.getAs[Long]("users_train"), r.getAs[Long]("users_test")),
+      "overlap cannot exceed either side")
+    assert(r.getAs[Long]("leak_bp") ==
+      r.getAs[Long]("users_both") * 10000L / r.getAs[Long]("users_test"),
+      "leak share must replay from the user censuses")
+  }
+
+  test("weighted sampling is actually weighted: selected mean sits well above the corpus mean") {
+    val sel = SparkEntry.queries("q_sample_weighted")(spark, scaleDir)
+    val selMean = sel.agg(avg("cents")).collect()(0).getDouble(0)
+    val corpusMean = Tables(spark, scaleDir, "orders")
+      .agg(avg(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect()(0).getDouble(0)
+    assert(selMean > corpusMean * 1.15,
+      s"A-ES with weight=cents must oversample big orders: selected mean " +
+        s"$selMean vs corpus mean $corpusMean")
+  }
+
+  test("theil-sen median replays exactly from the collected daily census") {
+    val out = SparkEntry.queries("q_win_theil_sen")(spark, sf).collect()(0)
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("v"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("v")))
+      .sortBy(_._1)
+    val slopes = for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield Math.floorDiv((daily(j)._2 - daily(i)._2) * 1000000L,
+      daily(j)._1 - daily(i)._1)
+    val sorted = slopes.sorted
+    assert(out.getAs[Long]("n_pairs") == slopes.size.toLong)
+    assert(out.getAs[Long]("sen_slope_micro") == sorted((slopes.size + 1) / 2 - 1),
+      "engine lower median must equal the driver replay")
+    assert(out.getAs[Long]("min_slope_micro") == sorted.head &&
+      out.getAs[Long]("max_slope_micro") == sorted.last)
+  }
+
+  test("stream join: conservation, window bounds, and the late drop actually bites") {
+    val out = SparkEntry.queries("q_stream_join")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_left_matched") <= r.getAs[Long]("n_left_kept"))
+      assert(r.getAs[Long]("n_left_matched") <= r.getAs[Long]("n_pairs"))
+      val pairs = r.getAs[Long]("n_pairs")
+      val gap = r.getAs[Long]("gap_sum_us")
+      assert(gap >= 0L && gap < pairs.max(1L) * 300000000L,
+        "every pair gap must sit inside [0, 5 min)")
+    }
+    assert(out.map(_.getAs[Long]("n_pairs")).sum > 0, "the fixture must produce pairs")
+    val evenTotal = Tables.events(spark, sf).filter(expr("event_id % 2 = 0")).count()
+    assert(out.map(_.getAs[Long]("n_left_kept")).sum < evenTotal,
+      "some late left rows must actually be dropped by the watermark")
+  }
+
+  test("assortativity: sign agrees with the r10 mixing measurement and replays from raw moments") {
+    val r = SparkEntry.queries("q_graph_assortativity")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("r_sign") == -1L,
+      "bipartite buyer-supplier mixing was measured disassortative (SURVEY mixing row)")
+    val bp = r.getAs[Long]("r_abs_bp")
+    assert(bp > 0L && bp <= 10000L, s"|r| in (0, 1]: got $bp bp")
+    // independent replay: rebuild the symmetrized edge list and the
+    // BigInt moments driver-side (sf0.001 graph is tiny)
+    val pairs = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
+      .join(Tables(spark, sf, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
+    val edges = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val md = BigInt(edges.length)
+    val sj = edges.map(e => BigInt(deg(e._1))).sum
+    val sjj = edges.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+    val sjk = edges.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val num = md * sjk - sj * sj
+    val den = md * sjj - sj * sj
+    assert(r.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(BigInt(r.getAs[Long]("r_abs_bp")) == num.abs * 10000 / den,
+      "engine bp must equal the BigInt replay")
+    assert(num < 0, "replayed numerator must be negative (disassortative)")
+  }
+
+  test("cramers v rides the chisq census: identical chi2 and exact normalization") {
+    val chi = SparkEntry.queries("q_agg_chisq")(spark, sf).collect()(0)
+    val v = SparkEntry.queries("q_agg_cramers_v")(spark, sf).collect()(0)
+    assert(v.getAs[Long]("chi2_micro") == chi.getAs[Long]("chi2_micro"),
+      "one contingency census, one chi2 — the two declared views cannot drift")
+    val k = math.min(v.getAs[Long]("n_sources"), v.getAs[Long]("n_langs")) - 1
+    assert(v.getAs[Long]("v2_ppm") ==
+      v.getAs[Long]("chi2_micro") / (v.getAs[Long]("n_docs") * k))
+    assert(v.getAs[Long]("phi2_ppm") ==
+      v.getAs[Long]("chi2_micro") / v.getAs[Long]("n_docs"))
+    assert(v.getAs[Long]("v2_ppm") <= 1000000L, "V^2 is bounded by 1")
+  }
 }

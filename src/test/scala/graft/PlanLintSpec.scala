@@ -75,6 +75,17 @@ class PlanLintSpec extends SparkSpec {
       // the events scan to derive each row's arrival batch; the
       // watermark attach proper is a broadcast EQUI-join on abatch
       "q_stream_late_drop",
+      // same 1-row arrival-batch-size broadcast as q_stream_late_drop;
+      // the pair join proper is a bucket EQUI-join on (user_id, bk)
+      "q_stream_join",
+      // all-pairs frame over the ≤|days| daily census — a CALENDAR
+      // dimension, constant in corpus size (the q_win_autocorr class);
+      // plus the 1-row (vmax, n_days) broadcast for the slope shift
+      "q_win_theil_sen",
+      // 1-row calendar-bounds broadcast fanned onto the scan for the
+      // cut-day flags (the q_agg_decay class) + the two 1-row census
+      // frames assembled by a scalar cross join (the q_dedup_eval class)
+      "q_split_temporal",
       // 1-row broadcast (tot_t, tot_r) fanned onto the 1024-row hashed
       // model; the corpus-sized scoring join is a broadcast EQUI-join
       // on the feature id, asserted separately below
@@ -169,6 +180,8 @@ class PlanLintSpec extends SparkSpec {
       // 1-row broadcast N fanned onto the <= |sources|x|langs| cell
       // frame for the exact deviation arithmetic
       "q_agg_chisq",
+      // same census, same 1-row N broadcast (the V^2 normalization view)
+      "q_agg_cramers_v",
       // 1-row broadcasts ((n, S) totals; the 3-row lag list) fanned
       // onto the <= |days| daily deviation frame; the lag alignment
       // itself is a calendar-keyed EQUI-join
@@ -233,7 +246,12 @@ class PlanLintSpec extends SparkSpec {
       // the watermark-trajectory running max over the FIXED 1024-batch
       // arrival-max census (bounded by construction — the batch count
       // is a constant, not a corpus dimension)
-      "q_stream_late_drop" -> 1)
+      "q_stream_late_drop" -> 1,
+      // the same 1024-row watermark-trajectory running max
+      "q_stream_join" -> 1,
+      // median rank + full-frame count over the ≤|days|² calendar pair
+      // frame (two specs — Catalyst may or may not fuse them)
+      "q_win_theil_sen" -> 2)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
