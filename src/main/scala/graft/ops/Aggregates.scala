@@ -1166,8 +1166,14 @@ object Aggregates {
         expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
       li.groupBy("flag")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
-          sum(expr("y * y")).as("syy"))
+          // moment sums widened BEFORE the multiply: Σy² reaches
+          // y²·n ≈ 2.25e10·n, crossing 2⁶³ near n ≈ 4e8 rows per flag —
+          // Spark's BIGINT sum wraps silently there while DuckDB's SUM
+          // auto-widens to HUGEINT (the ADVICE r10 parity class); the
+          // doubles the corr formula reads are identical either way
+          sum(expr("CAST(x AS DECIMAL(38, 0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38, 0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38, 0)) * y")).as("syy"))
         .withColumn("corr6", expr(
           "floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
             "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
@@ -1182,9 +1188,9 @@ object Aggregates {
              FROM lineitem),
             m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-                   CAST(SUM(x * y) AS BIGINT) AS sxy,
-                   CAST(SUM(x * x) AS BIGINT) AS sxx,
-                   CAST(SUM(y * y) AS BIGINT) AS syy
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
                   FROM t GROUP BY flag)
             SELECT flag, n,
              floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
@@ -1578,7 +1584,11 @@ object Aggregates {
       val nn = cont.agg(sum("o").as("nn"))
       cont.join(rm, "source").join(cm, "lang")
         .crossJoin(broadcast(nn))
-        .withColumn("d", expr("o * nn - r * c"))
+        // deviation widened BEFORE the multiply: o·N ≈ (n/cells)·n is
+        // n²-scale, wrapping BIGINT past n ≈ 2e11 docs in Spark where
+        // DuckDB errors (the ADVICE r10 parity class); d only feeds the
+        // bit-identical double contribution, so nothing downstream moves
+        .withColumn("d", expr("CAST(o AS DECIMAL(38, 0)) * nn - CAST(r AS DECIMAL(38, 0)) * c"))
         .withColumn("contrib_micro", expr(
           "CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * 1000000D " +
             "/ (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))) AS BIGINT)"))
@@ -1601,7 +1611,8 @@ object Aggregates {
             cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM ct GROUP BY lang),
             nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM ct),
             cell AS (SELECT ct.source, ct.lang,
-                      o * nn.nn - r * c AS d, r, c, nn.nn AS nn
+                      CAST(o AS HUGEINT) * nn.nn - CAST(r AS HUGEINT) * c AS d,
+                      r, c, nn.nn AS nn
                      FROM ct JOIN rm USING (source) JOIN cm USING (lang)
                      CROSS JOIN nn),
             sc AS (SELECT source, lang, nn,
@@ -1650,7 +1661,11 @@ object Aggregates {
       val nn = cont.agg(sum("o").as("nn"))
       cont.join(rm, "source").join(cm, "lang")
         .crossJoin(broadcast(nn))
-        .withColumn("d", expr("o * nn - r * c"))
+        // deviation widened BEFORE the multiply: o·N ≈ (n/cells)·n is
+        // n²-scale, wrapping BIGINT past n ≈ 2e11 docs in Spark where
+        // DuckDB errors (the ADVICE r10 parity class); d only feeds the
+        // bit-identical double contribution, so nothing downstream moves
+        .withColumn("d", expr("CAST(o AS DECIMAL(38, 0)) * nn - CAST(r AS DECIMAL(38, 0)) * c"))
         .withColumn("contrib_micro", expr(
           "CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * 1000000D " +
             "/ (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))) AS BIGINT)"))
@@ -1673,8 +1688,8 @@ object Aggregates {
             cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM ct GROUP BY lang),
             nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM ct),
             sc AS (SELECT ct.source, ct.lang, nn.nn,
-                    CAST(FLOOR(CAST(o * nn.nn - r * c AS DOUBLE)
-                      * CAST(o * nn.nn - r * c AS DOUBLE) * 1000000
+                    CAST(FLOOR(CAST(CAST(o AS HUGEINT) * nn.nn - CAST(r AS HUGEINT) * c AS DOUBLE)
+                      * CAST(CAST(o AS HUGEINT) * nn.nn - CAST(r AS HUGEINT) * c AS DOUBLE) * 1000000
                       / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
                          * CAST(nn.nn AS DOUBLE))) AS BIGINT) AS contrib_micro
                    FROM ct JOIN rm USING (source) JOIN cm USING (lang)
@@ -1728,20 +1743,27 @@ object Aggregates {
         .withColumn("cuma", sum("ca").over(w))
         .withColumn("cumb", sum("cb").over(w))
         .crossJoin(broadcast(tot))
-        .withColumn("dn", abs(col("cuma") * col("tb") - col("cumb") * col("ta")))
+        // the gap product ITSELF widened, not just its consumers: cumA·nB
+        // reaches nA·nB even when the gap is tiny, so the BIGINT product
+        // wraps near nA ≈ nB ≈ 3e9 while the declared outputs are still
+        // comfortably in range — Spark wraps silently where DuckDB
+        // errors (the ADVICE r10 parity class). With dn carried in
+        // DECIMAL(38)/HUGEINT, every declared column is exact over the
+        // schema's whole domain nA·nB < 2⁶³ (d_num ≤ nA·nB by
+        // construction, so its BIGINT printout saturates only where the
+        // schema itself does)
+        .withColumn("dn", expr(
+          "abs(CAST(cuma AS DECIMAL(38, 0)) * tb - CAST(cumb AS DECIMAL(38, 0)) * ta)"))
         .agg(max("ta").as("n_a"), max("tb").as("n_b"),
           max(struct(col("dn"), col("cents")).as("x")).as("pk"))
         .select(col("n_a"), col("n_b"),
-          col("pk.dn").as("d_num"), col("pk.cents").as("at_cents"))
-        // numerator widened like the significance comparison below:
-        // d_num reaches nA·nB, so d_num·10⁴ crosses 2⁶³ near nA ≈ nB ≈
-        // 10⁹·√10 — Spark would wrap silently where DuckDB errors
-        // (ADVICE r10); div on DECIMAL operands still yields BIGINT
+          col("pk.dn").as("dnw"), col("pk.cents").as("at_cents"))
         .withColumn("d_bp", expr(
-          "(CAST(d_num AS DECIMAL(38, 0)) * 10000L) div (CAST(n_a AS DECIMAL(38, 0)) * n_b)"))
+          "(dnw * 10000L) div (CAST(n_a AS DECIMAL(38, 0)) * n_b)"))
         .withColumn("significant", expr(
-          """CAST(CAST(d_num AS DECIMAL(38, 0)) * d_num * 1000000L
+          """CAST(dnw * dnw * 1000000L
                >= 1844164BD * (n_a + n_b) * n_a * n_b AS BIGINT)"""))
+        .withColumn("d_num", expr("CAST(dnw AS BIGINT)"))
         .select("n_a", "n_b", "d_num", "d_bp", "at_cents", "significant")
     },
     Some(s"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
@@ -1760,9 +1782,11 @@ object Aggregates {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
                    FROM h),
              pk AS (SELECT MAX(struct_pack(
-                     dn := abs(cuma * t.n_b - cumb * t.n_a), cents := cents)) AS x
+                     dn := abs(CAST(cuma AS HUGEINT) * t.n_b
+                               - CAST(cumb AS HUGEINT) * t.n_a),
+                     cents := cents)) AS x
                     FROM c CROSS JOIN t)
-             SELECT t.n_a, t.n_b, x.dn AS d_num,
+             SELECT t.n_a, t.n_b, CAST(x.dn AS BIGINT) AS d_num,
               CAST((CAST(x.dn AS HUGEINT) * 10000)
                    // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS d_bp,
               x.cents AS at_cents,
@@ -1908,8 +1932,13 @@ object Aggregates {
           sum(expr("CASE WHEN arm = 1 THEN 1L ELSE 0L END")).as("n_b"),
           sum(expr("CASE WHEN arm = 0 THEN vm ELSE 0L END")).as("sa"),
           sum(expr("CASE WHEN arm = 1 THEN vm ELSE 0L END")).as("sb"),
-          sum(expr("CASE WHEN arm = 0 THEN vm * vm ELSE 0L END")).as("qa"),
-          sum(expr("CASE WHEN arm = 1 THEN vm * vm ELSE 0L END")).as("qb"))
+          // second moments widened BEFORE the multiply: Σvm² ≤ 1e6·n
+          // crosses 2⁶³ near n ≈ 9e12 events per type — Spark's BIGINT
+          // sum wraps silently there while DuckDB's SUM auto-widens to
+          // HUGEINT (the ADVICE r10 parity class); every downstream
+          // div collapses back to BIGINT-bounded values
+          sum(expr("CASE WHEN arm = 0 THEN CAST(vm AS DECIMAL(38, 0)) * vm ELSE 0 END")).as("qa"),
+          sum(expr("CASE WHEN arm = 1 THEN CAST(vm AS DECIMAL(38, 0)) * vm ELSE 0 END")).as("qb"))
         .withColumn("mean_a_milli", expr("sa div n_a"))
         .withColumn("var_a", expr("qa div n_a - (sa div n_a) * (sa div n_a)"))
         .withColumn("var_b", expr("qb div n_b - (sb div n_b) * (sb div n_b)"))
@@ -1941,8 +1970,8 @@ object Aggregates {
                    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                    CAST(SUM(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS sa,
                    CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS sb,
-                   CAST(SUM(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS qa,
-                   CAST(SUM(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS qb
+                   SUM(CASE WHEN arm = 0 THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS qa,
+                   SUM(CASE WHEN arm = 1 THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS qb
                   FROM e GROUP BY event_type),
             v AS (SELECT event_type, n_a, n_b,
                    CAST(sa // n_a AS BIGINT) AS mean_a_milli,
@@ -1975,8 +2004,13 @@ object Aggregates {
           sum(expr("CASE WHEN arm = 1 THEN 1L ELSE 0L END")).as("n_b"),
           sum(expr("CASE WHEN arm = 0 THEN vm ELSE 0L END")).as("sa"),
           sum(expr("CASE WHEN arm = 1 THEN vm ELSE 0L END")).as("sb"),
-          sum(expr("CASE WHEN arm = 0 THEN vm * vm ELSE 0L END")).as("qa"),
-          sum(expr("CASE WHEN arm = 1 THEN vm * vm ELSE 0L END")).as("qb"))
+          // second moments widened BEFORE the multiply: Σvm² ≤ 1e6·n
+          // crosses 2⁶³ near n ≈ 9e12 events per type — Spark's BIGINT
+          // sum wraps silently there while DuckDB's SUM auto-widens to
+          // HUGEINT (the ADVICE r10 parity class); every downstream
+          // div collapses back to BIGINT-bounded values
+          sum(expr("CASE WHEN arm = 0 THEN CAST(vm AS DECIMAL(38, 0)) * vm ELSE 0 END")).as("qa"),
+          sum(expr("CASE WHEN arm = 1 THEN CAST(vm AS DECIMAL(38, 0)) * vm ELSE 0 END")).as("qb"))
         .select(col("event_type"), col("n_a"), col("n_b"),
           expr("sa div n_a").as("mean_a_milli"),
           expr("sb div n_b").as("mean_b_milli"),
@@ -1998,8 +2032,8 @@ object Aggregates {
                    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                    CAST(SUM(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS sa,
                    CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS sb,
-                   CAST(SUM(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS qa,
-                   CAST(SUM(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS qb
+                   SUM(CASE WHEN arm = 0 THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS qa,
+                   SUM(CASE WHEN arm = 1 THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS qb
                   FROM e GROUP BY event_type)
             SELECT event_type, n_a, n_b,
              CAST(sa // n_a AS BIGINT) AS mean_a_milli,

@@ -516,10 +516,16 @@ object Etl {
     * trajectory as late_drop (5% late, salt `sjln_`; the watermark is
     * GLOBAL across inputs — min over sides — exactly Spark's multi-input
     * advance), drops each side's late rows, and interval-joins the
-    * survivors. Declared approximation, documented: filter-late-then-join
-    * equals the live operator whenever watermark delay (10 min) ≥ join
-    * range (5 min), boundary ties excepted — state for an on-time row
-    * cannot be evicted while a joinable partner is still on time.
+    * survivors. Live twin: `graft.streaming.Pipeline.attribution` (the
+    * same watermarked interval-join shape on clicks↔purchases);
+    * StreamingSpec MEASURES the equivalence — Spark's watermark node
+    * filters each side's input below the global watermark BEFORE the
+    * join sees it, so the live operator IS drop-late-then-interval-join
+    * as long as both sides carry the shared watermark trajectory (the
+    * replay's construction). The one divergence the spec documents: an
+    * IDLE side pins the global watermark (min across nodes) at its
+    * unset floor, letting late rows through — a single-stream split like
+    * this replay never idles one side.
     *
     * Scale shape: the join is bucket-equi, never a range scan — the left
     * side explodes its two candidate 5-min buckets (map-only ×2), the
@@ -557,9 +563,14 @@ object Etl {
         .join(rgt, Seq("user_id", "bk"))
         .filter(expr("rts >= lts AND rts < lts + 300000000L"))
         .groupBy("l_type")
+        // gap sum widened: Σ(rts−lts) ≤ n_pairs·3e8 crosses 2⁶³ near
+        // 3e10 pairs — Spark wraps silently where DuckDB's SUM
+        // auto-widens (ADVICE r10 parity class); the BIGINT printout
+        // saturates only there, exactly like the oracle's final CAST
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct("leid").as("n_left_matched"),
-          sum(expr("rts - lts")).as("gap_sum_us"))
+          expr("CAST(sum(CAST(rts - lts AS DECIMAL(38, 0))) AS BIGINT)")
+            .as("gap_sum_us"))
       lft.groupBy("l_type").agg(count(lit(1)).as("n_left_kept"))
         .join(pairs, Seq("l_type"), "left")
         .select(col("l_type"), col("n_left_kept"),

@@ -290,6 +290,75 @@ object Joins {
             WHERE event_type = 'purchase'
             ORDER BY user_id, ts_us, event_id"""))
 
+  /** AS-OF join with a TOLERANCE window (r11 — pandas
+    * `merge_asof(tolerance=...)` / kdb `wj` within-window semantics: an
+    * attribution system does not credit a click from last month). Each
+    * purchase takes the latest same-user click at/before it ONLY if
+    * that click is ≤ 30 min old; older matches are STALE (a prior
+    * click exists but outside the window), purchases with no prior
+    * click are ORPHAN — the three-way census every attribution report
+    * opens with, plus the exact matched-gap sum proving WHICH click won.
+    *
+    * Scale shape: identical to [[qJoinAsof]] — union + per-user running
+    * MAX window, ONE shuffle on user_id, no self-join; the tolerance is
+    * a map-side CASE after the window, and the census is a 1-row agg.
+    * The gap sum is widened (Σgap ≤ n·1.8e9 crosses 2⁶³ near 5e9
+    * matched purchases — the ADVICE r10 parity class).
+    */
+  private val qJoinAsofTolerance = Q(
+    "q_join_asof_tolerance",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"),
+          when(col("event_type") === "click", col("ts_us")).as("click_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("is_click").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_us", max("click_ts").over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("bucket", expr(
+          """CASE WHEN last_click_us IS NULL THEN 2L
+                  WHEN ts_us - last_click_us <= 1800000000L THEN 0L
+                  ELSE 1L END"""))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("CAST(bucket = 0 AS BIGINT)")).as("n_matched"),
+          sum(expr("CAST(bucket = 1 AS BIGINT)")).as("n_stale"),
+          sum(expr("CAST(bucket = 2 AS BIGINT)")).as("n_orphan"),
+          expr("""CAST(sum(CASE WHEN bucket = 0
+               THEN CAST(ts_us - last_click_us AS DECIMAL(38, 0))
+               ELSE 0 END) AS BIGINT)""").as("matched_gap_sum_us"))
+        .withColumn("match_share_bp",
+          expr("n_matched * 10000L div n_purchases"))
+    },
+    Some("""WITH u AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+                     CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_ts
+              FROM events WHERE event_type IN ('click','purchase')),
+            p AS (SELECT ts_us, last_click_us,
+                   CASE WHEN last_click_us IS NULL THEN 2
+                        WHEN ts_us - last_click_us <= 1800000000 THEN 0
+                        ELSE 1 END AS bucket
+                  FROM (
+              SELECT event_id, ts_us, event_type,
+                     MAX(click_ts) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, is_click DESC, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+              FROM u) t
+                  WHERE event_type = 'purchase')
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+             CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+             CAST(SUM(CASE WHEN bucket = 0 THEN ts_us - last_click_us
+                      ELSE 0 END) AS BIGINT) AS matched_gap_sum_us,
+             CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) * 10000
+                  // COUNT(*) AS BIGINT) AS match_share_bp
+            FROM p"""))
+
   private val qJoinStar = Q(
     "q_join_star",
     (s, dir) => {
@@ -608,6 +677,7 @@ object Joins {
   val all: Seq[Q] = Seq(
     qJoinInnerBroadcast, qJoinInnerShuffle, qJoinLeftOuter, qJoinFullOuter,
     qJoinLeftSemi, qJoinLeftAnti, qJoinCross, qJoinThetaRange, qJoinAsof,
+    qJoinAsofTolerance,
     qJoinStar, qJoinNullSafe, qJoinSkewSalted, qJoinBucketColocated,
     qJoinIntervalOverlap, qJoinBloomPrune, qJoinDpp)
 }

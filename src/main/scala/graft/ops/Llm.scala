@@ -5613,27 +5613,36 @@ object Llm {
       val xq = pcaCells(s, dir)
       // v0 = all-ones: s_i degenerates to the row's component sum
       val si = xq.groupBy("vec_id").agg(sum("xq").as("s"))
+      // image and Rayleigh sums widened BEFORE the multiply: the per-row
+      // products are d-bounded (s ≤ d·10³) but their corpus sums are
+      // n-scale — Σs² crosses 2⁶³ near n ≈ 2e9 vectors, where Spark's
+      // BIGINT sum wraps silently and DuckDB's auto-HUGEINT sum then
+      // errors on the BIGINT cast (the ADVICE r10 parity class). The
+      // declared BIGINT printouts saturate only where the schema itself
+      // does; v1_milli is computed from the DECIMAL image, so the
+      // direction stays exact to that same bound
       val w = xq.join(si, "vec_id")
-        .groupBy("dim").agg(sum(expr("xq * s")).as("w_raw"))
-      val lam = si.agg(sum(expr("s * s")).as("ss"))
+        .groupBy("dim").agg(sum(expr("CAST(xq AS DECIMAL(38, 0)) * s")).as("w_raw"))
+      val lam = si.agg(sum(expr("CAST(s AS DECIMAL(38, 0)) * s")).as("ss"))
       val mx = w.agg(max(abs(col("w_raw"))).as("mw"))
       w.crossJoin(broadcast(mx)).crossJoin(broadcast(lam))
-        .select(col("dim").cast("long").as("dim"), col("w_raw"),
+        .select(col("dim").cast("long").as("dim"),
+          expr("CAST(w_raw AS BIGINT)").as("w_raw"),
           expr("w_raw * 1000L div greatest(1L, mw)").as("v1_milli"),
-          col("ss").as("rayleigh_num"))
+          expr("CAST(ss AS BIGINT)").as("rayleigh_num"))
         .orderBy("dim")
     },
     Some("""WITH xq AS (SELECT vec_id, u.j AS dim,
                    CAST(FLOOR(CAST(embedding[CAST(u.j AS INT) + 1] AS DOUBLE) * 1000) AS BIGINT) AS xq
                   FROM embeddings, unnest(range(len(embedding))) u(j)),
             si AS (SELECT vec_id, CAST(SUM(xq) AS BIGINT) AS s FROM xq GROUP BY vec_id),
-            w AS (SELECT dim, CAST(SUM(xq.xq * si.s) AS BIGINT) AS w_raw
+            w AS (SELECT dim, SUM(CAST(xq.xq AS HUGEINT) * si.s) AS w_raw
                   FROM xq JOIN si USING (vec_id) GROUP BY dim),
-            lam AS (SELECT CAST(SUM(s * s) AS BIGINT) AS ss FROM si),
-            mx AS (SELECT CAST(MAX(abs(w_raw)) AS BIGINT) AS mw FROM w)
-            SELECT CAST(dim AS BIGINT) AS dim, w_raw,
+            lam AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS ss FROM si),
+            mx AS (SELECT MAX(abs(w_raw)) AS mw FROM w)
+            SELECT CAST(dim AS BIGINT) AS dim, CAST(w_raw AS BIGINT) AS w_raw,
              CAST(w_raw * 1000 // greatest(1, mw) AS BIGINT) AS v1_milli,
-             ss AS rayleigh_num
+             CAST(ss AS BIGINT) AS rayleigh_num
             FROM w CROSS JOIN mx CROSS JOIN lam ORDER BY dim"""))
 
   /** Oversampling factor ℓ for the k-means‖ init round: the paper's
@@ -5733,9 +5742,10 @@ object Llm {
         .groupBy("vec_id").agg(sum(expr("xq * vj")).as("s"))
         .localCheckpoint(true) // consumers: w pass + Rayleigh numerator
       val wRows = xq.join(si, "vec_id")
-        .groupBy("dim").agg(sum(expr("xq * s")).as("w"))
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
-      val num = BigInt(si.agg(sum(expr("s * s"))).collect()(0).getLong(0))
+        .groupBy("dim").agg(sum(expr("CAST(xq AS DECIMAL(38, 0)) * s")).as("w"))
+        .collect().map(r => (r.getInt(0), r.getDecimal(1).longValueExact()))
+      val num = BigInt(si.agg(sum(expr("CAST(s AS DECIMAL(38, 0)) * s")))
+        .collect()(0).getDecimal(0).toBigInteger)
       val den = v.map(x => BigInt(x) * BigInt(x)).sum
       out += ((v.clone(), num, den))
       val w = Array.fill(d)(0L)

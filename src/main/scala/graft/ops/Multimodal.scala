@@ -296,7 +296,98 @@ object Multimodal {
             FROM al JOIN ch ON al.doc_id = ch.doc_id AND al.chunk_id = ch.chunk_id
             ORDER BY al.doc_id, frame_idx"""))
 
+  /** The fixed training-bucket list for [[qMultimodalArBucket]]:
+    * (width, height) pairs spanning portrait→landscape at a constant
+    * ~0.26 MP budget — the SDXL-style resolution grid. Constants, so
+    * both engines inline the same 7-row frame.
+    */
+  private val ArBuckets = Seq(
+    (512L, 1024L), (576L, 832L), (640L, 768L), (704L, 704L),
+    (768L, 640L), (832L, 576L), (1024L, 512L))
+
+  /** ASPECT-RATIO BUCKETING (r11 — the vision-training batch-shape
+    * assignment popularized by NovelAI's SD fine-tune and SDXL
+    * (Podell et al. 2023 §2.3): batches must share one resolution, so
+    * every image is routed to the nearest-aspect bucket of a fixed
+    * grid, and the padding/crop waste per bucket is THE datapoint that
+    * decides the grid). The fixture carries no real pixels, so (w, h)
+    * are synthesized deterministically from doc_id (pure integer
+    * arithmetic — the same stub discipline as [[decodeStub]]); the
+    * OPERATOR — nearest-bucket election + waste audit — is real.
+    *
+    * D1: aspect ratios compared in floored milli-units (ar_milli =
+    * w·1000 div h, constants likewise) — no float division; nearest
+    * bucket = min(struct(|ar−bar|, idx)) with the index tie-break (the
+    * `q_agg_mode` rule); crop waste per image = |ar−bar|·10⁴ div
+    * max(ar, bar) — the fraction of the long edge cropped when
+    * center-cropping into the bucket, exact integer.
+    *
+    * Scale shape: map-only (w, h) synth + a 7-row constant-list fanout
+    * (posexplode of a literal array — no join at all) + one
+    * min-election keyed doc + ONE ≤7-row census. At 100 TB this is one
+    * pass over image metadata.
+    */
+  private val qMultimodalArBucket = Q(
+    "q_multimodal_ar_bucket",
+    (s, dir) => {
+      val bws = ArBuckets.map(_._1).mkString(",")
+      val bhs = ArBuckets.map(_._2).mkString(",")
+      val img = assets(s, dir).filter(col("format") === "image")
+        .select(col("doc_id"),
+          expr("256L + (doc_id * 7919L) % 1024L").as("w"),
+          expr("256L + (doc_id * 104729L) % 1024L").as("h"))
+        .withColumn("ar", expr("w * 1000L div h"))
+      val elected = img
+        .select(col("doc_id"), col("w"), col("h"), col("ar"),
+          posexplode(expr(s"arrays_zip(array($bws), array($bhs))"))
+            .as(Seq("idx", "bk")))
+        .withColumn("bar", expr("bk.`0` * 1000L div bk.`1`"))
+        .groupBy("doc_id")
+        .agg(max("ar").as("ar"),
+          min(struct(abs(col("ar") - col("bar")).as("d"),
+            col("idx").cast("long").as("idx"), col("bar").as("bar"))).as("e"))
+      val tot = elected.agg(count(lit(1)).as("n_images"))
+      elected
+        .withColumn("waste_bp", expr(
+          "e.d * 10000L div greatest(ar, e.bar)"))
+        .groupBy(col("e.idx").as("bucket_idx"), col("e.bar").as("bucket_ar_milli"))
+        .agg(count(lit(1)).as("n_in_bucket"),
+          sum("waste_bp").as("waste_bp_sum"),
+          max("waste_bp").as("waste_bp_max"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket_idx"), col("bucket_ar_milli"), col("n_in_bucket"),
+          expr("n_in_bucket * 10000L div n_images").as("share_bp"),
+          expr("waste_bp_sum div n_in_bucket").as("waste_bp_mean"),
+          col("waste_bp_max"))
+        .orderBy("bucket_idx")
+    },
+    Some(s"""WITH img AS (SELECT doc_id,
+                    256 + (doc_id * 7919) % 1024 AS w,
+                    256 + (doc_id * 104729) % 1024 AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+             ar AS (SELECT doc_id, w * 1000 // h AS ar FROM img),
+             bk AS (SELECT u.idx - 1 AS idx,
+                     u.bw * 1000 // u.bh AS bar
+                    FROM (SELECT unnest([${ArBuckets.map(_._1).mkString(",")}]) AS bw,
+                           unnest([${ArBuckets.map(_._2).mkString(",")}]) AS bh,
+                           generate_subscripts([${ArBuckets.map(_._1).mkString(",")}], 1) AS idx) u),
+             el AS (SELECT doc_id, MAX(ar) AS ar,
+                     MIN(struct_pack(d := abs(ar - bar), idx := idx, bar := bar)) AS e
+                    FROM ar CROSS JOIN bk GROUP BY doc_id),
+             ws AS (SELECT doc_id, ar, e,
+                     e.d * 10000 // greatest(ar, e.bar) AS waste_bp
+                    FROM el),
+             tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_images FROM el)
+             SELECT CAST(e.idx AS BIGINT) AS bucket_idx,
+              CAST(e.bar AS BIGINT) AS bucket_ar_milli,
+              CAST(COUNT(*) AS BIGINT) AS n_in_bucket,
+              CAST(COUNT(*) * 10000 // n_images AS BIGINT) AS share_bp,
+              CAST(SUM(waste_bp) // COUNT(*) AS BIGINT) AS waste_bp_mean,
+              CAST(MAX(waste_bp) AS BIGINT) AS waste_bp_max
+             FROM ws CROSS JOIN tot
+             GROUP BY e.idx, e.bar, n_images ORDER BY bucket_idx"""))
+
   val all: Seq[Q] = Seq(
     qMultimodalMeta, qMultimodalFrames, qMultimodalDedup, qMultimodalPhash,
-    qMultimodalAlign)
+    qMultimodalAlign, qMultimodalArBucket)
 }

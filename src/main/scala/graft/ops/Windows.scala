@@ -749,9 +749,13 @@ object Windows {
         .join(dev.select(col("day").as("d2"), col("d").as("dprev")),
           expr("d2 = day - lag"))
         .groupBy("lag")
+        // deviation products widened BEFORE the multiply: d ≈ daily
+        // volume, so d² crosses 2⁶³ per ROW near 3e9 events/day — Spark
+        // wraps silently where DuckDB errors (the ADVICE r10 parity
+        // class); acf_bp collapses back to a BIGINT-bounded ±10⁴
         .agg(count(lit(1)).as("n_pairs"),
-          expr("sum(d * dprev) * 10000L").as("num_e4"),
-          expr("sum(d * d)").as("den"))
+          expr("sum(CAST(d AS DECIMAL(38, 0)) * dprev) * 10000L").as("num_e4"),
+          expr("sum(CAST(d AS DECIMAL(38, 0)) * d)").as("den"))
         .select(col("lag"), col("n_pairs"),
           expr("CASE WHEN den = 0 THEN 0L ELSE num_e4 div den END").as("acf_bp"))
         .orderBy("lag")
@@ -768,9 +772,9 @@ object Windows {
                    FROM dv a CROSS JOIN lg
                    JOIN dv b ON b.day = a.day - lg.lag)
             SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-             CAST(CASE WHEN SUM(d * d) = 0 THEN 0
-                  ELSE CAST(SUM(d * dprev) AS BIGINT) * 10000
-                       // CAST(SUM(d * d) AS BIGINT) END AS BIGINT) AS acf_bp
+             CAST(CASE WHEN SUM(CAST(d AS HUGEINT) * d) = 0 THEN 0
+                  ELSE SUM(CAST(d AS HUGEINT) * dprev) * 10000
+                       // SUM(CAST(d AS HUGEINT) * d) END AS BIGINT) AS acf_bp
             FROM pr GROUP BY lag ORDER BY lag"""))
 
   private val qWinMad = Q(
@@ -865,9 +869,14 @@ object Windows {
         .crossJoin(daily.select(col("day").as("db"), col("v").as("vb")))
         .filter(col("db") > col("da"))
         .crossJoin(broadcast(mx))
+        // shifted numerator widened: (db−da)·vmax·10⁶ crosses 2⁶³ near
+        // vmax ≈ 10¹¹ events/day over a 90-day span — Spark wraps
+        // silently where DuckDB errors (the ADVICE r10 parity class);
+        // the slope itself is vmax·10⁶-bounded, back in BIGINT range
         .withColumn("slope_micro", expr(
-          """((vb - va) * 1000000L + (db - da) * (vmax * 1000000L))
-             div (db - da) - vmax * 1000000L"""))
+          """CAST((CAST(vb - va AS DECIMAL(38, 0)) * 1000000L
+             + CAST(db - da AS DECIMAL(38, 0)) * vmax * 1000000L)
+             div (db - da) - vmax * 1000000L AS BIGINT)"""))
       val ranked = pairs
         .withColumn("rn", row_number().over(
           Window.orderBy("slope_micro", "da", "db")))
@@ -889,8 +898,9 @@ object Windows {
             mx AS (SELECT MAX(v) AS vmax, CAST(COUNT(*) AS BIGINT) AS n_days
                    FROM dd),
             pr AS (SELECT a.day AS da, b.day AS db,
-                    ((b.v - a.v) * 1000000 + (b.day - a.day) * (vmax * 1000000))
-                      // (b.day - a.day) - vmax * 1000000 AS slope_micro
+                    CAST((CAST(b.v - a.v AS HUGEINT) * 1000000
+                          + (b.day - a.day) * (CAST(vmax AS HUGEINT) * 1000000))
+                      // (b.day - a.day) - vmax * 1000000 AS BIGINT) AS slope_micro
                    FROM dd a CROSS JOIN dd b CROSS JOIN mx
                    WHERE b.day > a.day),
             rk AS (SELECT slope_micro,

@@ -2820,4 +2820,33 @@ class InvariantsSpec extends SparkSpec {
       v.getAs[Long]("chi2_micro") / v.getAs[Long]("n_docs"))
     assert(v.getAs[Long]("v2_ppm") <= 1000000L, "V^2 is bounded by 1")
   }
+
+  test("aspect-ratio bucketing: census tiles the images, waste bounded, grid monotone") {
+    val out = SparkEntry.queries("q_multimodal_ar_bucket")(spark, sf).collect()
+    val nImg = Tables(spark, sf, "documents").filter(expr("doc_id % 3 = 0")).count()
+    assert(out.map(_.getAs[Long]("n_in_bucket")).sum == nImg,
+      "every image must land in exactly one bucket")
+    out.foreach { r =>
+      assert(r.getAs[Long]("waste_bp_mean") <= r.getAs[Long]("waste_bp_max"))
+      assert(r.getAs[Long]("waste_bp_max") < 10000L,
+        "center-crop waste is a strict fraction of the long edge")
+    }
+    val ars = out.map(_.getAs[Long]("bucket_ar_milli"))
+    assert(ars.sameElements(ars.sorted), "grid must be aspect-ordered")
+    assert(out.length == 7, "the synthetic (w, h) spread must populate all 7 buckets")
+  }
+
+  test("as-of tolerance: buckets tile the purchases and agree with the plain as-of") {
+    val r = SparkEntry.queries("q_join_asof_tolerance")(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_purchases")
+    assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_stale") +
+      r.getAs[Long]("n_orphan") == n, "matched/stale/orphan must tile")
+    val asof = SparkEntry.queries("q_join_asof")(spark, sf)
+    assert(asof.count() == n, "same purchase universe as q_join_asof")
+    assert(asof.filter(col("last_click_us").isNull).count() ==
+      r.getAs[Long]("n_orphan"), "orphans are exactly the null as-of matches")
+    assert(r.getAs[Long]("matched_gap_sum_us") <=
+      r.getAs[Long]("n_matched") * 1800000000L,
+      "every matched gap sits inside the 30-min tolerance")
+  }
 }

@@ -86,6 +86,9 @@ class PlanLintSpec extends SparkSpec {
       // cut-day flags (the q_agg_decay class) + the two 1-row census
       // frames assembled by a scalar cross join (the q_dedup_eval class)
       "q_split_temporal",
+      // 1-row image-count broadcast onto the ≤7-row bucket census; the
+      // bucket fanout itself is a posexplode of a literal array (no join)
+      "q_multimodal_ar_bucket",
       // 1-row broadcast (tot_t, tot_r) fanned onto the 1024-row hashed
       // model; the corpus-sized scoring join is a broadcast EQUI-join
       // on the feature id, asserted separately below

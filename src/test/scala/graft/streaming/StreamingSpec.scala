@@ -478,6 +478,45 @@ class StreamingSpec extends SparkSpec {
       s"only the in-window same-user click must attribute, got $pairs")
   }
 
+  test("stream-stream join drops late input below the watermark before pairing — the q_stream_join batch twin's filter-late-then-join semantics, once both sides carry the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val df = mem.toDF().withColumn("ts_ts", expr("timestamp_micros(tsUs)"))
+    val q = Pipeline.attribution(df).writeStream
+      .format("memory").queryName("attrib_late").outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("ckpt-attrib-late")).start()
+    // batch 1: a purchase AND an unrelated click, both at 300 min. The
+    // global watermark is the MIN across the two watermark nodes, so an
+    // idle side pins it at zero — measured here: without event 16 the
+    // "late" clicks below sail through and pair. The declared
+    // q_stream_join twin models the single shared trajectory both sides
+    // ride in the fixture replay, which is exactly this two-sided case.
+    mem.addData(
+      ev(11, 300, user = 9, typ = "purchase", value = 1.0),
+      ev(16, 300, user = 8))
+    q.processAllAvailable()
+    // batch 2: clicks at 260 and 100 min — both INSIDE the purchase's
+    // 1-hour join window, both behind the 270-min watermark. Spark's
+    // watermark node filters each side's input below the global
+    // watermark BEFORE the join sees it, so neither pairs: the live
+    // operator IS drop-late-per-watermark, then interval-join — the
+    // equivalence the oracled q_stream_join twin declares.
+    mem.addData(ev(12, 260, user = 9), ev(14, 100, user = 9))
+    q.processAllAvailable()
+    // batch 3: an on-time click still pairs (control arm)
+    mem.addData(ev(13, 280, user = 9))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("attrib_late")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._2 == 12L || p._2 == 14L),
+      s"behind-watermark clicks must be dropped before pairing, got $pairs")
+    assert(pairs.contains((11L, 13L)),
+      s"the on-time click must still pair, got $pairs")
+  }
+
   test("sessionizeTws: idle session closed by event-time timer, not a new event") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
