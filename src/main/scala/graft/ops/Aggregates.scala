@@ -1636,6 +1636,90 @@ object Aggregates {
                              source := source, lang := lang)).contrib_micro AS top_contrib_micro
             FROM sc"""))
 
+  /** HIGHER-MOMENT distribution profile — SKEWNESS and EXCESS KURTOSIS
+    * per line status (r11 — the Pearson moment coefficients; the data-
+    * profiling readout that says WHY a mean/variance pair misleads:
+    * heavy tail vs symmetric spread — dbt/GE-style profilers and
+    * feature-store monitors ship exactly this next to [[qAggStats]]'
+    * second moments). D1: the four raw power sums accumulate EXACTLY in
+    * DECIMAL(38)/HUGEINT (x ≤ 50 ⇒ Σx⁴ ≤ 6.25e6·n crosses 2⁶³ near
+    * n ≈ 1.5e12 — the ADVICE r10 widening class); mean/variance are
+    * exact truncating rationals off the n-scaled central sums; the two
+    * normalized shape coefficients run ONCE on the five merged scalars
+    * through identical IEEE doubles, floor-milli (the `q_agg_spearman`
+    * merged-scalar rule — no per-row float ever exists).
+    *
+    * Scale shape: ONE map-combinable 5-sum agg over the scan; the
+    * formula frame is ≤|status| rows; nothing after the agg scales.
+    */
+  private val qAggMoments = Q(
+    "q_agg_moments",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_linestatus").as("st"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("x"))
+        .groupBy("st")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("s1"),
+          sum(expr("CAST(x AS DECIMAL(38, 0)) * x")).as("s2"),
+          sum(expr("CAST(x AS DECIMAL(38, 0)) * x * x")).as("s3"),
+          sum(expr("CAST(x AS DECIMAL(38, 0)) * x * x * x")).as("s4"))
+        .withColumn("m2n", expr("CAST(n AS DECIMAL(38, 0)) * s2 - CAST(s1 AS DECIMAL(38, 0)) * s1"))
+        .select(col("st"), col("n"),
+          expr("(s1 * 1000L) div n").as("mean_milli"),
+          expr("(m2n * 1000L) div (CAST(n AS DECIMAL(38, 0)) * n)").as("var_milli"),
+          expr("""CAST(floor(
+              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - 3D * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               + 2D * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+              / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 * sqrt(CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+              * 1000D) AS BIGINT)""").as("skew_milli"),
+          expr("""CAST(floor(
+              ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+                - 4D * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                + 6D * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - 3D * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               - 3D) * 1000D) AS BIGINT)""").as("kurt_milli"))
+        .orderBy("st")
+    },
+    Some("""WITH t AS (SELECT l_linestatus AS st,
+                   CAST(floor(l_quantity) AS BIGINT) AS x
+                  FROM lineitem),
+            g AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s1,
+                   SUM(CAST(x AS HUGEINT) * x) AS s2,
+                   SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                   SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+                  FROM t GROUP BY st),
+            c AS (SELECT *, CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2n
+                  FROM g)
+            SELECT st, n,
+             CAST((s1 * 1000) // n AS BIGINT) AS mean_milli,
+             CAST((m2n * 1000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_milli,
+             CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+                - 3 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                  * sqrt(CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               * 1000) AS BIGINT) AS skew_milli,
+             CAST(FLOOR(
+               ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+                 - 4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                 + 6 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                - 3) * 1000) AS BIGINT) AS kurt_milli
+            FROM c ORDER BY st"""))
+
   /** CRAMÉR's V effect size off the SAME source×lang contingency census
     * as [[qAggChisq]] (r11 — Cramér 1946 §21.9): χ² says "dependent or
     * not" but grows with n, so two corpora cannot be compared by χ²
@@ -2048,7 +2132,7 @@ object Aggregates {
             FROM g ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggPower, qAggMannwhitney, qAggKsTest, qAggChisq, qAggCramersV, qAggBenford, qAggSurvival, qAggBootstrap,
+    qAggAbTest, qAggPower, qAggMannwhitney, qAggKsTest, qAggChisq, qAggCramersV, qAggMoments, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,

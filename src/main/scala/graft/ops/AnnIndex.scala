@@ -50,7 +50,7 @@ object AnnIndex {
     * while the audit's own cost drops 16×; the predicate is md5-derived
     * so the oracle applies the identical membership.
     */
-  private val RagReplaySample = 16
+  private val RagReplaySample = 32
 
   /** Deterministic per-corpus location of the persisted index. Lives
     * under java.io.tmpdir keyed by a digest of the source dir: the

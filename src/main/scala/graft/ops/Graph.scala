@@ -27,6 +27,18 @@ object Graph {
 
   /** Initial rank per node, in micro-units (1.0 = 10⁶; 10⁹ keeps three
     * iterations of DIV-by-degree well above integer-floor noise).
+    *
+    * Scale bound, explicit: total mass is n·PrInit and a single hub's
+    * rank is bounded by it, so the BIGINT rank column is exact while
+    * n·10⁹ < 2⁶³ — n ≲ 9e9 nodes. Beyond that the KNOB moves, not the
+    * plan: drop PrInit a decade per decade of n (the precision floor is
+    * iterations·log₂(maxdeg) bits, ~60 of 63 available at that point).
+    * Same bound class governs the HITS integer masses (a₂ ≤ Σdeg², h₂ ≤
+    * deg·a₂ — exact to |E|·maxdeg² < 2⁶³, then rescale the all-ones
+    * start). The ADVICE-r10 DECIMAL widening is deliberately NOT applied
+    * here: the declared OUTPUT is the raw integer mass itself, so past
+    * the bound the schema saturates regardless — the honest fix is the
+    * unit choice, documented, not a silent 128-bit intermediate.
     */
   private val PrInit = 1000000000L
 

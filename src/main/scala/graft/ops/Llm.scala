@@ -5925,6 +5925,101 @@ object Llm {
              CAST(SUM(sc) // COUNT(*) AS BIGINT) AS mean_score_micro
             FROM sc GROUP BY source ORDER BY source"""))
 
+  /** Interpolated KNESER–NEY bigram scoring (r11 — Kneser & Ney ICASSP'95;
+    * Chen & Goodman 1998 §3 measure it the consistently best n-gram
+    * smoother, and it is what KenLM ships — the STANDARD next to
+    * [[qTextLmBackoff]]'s stupid backoff): p(w|v) = max(c(vw)−D, 0)/c(v·)
+    * + D·N₁₊(v·)/c(v·) · N₁₊(·w)/N₁₊(··), with the CONTINUATION counts
+    * (how many distinct contexts a word follows) replacing raw unigram
+    * frequency in the backoff distribution — "Francisco" is frequent but
+    * follows only "San", so KN correctly refuses to predict it in fresh
+    * contexts where stupid backoff overshoots.
+    *
+    * D1: D = 0.75 exactly as quarters — every term is a truncating
+    * integer division on 4-scaled counts (max(4c−3,0)·10⁶ div 4c(v·)),
+    * the discount product widened to DECIMAL/HUGEINT before the 10⁶
+    * scale (crosses 2⁶³ near c ≈ 2.3e12); an unseen CONTEXT backs off to
+    * the continuation unigram alone. Same train split (sources 0-9) and
+    * the same declared bigram stream as the backoff twin, so the two
+    * smoothers are comparable row for row.
+    *
+    * Scale shape: the backoff shape verbatim — bigram explode, THREE
+    * census joins ((v)-keyed totals+fanout, (w)-keyed continuation,
+    * 1-row N₁₊(··) broadcast), one (source) rollup; the censuses are
+    * bigram-sublinear, AQE broadcasts them when they fit.
+    */
+  private val qTextLmKn = Q(
+    "q_text_lm_kn",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      val bg = docs.select(col("source"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))"))
+          .as("bg"))
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+        .localCheckpoint(true) // consumers: the train census + the scoring stream
+      val bi = bg.filter(expr("try_cast(substring(source, 4) AS BIGINT) < 10"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(true) // consumers: left census, right census, N1++, score join
+      val lf = bi.groupBy("w1").agg(sum("c2").as("c1r"), count(lit(1)).as("n1f"))
+      val rt = bi.groupBy("w2").agg(count(lit(1)).as("n1r"))
+      val na = bi.agg(count(lit(1)).as("n1all"))
+      bg.join(bi, Seq("w1", "w2"), "left")
+        .join(lf, Seq("w1"), "left")
+        .join(rt, Seq("w2"), "left")
+        .crossJoin(broadcast(na))
+        .select(col("source"),
+          expr("""CASE WHEN c1r IS NOT NULL THEN
+                    (CAST(greatest(4L * coalesce(c2, 0L) - 3L, 0L) AS DECIMAL(38, 0))
+                       * 1000000L) div (4L * c1r)
+                    + ((3L * n1f * 1000000L) div (4L * c1r))
+                        * coalesce(n1r, 0L) div n1all
+                  ELSE coalesce(n1r, 0L) * 1000000L div n1all END""").as("sc"),
+          expr("CAST(c2 IS NULL AS BIGINT)").as("un"),
+          expr("CAST(c1r IS NULL AS BIGINT)").as("uc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("un").as("n_unseen"),
+          sum("uc").as("n_unseen_ctx"),
+          expr("sum(un) * 10000L div count(1)").as("unseen_bp"),
+          expr("CAST(sum(CAST(sc AS DECIMAL(38, 0))) div count(1) AS BIGINT)")
+            .as("mean_score_micro"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS l
+                  FROM documents),
+            b AS (SELECT source, l[i] AS w1, l[i + 1] AS w2
+                  FROM d, unnest(range(1, len(l))) AS u(i)),
+            bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM b
+                   WHERE TRY_CAST(substring(source, 4) AS BIGINT) < 10
+                   GROUP BY w1, w2),
+            lf AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1r,
+                    CAST(COUNT(*) AS BIGINT) AS n1f
+                   FROM bi GROUP BY w1),
+            rt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM bi GROUP BY w2),
+            na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM bi),
+            sc AS (SELECT b.source,
+                    CASE WHEN lf.c1r IS NOT NULL THEN
+                      (CAST(greatest(4 * COALESCE(bi.c2, 0) - 3, 0) AS HUGEINT)
+                         * 1000000) // (4 * lf.c1r)
+                      + ((3 * lf.n1f * 1000000) // (4 * lf.c1r))
+                          * COALESCE(rt.n1r, 0) // n1all
+                    ELSE COALESCE(rt.n1r, 0) * 1000000 // n1all END AS p,
+                    CASE WHEN bi.c2 IS NULL THEN 1 ELSE 0 END AS un,
+                    CASE WHEN lf.c1r IS NULL THEN 1 ELSE 0 END AS uc
+                   FROM b LEFT JOIN bi USING (w1, w2)
+                   LEFT JOIN lf USING (w1)
+                   LEFT JOIN rt USING (w2)
+                   CROSS JOIN na)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(un) AS BIGINT) AS n_unseen,
+             CAST(SUM(uc) AS BIGINT) AS n_unseen_ctx,
+             CAST(SUM(un) * 10000 // COUNT(*) AS BIGINT) AS unseen_bp,
+             CAST(SUM(p) // COUNT(*) AS BIGINT) AS mean_score_micro
+            FROM sc GROUP BY source ORDER BY source"""))
+
   /** CCNet perplexity-BUCKET assignment (Wenzek et al. 2020 §4.4 — the
     * shipped form of the LM quality signal: the corpus is split into
     * head / middle / tail TERCILES by language-model score, and
@@ -6377,6 +6472,6 @@ object Llm {
     qVecKmeansRefine, qVecKmeanspp, qVecQuantize, qVecProject, qVecPcaStep, qVecClusterPurity, qVecSilhouette,
     qTextTokens, qTextVocabPrune, qTextHeavyHitters, qTextCommonness, qTextEntropy, qTextZipf, qTextHeaps, qTextStats, qTextTfidf, qTextCollocations, qTextKeywords, qTextLangid, qTextLangidNgram, qTextQuality,
     qTextRepNgram, qTextBoilerplate, qTextFingerprint, qTextNormalize, qTextChunk, qDedupChunk, qTextFeaturize,
-    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextPplBuckets, qMixAnneal, qSimDocTopk, qSampleCoreset, qTextDrift,
+    qTextBpeStep, qTextBpeIterate, qTextBpeApply, qTextFertility, qTextLmScore, qTextLmBackoff, qTextLmKn, qTextPplBuckets, qMixAnneal, qSimDocTopk, qSampleCoreset, qTextDrift,
     qSimHybridRrf, qTextBm25, qMultimodalJoin)
 }

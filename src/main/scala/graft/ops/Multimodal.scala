@@ -195,16 +195,18 @@ object Multimodal {
             explode(expr("sequence(0, 3)")).as("k"))
           .withColumn("band", expr("(simhash >> CAST(k * 16 AS INT)) & 65535")),
         Seq("format", "k", "band"), Llm.BandBucketCap)
-      val cand = bands.as("a").join(bands.as("b"),
+      // hamming computed in-stage on the band join and the ≤3 filter run
+      // BEFORE the pair dedup, so the distinct() shuffles only the hits
+      // (the q_dedup_embed fold: dedup commutes with a deterministic
+      // pair function + filter); the raw candidate stream never exchanges
+      bands.as("a").join(bands.as("b"),
           col("a.format") === col("b.format") && col("a.k") === col("b.k") &&
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.format").as("format"), col("a.doc_id").as("d1"),
-          col("b.doc_id").as("d2"), col("a.simhash").as("s1"),
-          col("b.simhash").as("s2"))
-        .distinct()
-      cand.withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+          col("b.doc_id").as("d2"),
+          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 3)
-        .select("format", "d1", "d2", "hamming")
+        .distinct()
         .orderBy("format", "d1", "d2")
     },
     Some("""WITH a AS (SELECT doc_id,

@@ -2849,4 +2849,59 @@ class InvariantsSpec extends SparkSpec {
       r.getAs[Long]("n_matched") * 1800000000L,
       "every matched gap sits inside the 30-min tolerance")
   }
+
+  test("moments: skew/kurt replay exactly from collected values; fixture quantity is near-uniform") {
+    val out = SparkEntry.queries("q_agg_moments")(spark, sf).collect()
+      .map(r => r.getAs[String]("st") -> r).toMap
+    val raw = Tables(spark, sf, "lineitem")
+      .select(col("l_linestatus"), expr("CAST(floor(l_quantity) AS BIGINT)"))
+      .collect().groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getLong(1))
+      }
+    raw.foreach { case (st, xs) =>
+      val r = out(st)
+      val n = BigInt(xs.length)
+      val s1 = xs.map(BigInt(_)).sum
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      val s3 = xs.map(x => BigInt(x) * x * x).sum
+      val s4 = xs.map(x => BigInt(x) * x * x * x).sum
+      val m2n = n * s2 - s1 * s1
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(BigInt(r.getAs[Long]("mean_milli")) == s1 * 1000 / n)
+      assert(BigInt(r.getAs[Long]("var_milli")) == m2n * 1000 / (n * n))
+      // double replay of the shape coefficients, same expression shape
+      val nd = n.toDouble; val q = m2n.toDouble / (nd * nd)
+      val skew = (nd * nd * s3.toDouble - 3d * nd * s1.toDouble * s2.toDouble
+        + 2d * s1.toDouble * s1.toDouble * s1.toDouble) / (nd * nd * nd) / (q * math.sqrt(q))
+      val kurt = (nd * nd * nd * s4.toDouble - 4d * nd * nd * s1.toDouble * s3.toDouble
+        + 6d * nd * s1.toDouble * s1.toDouble * s2.toDouble
+        - 3d * s1.toDouble * s1.toDouble * s1.toDouble * s1.toDouble) /
+        (nd * nd * nd * nd) / q / q - 3d
+      assert(r.getAs[Long]("skew_milli") == math.floor(skew * 1000d).toLong,
+        s"$st skew engine ${r.getAs[Long]("skew_milli")} vs replay $skew")
+      assert(r.getAs[Long]("kurt_milli") == math.floor(kurt * 1000d).toLong,
+        s"$st kurt engine ${r.getAs[Long]("kurt_milli")} vs replay $kurt")
+      // TPC-H quantity is uniform on [1, 50]: symmetric (|skew| small)
+      // and platykurtic (discrete-uniform excess kurtosis ~ -1.2)
+      assert(math.abs(r.getAs[Long]("skew_milli")) < 150L)
+      assert(r.getAs[Long]("kurt_milli") > -1350L && r.getAs[Long]("kurt_milli") < -1050L)
+    }
+  }
+
+  test("kneser-ney: unseen-context implies unseen-bigram, scores bounded, train sources see fewer unseen bigrams") {
+    val out = SparkEntry.queries("q_text_lm_kn")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_unseen_ctx") <= r.getAs[Long]("n_unseen"),
+        "a context absent from train implies the bigram is absent too")
+      val m = r.getAs[Long]("mean_score_micro")
+      assert(m >= 0L && m <= 1000000L, s"mean p must live in [0, 1]: $m")
+    }
+    def isTrain(src: String) = src.drop(3).toLongOption.exists(_ < 10L)
+    val (tr, ho) = out.partition(r => isTrain(r.getAs[String]("source")))
+    assert(tr.nonEmpty && ho.nonEmpty, "fixture must carry both splits")
+    val trBp = tr.map(_.getAs[Long]("unseen_bp")).sum / tr.length
+    val hoBp = ho.map(_.getAs[Long]("unseen_bp")).sum / ho.length
+    assert(trBp < hoBp,
+      s"train sources must back off less than held-out ones: $trBp vs $hoBp")
+  }
 }

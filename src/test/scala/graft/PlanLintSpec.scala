@@ -129,6 +129,9 @@ class PlanLintSpec extends SparkSpec {
       // the map-only backoff CASE; the census joins proper are
       // EQUI-joins on bg/w1/w2
       "q_text_lm_backoff",
+      // same shape: 1-row N1++(..) broadcast onto the scoring stream;
+      // the census joins proper are EQUI-joins on (w1, w2) / w1 / w2
+      "q_text_lm_kn",
       // 1-row broadcast corpus-token total onto the token stream; the
       // census joins proper are EQUI-joins on (source, w) / w / source
       "q_sample_rho",
