@@ -2131,8 +2131,246 @@ object Aggregates {
                   AS BIGINT) AS significant
             FROM g ORDER BY event_type"""))
 
+  /** GROUP-SEQUENTIAL experiment monitoring with O'BRIEN–FLEMING
+    * boundaries (r11 — O'Brien & Fleming Biometrics'79; Lan & DeMets'83
+    * alpha-spending; the "peeking problem" fix every experiment platform
+    * ships: looking at a fixed-α z-test 4 times inflates false
+    * positives ~3×, so each interim look pays a STRICTER boundary
+    * z_k = C·√(K/k), spending almost no alpha early). The event
+    * calendar splits into K = 4 equal looks; at each look the readout
+    * is the CUMULATIVE two-sample z² of the `ab_` user-hash
+    * randomization (the ab_test census machinery verbatim) against the
+    * squared OBF boundary C²·K/k in micro (C² = 4.098617 for overall
+    * α = 0.05, K = 4 — the textbook critical set 4.049/2.863/2.337/
+    * 2.024 squared).
+    *
+    * D1: boundaries are INTEGER micro constants (16394468 div k is
+    * exactly the C²·K/k grid since 4·C²·10⁶ = 16394468); the crossing
+    * verdict is the sqrt-free cross-comparison d²·10⁶ ≥ thr·(va/na +
+    * vb/nb) in DECIMAL(38)/HUGEINT (the ab_test |z| ≥ 2 rule with a
+    * per-look threshold); all cumulative moments are exact truncating
+    * integers. The fixture is a true null (same A/A hash split as
+    * ab_test), so the honest declared outcome is NO crossing at any
+    * look — pinned by the invariant, with the boundary grid replayed.
+    *
+    * Scale shape: 1-row calendar-bounds broadcast, ONE map-combinable
+    * (look, arm) census, prefix sums on the ≤K-row frame (registered
+    * bounded partition-less window), K rows out.
+    */
+  private val qAggSequential = Q(
+    "q_agg_sequential",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("dd"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      val bounds = ev.agg(min("dd").as("lo"), max("dd").as("hi"))
+      val census = ev.crossJoin(broadcast(bounds))
+        .withColumn("lk", expr(
+          "1L + least(3L, (dd - lo) * 4L div (hi - lo + 1L))"))
+        .withColumn("arm", expr(s"pmod(${Llm.md5Hex32Spark(
+          "concat('ab_', CAST(user_id AS STRING))")}, 2L)"))
+        .groupBy("lk")
+        .agg(
+          sum(expr("CAST(arm = 0 AS BIGINT)")).as("cn_a"),
+          sum(expr("CAST(arm = 1 AS BIGINT)")).as("cn_b"),
+          sum(expr("CASE WHEN arm = 0 THEN vm ELSE 0L END")).as("cs_a"),
+          sum(expr("CASE WHEN arm = 1 THEN vm ELSE 0L END")).as("cs_b"),
+          sum(expr("CASE WHEN arm = 0 THEN CAST(vm AS DECIMAL(38, 0)) * vm ELSE 0 END")).as("cq_a"),
+          sum(expr("CASE WHEN arm = 1 THEN CAST(vm AS DECIMAL(38, 0)) * vm ELSE 0 END")).as("cq_b"))
+      val w = Window.orderBy("lk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      census
+        .withColumn("n_a", sum("cn_a").over(w))
+        .withColumn("n_b", sum("cn_b").over(w))
+        .withColumn("s_a", sum("cs_a").over(w))
+        .withColumn("s_b", sum("cs_b").over(w))
+        .withColumn("q_a", sum("cq_a").over(w))
+        .withColumn("q_b", sum("cq_b").over(w))
+        .withColumn("d", expr("s_b div n_b - s_a div n_a"))
+        .withColumn("se2", expr(
+          """(q_a div n_a - (s_a div n_a) * (s_a div n_a)) div n_a
+             + (q_b div n_b - (s_b div n_b) * (s_b div n_b)) div n_b"""))
+        .withColumn("bound_z2_micro", expr("16394468L div lk"))
+        .select(col("lk").as("look"), col("n_a"), col("n_b"),
+          expr("s_b * 1000L div n_b - s_a * 1000L div n_a").as("lift_milli"),
+          col("bound_z2_micro"),
+          expr("""CAST(CAST(d AS DECIMAL(38, 0)) * d * 1000000L
+               >= CAST(bound_z2_micro AS DECIMAL(38, 0)) * se2 AS BIGINT)""")
+            .as("crossed"))
+        .orderBy("look")
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dd,
+                    CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+                   FROM events),
+             bo AS (SELECT MIN(dd) AS lo, MAX(dd) AS hi FROM e),
+             a AS (SELECT 1 + least(3, (dd - lo) * 4 // (hi - lo + 1)) AS lk,
+                    (${Llm.md5Hex32Sql("'ab_' || CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+                    vm
+                   FROM e CROSS JOIN bo),
+             c AS (SELECT lk,
+                    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn_a,
+                    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cn_b,
+                    CAST(SUM(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS cs_a,
+                    CAST(SUM(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS cs_b,
+                    SUM(CASE WHEN arm = 0 THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS cq_a,
+                    SUM(CASE WHEN arm = 1 THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS cq_b
+                   FROM a GROUP BY lk),
+             p AS (SELECT lk,
+                    SUM(cn_a) OVER (ORDER BY lk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_a,
+                    SUM(cn_b) OVER (ORDER BY lk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_b,
+                    SUM(cs_a) OVER (ORDER BY lk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_a,
+                    SUM(cs_b) OVER (ORDER BY lk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_b,
+                    SUM(cq_a) OVER (ORDER BY lk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_a,
+                    SUM(cq_b) OVER (ORDER BY lk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_b
+                   FROM c),
+             f AS (SELECT lk, n_a, n_b, s_a, s_b,
+                    s_b // n_b - s_a // n_a AS d,
+                    (q_a // n_a - (s_a // n_a) * (s_a // n_a)) // n_a
+                      + (q_b // n_b - (s_b // n_b) * (s_b // n_b)) // n_b AS se2,
+                    16394468 // lk AS bound_z2_micro
+                   FROM p)
+             SELECT lk AS look, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              CAST(s_b * 1000 // n_b - s_a * 1000 // n_a AS BIGINT) AS lift_milli,
+              CAST(bound_z2_micro AS BIGINT) AS bound_z2_micro,
+              CAST(CASE WHEN CAST(d AS HUGEINT) * d * 1000000
+                        >= CAST(bound_z2_micro AS HUGEINT) * se2
+                        THEN 1 ELSE 0 END AS BIGINT) AS crossed
+             FROM f ORDER BY look"""))
+
+  /** CUPED variance-reduced experiment readout (r11 — Deng, Xu, Kohavi &
+    * Walker WSDM'13; the industry-standard companion every A/B platform
+    * bolts onto [[qAggAbTest]]: using each user's PRE-period activity as
+    * a control covariate cuts metric variance by corr², which shortens
+    * experiments by the same factor). The event calendar splits at
+    * min + ⌊0.4·span⌋: X_u = the user's pre-period value sum, Y_u = the
+    * post-period sum (the metric), arm = the SAME `ab_` user-hash
+    * randomization as ab_test (one randomization, two readouts);
+    * θ = cov(X,Y)/var(X) is pooled across arms (randomization makes X
+    * arm-independent — the paper's recommendation). Declared: per-arm
+    * user counts, the exact integer lift, θ in micro, raw vs
+    * CUPED-adjusted variance (var_adj = varY − cov²/varX, the in-sample
+    * identity that is ≤ varY by construction) and the realized variance
+    * reduction in bp (= 10⁴·corr²(X,Y)).
+    *
+    * D1: per-user X/Y are EXACT BIGINT sums; arm moments accumulate in
+    * DECIMAL(38)/HUGEINT (user-sum products cross 2⁶³ the usual way);
+    * every float (θ, variances, reduction) evaluates ONCE on the merged
+    * scalars through identical IEEE doubles, floor-scaled (the
+    * `q_agg_spearman` merged-scalar rule).
+    *
+    * Fixture honesty (the ab_test null-effect precedent): this corpus's
+    * user process is MEMORYLESS — pre/post activity splits are
+    * multinomial-independent per user (measured corr(X,Y) ≈ 0.008), so
+    * the declared reduction is ~0 bp. That null is the correct CUPED
+    * readout for such traffic ("this experiment cannot be shortened by
+    * pre-period adjustment"), and it is exactly what the operator must
+    * report rather than manufacture; the InvariantsSpec pins the
+    * in-sample identities (var_adj ≤ var_y, reduction = 10⁴·corr²) that
+    * hold at ANY correlation, by scalar replay.
+    *
+    * Scale shape: 1-row calendar-bounds broadcast onto the scan
+    * (the q_split_temporal class), ONE user-keyed agg (corpus → users),
+    * ONE ≤2-row arm agg, then a single-row formula frame.
+    */
+  private val qAggCuped = Q(
+    "q_agg_cuped",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("dd"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      val bounds = ev.agg(min("dd").as("lo"), max("dd").as("hi"))
+      val users = ev.crossJoin(broadcast(bounds))
+        .withColumn("pre", expr("CAST(dd < lo + (hi - lo) * 2L div 5L AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(sum(expr("pre * vm")).as("x"),
+          sum(expr("(1L - pre) * vm")).as("y"))
+        .withColumn("arm", expr(s"pmod(${Llm.md5Hex32Spark(
+          "concat('ab_', CAST(user_id AS STRING))")}, 2L)"))
+      users
+        .agg(
+          sum(expr("CAST(arm = 0 AS BIGINT)")).as("n_a"),
+          sum(expr("CAST(arm = 1 AS BIGINT)")).as("n_b"),
+          sum(expr("CASE WHEN arm = 0 THEN y ELSE 0L END")).as("sy_a"),
+          sum(expr("CASE WHEN arm = 1 THEN y ELSE 0L END")).as("sy_b"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38, 0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38, 0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38, 0)) * y")).as("syy"))
+        .withColumn("nn", expr("n_a + n_b"))
+        .select(col("n_a"), col("n_b"),
+          expr("sy_b * 1000L div n_b - sy_a * 1000L div n_a").as("lift_milli"),
+          expr("""CAST(floor(
+              (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * 1000000D) AS BIGINT)""").as("theta_micro"),
+          expr("""CAST(floor(
+              (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000D) AS BIGINT)""").as("var_y_milli"),
+          expr("""CAST(floor(
+              ((CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+               - (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) * 1000D) AS BIGINT)""")
+            .as("var_adj_milli"),
+          expr("""CAST(floor(
+              (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              * 10000D) AS BIGINT)""").as("var_reduction_bp"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dd,
+                    CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+                   FROM events),
+             bo AS (SELECT MIN(dd) AS lo, MAX(dd) AS hi FROM e),
+             u AS (SELECT user_id,
+                    CAST(SUM(CASE WHEN dd < lo + (hi - lo) * 2 // 5
+                             THEN vm ELSE 0 END) AS BIGINT) AS x,
+                    CAST(SUM(CASE WHEN dd < lo + (hi - lo) * 2 // 5
+                             THEN 0 ELSE vm END) AS BIGINT) AS y
+                   FROM e CROSS JOIN bo GROUP BY user_id),
+             ua AS (SELECT u.*,
+                     (${Llm.md5Hex32Sql("'ab_' || CAST(user_id AS VARCHAR)")}) % 2 AS arm
+                    FROM u),
+             g AS (SELECT
+                    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+                    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+                    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                    SUM(CAST(y AS HUGEINT) * y) AS syy
+                   FROM ua),
+             f AS (SELECT *, n_a + n_b AS nn FROM g)
+             SELECT n_a, n_b,
+              CAST(sy_b * 1000 // n_b - sy_a * 1000 // n_a AS BIGINT) AS lift_milli,
+              CAST(FLOOR(
+                (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * 1000000) AS BIGINT) AS theta_micro,
+              CAST(FLOOR(
+                (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000) AS BIGINT) AS var_y_milli,
+              CAST(FLOOR(
+                ((CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                 - (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) * 1000) AS BIGINT) AS var_adj_milli,
+              CAST(FLOOR(
+                (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                * (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                * 10000) AS BIGINT) AS var_reduction_bp
+             FROM f"""))
+
   val all: Seq[Q] = Seq(
-    qAggAbTest, qAggPower, qAggMannwhitney, qAggKsTest, qAggChisq, qAggCramersV, qAggMoments, qAggBenford, qAggSurvival, qAggBootstrap,
+    qAggAbTest, qAggCuped, qAggSequential, qAggPower, qAggMannwhitney, qAggKsTest, qAggChisq, qAggCramersV, qAggMoments, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
     qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,

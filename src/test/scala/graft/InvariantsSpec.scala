@@ -2904,4 +2904,64 @@ class InvariantsSpec extends SparkSpec {
     assert(trBp < hoBp,
       s"train sources must back off less than held-out ones: $trBp vs $hoBp")
   }
+
+  test("cuped: scalar replay, in-sample identities, and the memoryless-fixture null") {
+    val r = SparkEntry.queries("q_agg_cuped")(spark, sf).collect()(0)
+    // replay the moment scalars driver-side from the same split
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("dd"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+    val Array(lo, hi) = ev.agg(min("dd"), max("dd")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = lo + (hi - lo) * 2 / 5
+    val users = ev.withColumn("pre", expr(s"CAST(dd < ${cut}L AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(sum(expr("pre * vm")).as("x"), sum(expr("(1L - pre) * vm")).as("y"))
+      .collect().map(u => (u.getAs[Long]("x"), u.getAs[Long]("y")))
+    val nn = users.length.toDouble
+    val sx = users.map(_._1).sum.toDouble; val sy = users.map(_._2).sum.toDouble
+    val sxy = users.map(u => BigInt(u._1) * u._2).sum.toDouble
+    val sxx = users.map(u => BigInt(u._1) * u._1).sum.toDouble
+    val syy = users.map(u => BigInt(u._2) * u._2).sum.toDouble
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users.length.toLong)
+    val varY = (nn * syy - sy * sy) / (nn * nn)
+    val cov = (nn * sxy - sx * sy) / (nn * nn)
+    val varX = (nn * sxx - sx * sx) / (nn * nn)
+    assert(r.getAs[Long]("var_y_milli") == math.floor(varY * 1000d).toLong)
+    assert(r.getAs[Long]("theta_micro") == math.floor(cov / varX * 1000000d).toLong)
+    // the in-sample CUPED identity: adjusted variance never exceeds raw
+    assert(r.getAs[Long]("var_adj_milli") <= r.getAs[Long]("var_y_milli"))
+    assert(r.getAs[Long]("var_reduction_bp") ==
+      math.floor(cov * cov / varX / varY * 10000d).toLong,
+      "reduction must equal 10^4 * corr^2 by replay")
+    assert(r.getAs[Long]("var_reduction_bp") >= 0L &&
+      r.getAs[Long]("var_reduction_bp") <= 10000L)
+    // the fixture's user process is memoryless: the honest readout is a
+    // (near-)null reduction — fails loudly if a regenerated fixture
+    // introduces persistent user heterogeneity (then the docstring's
+    // fixture-honesty paragraph must flip too)
+    assert(r.getAs[Long]("var_reduction_bp") < 500L,
+      s"expected the memoryless-fixture null, got ${r.getAs[Long]("var_reduction_bp")} bp")
+  }
+
+  test("sequential: OBF boundary grid replays, counts are cumulative, null fixture never crosses") {
+    val rows = SparkEntry.queries("q_agg_sequential")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val k = r.getAs[Long]("look")
+      assert(k == i + 1L)
+      assert(r.getAs[Long]("bound_z2_micro") == 16394468L / k,
+        "the squared O'Brien-Fleming boundary must be C^2*K/k on the micro grid")
+      assert(r.getAs[Long]("crossed") == 0L,
+        s"the A/A null fixture must not cross at look $k")
+    }
+    // cumulative monotonicity and full coverage at the final look
+    val na = rows.map(_.getAs[Long]("n_a")); val nb = rows.map(_.getAs[Long]("n_b"))
+    assert(na.sameElements(na.sorted) && nb.sameElements(nb.sorted))
+    assert(na.last + nb.last == Tables.events(spark, sf).count(),
+      "look 4 must cover the whole corpus")
+    // boundaries strictly relax over looks (the alpha-spending shape)
+    val bz = rows.map(_.getAs[Long]("bound_z2_micro"))
+    assert(bz.zip(bz.tail).forall { case (a, b) => a > b })
+  }
 }

@@ -89,6 +89,11 @@ class PlanLintSpec extends SparkSpec {
       // 1-row image-count broadcast onto the ≤7-row bucket census; the
       // bucket fanout itself is a posexplode of a literal array (no join)
       "q_multimodal_ar_bucket",
+      // 1-row calendar-bounds broadcast onto the scan for the pre/post
+      // split flags (the q_split_temporal class)
+      "q_agg_cuped",
+      // same 1-row bounds broadcast for the look assignment
+      "q_agg_sequential",
       // 1-row broadcast (tot_t, tot_r) fanned onto the 1024-row hashed
       // model; the corpus-sized scoring join is a broadcast EQUI-join
       // on the feature id, asserted separately below
@@ -257,7 +262,9 @@ class PlanLintSpec extends SparkSpec {
       "q_stream_join" -> 1,
       // median rank + full-frame count over the ≤|days|² calendar pair
       // frame (two specs — Catalyst may or may not fuse them)
-      "q_win_theil_sen" -> 2)
+      "q_win_theil_sen" -> 2,
+      // cumulative-look prefix sums over the ≤4-row look census
+      "q_agg_sequential" -> 1)
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name}: no unexpected nested-loop/cartesian join") {
