@@ -1668,15 +1668,20 @@ object Aggregates {
         .select(col("st"), col("n"),
           expr("(s1 * 1000L) div n").as("mean_milli"),
           expr("(m2n * 1000L) div (CAST(n AS DECIMAL(38, 0)) * n)").as("var_milli"),
-          expr("""CAST(floor(
+          // zero-variance guard (ADVICE r11): m2n = 0 makes both shape
+          // coefficients 0/0 — Spark's non-ANSI CAST(NaN AS BIGINT)
+          // yields 0 where DuckDB errors out of range, so the degenerate
+          // group is declared NULL identically in both engines BEFORE
+          // the double ever goes NaN/Inf.
+          expr("""CASE WHEN m2n = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(floor(
               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
                - 3D * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
                + 2D * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
               / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
                  * sqrt(CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-              * 1000D) AS BIGINT)""").as("skew_milli"),
-          expr("""CAST(floor(
+              * 1000D) AS BIGINT) END""").as("skew_milli"),
+          expr("""CASE WHEN m2n = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(floor(
               ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
                 - 4D * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
                 + 6D * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
@@ -1684,7 +1689,7 @@ object Aggregates {
                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
                / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-               - 3D) * 1000D) AS BIGINT)""").as("kurt_milli"))
+               - 3D) * 1000D) AS BIGINT) END""").as("kurt_milli"))
         .orderBy("st")
     },
     Some("""WITH t AS (SELECT l_linestatus AS st,
@@ -1701,15 +1706,15 @@ object Aggregates {
             SELECT st, n,
              CAST((s1 * 1000) // n AS BIGINT) AS mean_milli,
              CAST((m2n * 1000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_milli,
-             CAST(FLOOR(
+             CASE WHEN m2n = 0 THEN NULL ELSE CAST(FLOOR(
                (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
                 - 3 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
                 + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
                / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
                   * sqrt(CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-               * 1000) AS BIGINT) AS skew_milli,
-             CAST(FLOOR(
+               * 1000) AS BIGINT) END AS skew_milli,
+             CASE WHEN m2n = 0 THEN NULL ELSE CAST(FLOOR(
                ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
                  - 4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
                  + 6 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
@@ -1717,7 +1722,7 @@ object Aggregates {
                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
                 / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                 / (CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-                - 3) * 1000) AS BIGINT) AS kurt_milli
+                - 3) * 1000) AS BIGINT) END AS kurt_milli
             FROM c ORDER BY st"""))
 
   /** CRAMÉR's V effect size off the SAME source×lang contingency census
@@ -2297,29 +2302,38 @@ object Aggregates {
           sum(expr("CAST(x AS DECIMAL(38, 0)) * x")).as("sxx"),
           sum(expr("CAST(y AS DECIMAL(38, 0)) * y")).as("syy"))
         .withColumn("nn", expr("n_a + n_b"))
+        // zero-variance guards (ADVICE r11, the q_agg_moments class):
+        // a constant pre-period (vxn = nn·sxx − sx² = 0) or constant
+        // metric (vyn = 0) makes θ / var_adj / reduction 0/0 — declared
+        // NULL identically in both engines via the EXACT integer
+        // numerators before any double goes NaN/Inf.
+        .withColumn("vxn", expr(
+          "CAST(nn AS DECIMAL(38, 0)) * sxx - CAST(sx AS DECIMAL(38, 0)) * sx"))
+        .withColumn("vyn", expr(
+          "CAST(nn AS DECIMAL(38, 0)) * syy - CAST(sy AS DECIMAL(38, 0)) * sy"))
         .select(col("n_a"), col("n_b"),
           expr("sy_b * 1000L div n_b - sy_a * 1000L div n_a").as("lift_milli"),
-          expr("""CAST(floor(
+          expr("""CASE WHEN vxn = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(floor(
               (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
               / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * 1000000D) AS BIGINT)""").as("theta_micro"),
+              * 1000000D) AS BIGINT) END""").as("theta_micro"),
           expr("""CAST(floor(
               (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000D) AS BIGINT)""").as("var_y_milli"),
-          expr("""CAST(floor(
+          expr("""CASE WHEN vxn = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(floor(
               ((CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
                / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
                - (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  * (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) * 1000D) AS BIGINT)""")
+                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) * 1000D) AS BIGINT) END""")
             .as("var_adj_milli"),
-          expr("""CAST(floor(
+          expr("""CASE WHEN vxn = 0 OR vyn = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(floor(
               (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
               * (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
               / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               / (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-              * 10000D) AS BIGINT)""").as("var_reduction_bp"))
+              * 10000D) AS BIGINT) END""").as("var_reduction_bp"))
     },
     Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dd,
                     CAST(FLOOR(value * 1000) AS BIGINT) AS vm
@@ -2344,29 +2358,32 @@ object Aggregates {
                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
                     SUM(CAST(y AS HUGEINT) * y) AS syy
                    FROM ua),
-             f AS (SELECT *, n_a + n_b AS nn FROM g)
+             f AS (SELECT *, n_a + n_b AS nn,
+                    CAST(n_a + n_b AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vxn,
+                    CAST(n_a + n_b AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vyn
+                   FROM g)
              SELECT n_a, n_b,
               CAST(sy_b * 1000 // n_b - sy_a * 1000 // n_a AS BIGINT) AS lift_milli,
-              CAST(FLOOR(
+              CASE WHEN vxn = 0 THEN NULL ELSE CAST(FLOOR(
                 (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * 1000000) AS BIGINT) AS theta_micro,
+                * 1000000) AS BIGINT) END AS theta_micro,
               CAST(FLOOR(
                 (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000) AS BIGINT) AS var_y_milli,
-              CAST(FLOOR(
+              CASE WHEN vxn = 0 THEN NULL ELSE CAST(FLOOR(
                 ((CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
                  - (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                    * (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                    / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) * 1000) AS BIGINT) AS var_adj_milli,
-              CAST(FLOOR(
+                   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) * 1000) AS BIGINT) END AS var_adj_milli,
+              CASE WHEN vxn = 0 OR vyn = 0 THEN NULL ELSE CAST(FLOOR(
                 (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 * (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                 / (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-                * 10000) AS BIGINT) AS var_reduction_bp
+                * 10000) AS BIGINT) END AS var_reduction_bp
              FROM f"""))
 
   val all: Seq[Q] = Seq(

@@ -41,14 +41,14 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Denominator of the `q_rag_chunk_topk` replay's deterministic md5
-    * query sample (1/16 of chunks query the index; salt rags_). A FULL
-    * corpus replay against a √n-cell IVF index is n^1.5 work by
-    * construction — the r10 sf1.0 rehearsal measured exactly that
-    * (79.2 s, 26.5× on 10× data, the suite's worst scale ratio). A
+    * query sample (1/RagReplaySample of chunks query the index; salt
+    * rags_). A FULL corpus replay against a √n-cell IVF index is n^1.5
+    * work by construction — the r10 sf1.0 rehearsal measured exactly
+    * that (79.2 s, 26.5× on 10× data, the suite's worst scale ratio). A
     * fixed-fraction sample keeps the audit's verdict (per-query serve
     * cost, recall behavior, plan shape are all per-query properties)
-    * while the audit's own cost drops 16×; the predicate is md5-derived
-    * so the oracle applies the identical membership.
+    * while the audit's own cost drops by the same factor; the predicate
+    * is md5-derived so the oracle applies the identical membership.
     */
   private val RagReplaySample = 32
 

@@ -282,9 +282,11 @@ object Graph {
     * |E|·deg² ≈ 1e20) falls to the ADVICE-r10 widening discipline: every
     * moment is accumulated in DECIMAL(38,0)/HUGEINT BEFORE the multiply.
     * Output keeps sign and magnitude separate (r_sign, r_abs_bp) so both
-    * integer divisions run on non-negative operands — Spark `div`
-    * truncates toward zero while DuckDB `//` floors, and the two only
-    * agree on non-negatives (DEN ≥ 0 by Cauchy–Schwarz).
+    * integer divisions run on non-negative operands (DEN ≥ 0 by
+    * Cauchy–Schwarz). Both engines in the shipped pair truncate toward
+    * zero (duckdb 1.0.0: -7 // 2 = -3, same as Spark div), so this is
+    * defensive style — the result stays hash-stable even under an
+    * engine whose `//` floors (ARCHITECTURE §10 rule 4).
     *
     * Scale shape: ONE dst-degree equi-join on the persisted artifact +
     * ONE map-combinable 5-moment agg; final frame is a single row.

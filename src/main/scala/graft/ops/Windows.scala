@@ -843,12 +843,14 @@ object Windows {
     * over ALL day pairs i<j, reported in events/day micro-units.
     *
     * D1, integer-exact: each pairwise slope is floored to micro-units
-    * WITHOUT touching a float — Spark `div` truncates toward zero and
-    * DuckDB `//` floors, so the numerator is first shifted non-negative
-    * by `off = vmax·10⁶` per day of run ((v_j−v_i)·10⁶ + (day_j−day_i)·off
-    * ≥ 0 since |v_j−v_i| ≤ vmax), divided, then un-shifted; truncation
-    * equals floor on non-negatives, making the two engines bit-equal on
-    * negative slopes too. The median element is the (n+1) div 2-th row
+    * WITHOUT touching a float — the numerator is first shifted
+    * non-negative by `off = vmax·10⁶` per day of run ((v_j−v_i)·10⁶ +
+    * (day_j−day_i)·off ≥ 0 since |v_j−v_i| ≤ vmax), divided, then
+    * un-shifted, so the quotient means FLOOR regardless of either
+    * engine's signed-division convention. (Both shipped engines in fact
+    * truncate toward zero — duckdb 1.0.0 matches Spark div — so the
+    * shift is rounding-convention insurance plus the floor semantics
+    * the estimand wants on negative slopes; ARCHITECTURE §10 rule 4.) The median element is the (n+1) div 2-th row
     * under the total order (slope, da, db) — deterministic through ties.
     *
     * Scale shape: the ONLY corpus-sized stage is the per-day census; the
@@ -883,14 +885,21 @@ object Windows {
         .withColumn("np", count(lit(1)).over(
           Window.orderBy("slope_micro", "da", "db")
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // n_days comes from the broadcast census extrema, NOT max() over the
+      // pair frame: on a degenerate single-day corpus the pair frame is
+      // empty and a pair-side max would return NULL where the oracle's
+      // scalar subquery (SELECT n_days FROM mx) returns 1 (ADVICE r11).
       ranked
-        .agg(max("n_days").as("n_days"), max("np").as("n_pairs"),
+        .agg(max("np").as("n_pairs"),
           min("slope_micro").as("min_slope_micro"),
           max("slope_micro").as("max_slope_micro"),
           max(expr("CASE WHEN rn = (np + 1L) div 2L THEN slope_micro END"))
             .as("sen_slope_micro"))
         .withColumn("trend_sign", expr(
           "CAST(CASE WHEN sen_slope_micro > 0 THEN 1 WHEN sen_slope_micro < 0 THEN -1 ELSE 0 END AS BIGINT)"))
+        .crossJoin(broadcast(mx.select(col("n_days"))))
+        .select("n_days", "n_pairs", "min_slope_micro", "max_slope_micro",
+          "sen_slope_micro", "trend_sign")
     },
     Some("""WITH dd AS (SELECT epoch_us(ts) // 86400000000 AS day,
                   CAST(COUNT(*) AS BIGINT) AS v
