@@ -91,11 +91,16 @@ object Aggregates {
 
   private val qAggCube = Q(
     "q_agg_cube",
+    // money totals in EXACT integer cents (the q_agg_winsorize rule):
+    // the r12 sf1.0 oracle sweep caught the raw double SUM drifting in
+    // the last ulp across engines at 1.5M addends (24836464858.8998 vs
+    // .9 after round(,4)) — association-order drift only VISIBLE at
+    // scale, exactly what the sweep exists to catch. D1-exact at any n.
     (s, dir) => {
       Tables(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(
-          round(sum("o_totalprice"), 4).as("sum_price"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_price_cents"),
           count(lit(1)).as("n"),
           grouping(col("o_orderstatus")).cast("long").as("g_s"),
           grouping(col("o_orderpriority")).cast("long").as("g_p"))
@@ -103,7 +108,8 @@ object Aggregates {
           col("o_orderpriority").asc_nulls_first)
     },
     Some("""SELECT o_orderstatus, o_orderpriority,
-            ROUND(SUM(o_totalprice), 4) AS sum_price, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+            CAST(COUNT(*) AS BIGINT) AS n,
             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)

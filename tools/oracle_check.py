@@ -10,6 +10,7 @@ result parquet written by graft.Verify.
 """
 import duckdb
 import glob
+import os
 import json
 import math
 import sys
@@ -89,6 +90,15 @@ def main():
     only = set(sys.argv[3:]) or None
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # Large-SF sweeps: bound DuckDB's memory and let it spill — the r12
+    # sf1.0 sweep's q_etl_cdc_apply oracle was OOM-killed at 130 GB
+    # without a limit (DuckDB defaults to ~80% of RAM and the window
+    # CTEs there are corpus-sized). Opt-in via env so the sf0.01 dev
+    # loop keeps zero overhead.
+    mem = os.environ.get("GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/graft_duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
