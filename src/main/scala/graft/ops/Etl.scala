@@ -381,6 +381,66 @@ object Etl {
             FROM i GROUP BY user_id, sid
             ORDER BY user_id, session_start_s"""))
 
+  /** TYPED-STATE sessionization as a DECLARED, oracled batch twin (r12,
+    * judge r11 #7) — the full-replay semantics of
+    * [[graft.streaming.SessionProcessor]] (Spark 4 `transformWithState`:
+    * RocksDB-backed typed ValueState + event-time timers) and of the
+    * classic `flatMapGroupsWithState` spelling (`Pipeline.sessionize`),
+    * which share ONE merge rule: an event EXTENDS the open session iff
+    * ts − last_event_ts < 30 min, else the open session closes and a new
+    * one starts. Declared output is the processor's NATIVE shape —
+    * microsecond start/end where end is the LAST EVENT's timestamp
+    * ([[qStreamSession]]'s `session_window` twin declares end = last +
+    * gap in SECONDS; the two twins pin both ends of the same rule) —
+    * plus n_events and the session value sum on the exact integer
+    * micro-unit grid (D1: the processor's double accumulation sits
+    * within 1e-3 of this grid, the tolerance StreamingSpec's replay-
+    * equality proof uses for the one float field; the integer fields
+    * must match tuple-exactly).
+    *
+    * Scale shape: one lag window + one running-sum window + one hash
+    * agg, all partitioned by user — the `q_win_sessionize` class;
+    * nothing wider than a user's event run ever sorts together.
+    */
+  private val qStreamSessionTyped = Q(
+    "q_stream_session_typed",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_s", expr(
+          "CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000L THEN 1L ELSE 0L END"))
+        .withColumn("sid", sum("new_s").over(run))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+          count(lit(1)).as("n_events"), sum("v_us").as("sum_value_us"))
+        .select("user_id", "start_us", "end_us", "n_events", "sum_value_us")
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                    CAST(round(value * 1000000) AS BIGINT) AS v_us
+                   FROM events),
+            m AS (SELECT user_id, us, event_id, v_us,
+                   CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+                  FROM e),
+            i AS (SELECT user_id, us, v_us,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM m)
+            SELECT user_id,
+                   CAST(MIN(us) AS BIGINT) AS start_us,
+                   CAST(MAX(us) AS BIGINT) AS end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(v_us) AS BIGINT) AS sum_value_us
+            FROM i GROUP BY user_id, sid
+            ORDER BY user_id, start_us"""))
+
   /** WATERMARK / LATE-DROP semantics as a DECLARED, oracled query — the
     * batch twin of `graft.streaming.Pipeline.windowedCounts`'s
     * `withWatermark("ts_ts", "10 minutes")` (whose live-stream behavior
@@ -497,13 +557,20 @@ object Etl {
                      WHERE ${Llm.md5U01Sql("'dup_' || CAST(event_id AS VARCHAR)")} < 0.1),
              k AS (SELECT event_id, event_type,
                     CAST(COUNT(*) AS BIGINT) AS n_arr,
-                    MIN(struct_pack(seq := seq, v_us := v_us)) AS w
+                    arg_min(v_us, seq) AS w_v_us
                    FROM arr GROUP BY event_id, event_type)
              SELECT event_type, CAST(SUM(n_arr) AS BIGINT) AS n_arrivals,
               CAST(COUNT(*) AS BIGINT) AS n_kept,
               CAST(SUM(n_arr - 1) AS BIGINT) AS n_dropped,
-              CAST(SUM(w.v_us) AS BIGINT) AS sum_value_us
+              CAST(SUM(w_v_us) AS BIGINT) AS sum_value_us
              FROM k GROUP BY event_type ORDER BY event_type"""))
+             // oracle spelling note (r12, the q_etl_cdc_apply pathology):
+             // MIN(struct_pack(seq, v_us)) kept ~31 GB of DuckDB 1.0.0
+             // aggregate state at 1M groups (struct states ignore
+             // memory_limit); arg_min(v_us, seq) is election-identical —
+             // the seq=0 original exists exactly once per event_id and
+             // 0 < 1, so lexicographic struct-min IS min-seq — at flat
+             // scalar state cost. Spark keeps min(struct(...)).
 
   /** STREAM-STREAM INTERVAL JOIN semantics as a declared, oracled query
     * (r11 — the third core streaming semantic after [[qStreamLateDrop]]'s
@@ -1420,20 +1487,31 @@ object Etl {
                      UNION ALL
                      SELECT k, status, 3, 'D', NULL FROM base WHERE has_d),
              fin AS (SELECT k, status,
-                      MAX(struct_pack(ver := ver, op := op, cents := cents)) AS f
+                      arg_max(op, ver) AS op, arg_max(cents, ver) AS cents
                      FROM log GROUP BY k, status)
              SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
-              CAST(SUM(CASE WHEN f.op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
-              CAST(SUM(CASE WHEN f.op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
-              CAST(SUM(CASE WHEN f.op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update_won,
-              CAST(SUM(CASE WHEN f.op <> 'D' THEN f.cents ELSE 0 END) AS BIGINT) AS live_cents
+              CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+              CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+              CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update_won,
+              CAST(SUM(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT) AS live_cents
              FROM fin GROUP BY status ORDER BY status"""))
+             // oracle spelling note (r12): the former
+             // MAX(struct_pack(ver, op, cents)) election ballooned DuckDB
+             // 1.0.0 past 100 GB at sf1.0 (struct-MAX aggregate states
+             // with a nullable member ignore memory_limit — OOM-killed
+             // the sweep twice); arg_max by ver is ELECTION-IDENTICAL
+             // because ver is unique per (k, status) — I=1 < U=2 < D=3 —
+             // so max-struct ordering IS max-ver. arg_max skips NULL
+             // args (a delete's cents), but a 'D'-winning key's cents is
+             // masked to 0 in every consumer and op itself is never
+             // NULL, so the declared output is provably unchanged (the
+             // Spark side keeps max(struct(...)): no pathology there).
 
   val all: Seq[Q] = Seq(
     qEtlDecodeParse, qEtlRoute, qEtlBatchAssign, qEtlDlq, qEtlEnvelope,
     qEtlCompact, qEtlManifest, qEtlRedact, qEtlDqAudit, qEtlMerge, qEtlScd2,
     qEtlSchemaEvolve, qEtlGapfill, qEtlTableDiff, qEtlZorder, qEtlKanon, qEtlLdp,
     qEtlCdcApply,
-    qStreamTumbling, qStreamSliding, qStreamSession, qStreamLateDrop,
-    qStreamDedup, qStreamJoin)
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamSessionTyped,
+    qStreamLateDrop, qStreamDedup, qStreamJoin)
 }
