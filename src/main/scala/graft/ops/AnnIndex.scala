@@ -42,9 +42,9 @@ object AnnIndex {
 
   /** Denominator of the `q_rag_chunk_topk` replay's deterministic md5
     * query sample (1/RagReplaySample of chunks query the index; salt
-    * rags_). A FULL corpus replay against a √n-cell IVF index is n^1.5
-    * work by construction — the r10 sf1.0 rehearsal measured exactly
-    * that (79.2 s, 26.5× on 10× data, the suite's worst scale ratio). A
+    * rags_). A FULL corpus replay against the old √n-cell IVF index was
+    * n^1.5 work by construction — the r10 sf1.0 rehearsal measured
+    * exactly that (79.2 s, 26.5× on 10× data, the suite's worst scale ratio). A
     * fixed-fraction sample keeps the audit's verdict (per-query serve
     * cost, recall behavior, plan shape are all per-query properties)
     * while the audit's own cost drops by the same factor; the predicate
@@ -572,10 +572,10 @@ object AnnIndex {
                     FROM grid g LEFT JOIN f ON f.cvid = g.cvid AND f.dim = g.d),
              dv AS (SELECT cvid AS vec_id, list(x ORDER BY d) AS v
                     FROM dw GROUP BY cvid),
-             n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dv
+             n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dv
                    WHERE list_dot_product(v, v) > 0),
              prm AS (SELECT ${Llm.occThrSql} AS thr FROM n),
-             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
+             cent AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
                       WHERE ${Llm.md5U01Sql("'ragc_' || CAST(vec_id AS VARCHAR)")} < thr),
              ${Llm.routedAsgSql("ragr_")},
              idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell

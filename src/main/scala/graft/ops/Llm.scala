@@ -1970,9 +1970,9 @@ object Llm {
   private[ops] def routedAsgSql(saltR: String): String =
     s"""prr AS (SELECT LEAST(CAST(1 AS DOUBLE), sqrt(CAST($RouteFloor AS DOUBLE) / COUNT(*))) AS rthr
                FROM cent),
-        rt AS (SELECT c_id AS r_id, cv AS rv, cn AS rn FROM cent CROSS JOIN prr
+        rt AS MATERIALIZED (SELECT c_id AS r_id, cv AS rv, cn AS rn FROM cent CROSS JOIN prr
                WHERE ${md5U01Sql(s"'$saltR' || CAST(c_id AS VARCHAR)")} < rthr),
-        cmap AS (SELECT c_id, r_id FROM (
+        cmap AS MATERIALIZED (SELECT c_id, r_id FROM (
                   SELECT cent.c_id, r_id, row_number() OVER (PARTITION BY cent.c_id
                     ORDER BY ROUND(list_dot_product(cv, rv) / (cn * rn), 4) DESC, r_id) AS crn
                   FROM cent CROSS JOIN rt) WHERE crn = 1),
@@ -3954,10 +3954,10 @@ object Llm {
                FROM grid g LEFT JOIN f ON f.doc_id = g.doc_id AND f.dim = g.d),
         dv AS (SELECT doc_id AS vec_id, list(x ORDER BY d) AS v
                FROM dw GROUP BY doc_id),
-        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dv
+        n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dv
               WHERE list_dot_product(v, v) > 0),
         prm AS (SELECT $occThrSql AS thr FROM n),
-        cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
+        cent AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n CROSS JOIN prm
                  WHERE ${md5U01Sql("'dctr_' || CAST(vec_id AS VARCHAR)")} < thr),
         ${routedAsgSql("dctrr_")},
         idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
@@ -4035,7 +4035,8 @@ object Llm {
     * salted hash `core_`, doc_id tie-break — the struct-extremum
     * election inside one map-combinable agg). Where `q_source_cap`
     * caps by PROVENANCE, this caps by embedding-space REGION: the
-    * coreset covers the corpus's semantic spread at √n size, the
+    * coreset covers the corpus's semantic spread at one-per-cell size
+    * (max(n/S, √n) cells under the r12 occupancy rule), the
     * "seed a diverse eval set / curriculum head" primitive. Output is
     * the per-cell manifest (cell, size, picked doc).
     *
