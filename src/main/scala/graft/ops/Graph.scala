@@ -127,23 +127,23 @@ object Graph {
              deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
                      FROM edges GROUP BY src),
              nodes AS (SELECT DISTINCT src AS id FROM edges),
-             r0 AS (SELECT id, CAST($PrInit AS BIGINT) AS r FROM nodes),
+             r0 AS MATERIALIZED (SELECT id, CAST($PrInit AS BIGINT) AS r FROM nodes),
              c1 AS (SELECT e.dst AS id, CAST(SUM(r0.r // d.deg) AS BIGINT) AS m
                     FROM edges e JOIN r0 ON e.src = r0.id JOIN deg d ON e.src = d.src
                     GROUP BY e.dst),
-             r1 AS (SELECT n.id,
+             r1 AS MATERIALIZED (SELECT n.id,
                      CAST(${PrInit * 15 / 100} + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS r
                     FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
              c2 AS (SELECT e.dst AS id, CAST(SUM(r1.r // d.deg) AS BIGINT) AS m
                     FROM edges e JOIN r1 ON e.src = r1.id JOIN deg d ON e.src = d.src
                     GROUP BY e.dst),
-             r2 AS (SELECT n.id,
+             r2 AS MATERIALIZED (SELECT n.id,
                      CAST(${PrInit * 15 / 100} + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS r
                     FROM nodes n LEFT JOIN c2 ON n.id = c2.id),
              c3 AS (SELECT e.dst AS id, CAST(SUM(r2.r // d.deg) AS BIGINT) AS m
                     FROM edges e JOIN r2 ON e.src = r2.id JOIN deg d ON e.src = d.src
                     GROUP BY e.dst),
-             r3 AS (SELECT n.id,
+             r3 AS MATERIALIZED (SELECT n.id,
                      CAST(${PrInit * 15 / 100} + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
                     FROM nodes n LEFT JOIN c3 ON n.id = c3.id)
              SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
@@ -442,7 +442,7 @@ object Graph {
     */
   private def sparseEdgesSql: String =
     s"""co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-             w AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w
+             w AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w
                    FROM co a JOIN co b ON a.ok = b.ok AND a.p < b.p
                    GROUP BY a.p, b.p),
              half AS (SELECT pa AS node, pb AS peer, w FROM w
@@ -453,7 +453,7 @@ object Graph {
                                ROW_NUMBER() OVER (PARTITION BY node
                                  ORDER BY w DESC, peer) AS rn
                         FROM half) WHERE rn <= $TriKnn),
-             edges AS (SELECT DISTINCT LEAST(node, peer) AS a,
+             edges AS MATERIALIZED (SELECT DISTINCT LEAST(node, peer) AS a,
                               GREATEST(node, peer) AS b FROM kept)"""
 
   private val qGraphTriangles = Q(
@@ -580,17 +580,17 @@ object Graph {
     * oracles so the engine twins cannot drift. Expects `nodes`/`adj` in
     * scope; leaves the final frame as `l$LpIters`. */
   private def lpLabelsSql: String =
-    s"""l0 AS (SELECT n, CASE WHEN ${Llm.md5Hex32Sql("'lps_' || CAST(n AS VARCHAR)")} % $LpSeedMod = 0
+    s"""l0 AS MATERIALIZED (SELECT n, CASE WHEN ${Llm.md5Hex32Sql("'lps_' || CAST(n AS VARCHAR)")} % $LpSeedMod = 0
                          THEN n END AS lab FROM nodes),
-        l1 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l0 l
+        l1 AS MATERIALIZED (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l0 l
                LEFT JOIN (SELECT adj.n, MIN(l0.lab) AS nm FROM adj
                           JOIN l0 ON adj.nbr = l0.n GROUP BY adj.n) m
                  ON l.n = m.n),
-        l2 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l1 l
+        l2 AS MATERIALIZED (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l1 l
                LEFT JOIN (SELECT adj.n, MIN(l1.lab) AS nm FROM adj
                           JOIN l1 ON adj.nbr = l1.n GROUP BY adj.n) m
                  ON l.n = m.n),
-        l3 AS (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l2 l
+        l3 AS MATERIALIZED (SELECT l.n, COALESCE(l.lab, m.nm) AS lab FROM l2 l
                LEFT JOIN (SELECT adj.n, MIN(l2.lab) AS nm FROM adj
                           JOIN l2 ON adj.nbr = l2.n GROUP BY adj.n) m
                  ON l.n = m.n)"""
@@ -607,7 +607,7 @@ object Graph {
              nodes AS (SELECT DISTINCT n FROM (
                          SELECT a AS n FROM edges
                          UNION ALL SELECT b AS n FROM edges) u),
-             adj AS (SELECT a AS n, b AS nbr FROM edges
+             adj AS MATERIALIZED (SELECT a AS n, b AS nbr FROM edges
                      UNION ALL SELECT b AS n, a AS nbr FROM edges),
              $lpLabelsSql
              SELECT COALESCE(lab, -1) AS community,
@@ -866,21 +866,21 @@ object Graph {
              nodes AS (SELECT DISTINCT n FROM (
                          SELECT a AS n FROM edges
                          UNION ALL SELECT b AS n FROM edges) u),
-             adj AS (SELECT a AS n, b AS nbr FROM edges
+             adj AS MATERIALIZED (SELECT a AS n, b AS nbr FROM edges
                      UNION ALL SELECT b AS n, a AS nbr FROM edges),
-             d0 AS (SELECT n, CASE WHEN ${Llm.md5Hex32Sql("'bfs_' || CAST(n AS VARCHAR)")} % $BfsSeedMod = 0
+             d0 AS MATERIALIZED (SELECT n, CASE WHEN ${Llm.md5Hex32Sql("'bfs_' || CAST(n AS VARCHAR)")} % $BfsSeedMod = 0
                               THEN CAST(0 AS BIGINT) END AS d FROM nodes),
-             d1 AS (SELECT x.n, least(x.d, m.cand) AS d FROM d0 x
+             d1 AS MATERIALIZED (SELECT x.n, least(x.d, m.cand) AS d FROM d0 x
                     LEFT JOIN (SELECT adj.n, MIN(d0.d) + 1 AS cand FROM adj
                                JOIN d0 ON adj.nbr = d0.n
                                WHERE d0.d IS NOT NULL GROUP BY adj.n) m
                       ON x.n = m.n),
-             d2 AS (SELECT x.n, least(x.d, m.cand) AS d FROM d1 x
+             d2 AS MATERIALIZED (SELECT x.n, least(x.d, m.cand) AS d FROM d1 x
                     LEFT JOIN (SELECT adj.n, MIN(d1.d) + 1 AS cand FROM adj
                                JOIN d1 ON adj.nbr = d1.n
                                WHERE d1.d IS NOT NULL GROUP BY adj.n) m
                       ON x.n = m.n),
-             d3 AS (SELECT x.n, least(x.d, m.cand) AS d FROM d2 x
+             d3 AS MATERIALIZED (SELECT x.n, least(x.d, m.cand) AS d FROM d2 x
                     LEFT JOIN (SELECT adj.n, MIN(d2.d) + 1 AS cand FROM adj
                                JOIN d2 ON adj.nbr = d2.n
                                WHERE d2.d IS NOT NULL GROUP BY adj.n) m
@@ -953,7 +953,7 @@ object Graph {
              nodes AS (SELECT DISTINCT n FROM (
                          SELECT a AS n FROM edges
                          UNION ALL SELECT b AS n FROM edges) u),
-             adj AS (SELECT a AS n, b AS nbr FROM edges
+             adj AS MATERIALIZED (SELECT a AS n, b AS nbr FROM edges
                      UNION ALL SELECT b AS n, a AS nbr FROM edges),
              $lpLabelsSql,
              lb AS (SELECT n, COALESCE(lab, n) AS c FROM l3),

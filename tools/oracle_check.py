@@ -101,7 +101,7 @@ def main():
         con.execute("SET temp_directory='/tmp/graft_duck_spill'")
         # aggregate states (notably struct extrema) are per-thread and
         # partially untracked in 1.0.0 — fewer threads caps the real rss
-        con.execute("SET threads TO 4")
+        con.execute(f"SET threads TO {os.environ.get('GRAFT_DUCK_THREADS', '4')}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
