@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
   *    same oracle — proving persistence round-trips the index losslessly.
   *
   * Index layout (Faiss IndexIVFFlat on parquet): full vectors grouped by
-  * cell. Directory-partitioning on the cell id is the inverted-list
-  * analogue — a query probing nprobe cells prunes to those directories
-  * ([[Partitioned.prunesTo]]); `cell` is ALSO kept as a data column
-  * (`cell_part` is the directory copy) so read-back types never depend
-  * on partition-value inference. At 100 TB the cell count is √n; the
-  * writer's maxRecordsPerFile splits hot cells into bounded files.
+  * cell. Directory-partitioning on a BOUNDED bucket of the cell id
+  * (`cell_part = pmod(cell, IdxDirParts)` — see [[withCellPart]]) is the
+  * inverted-list analogue — a query probing nprobe cells prunes to those
+  * buckets' directories ([[Partitioned.prunesTo]]) and the `cell` DATA
+  * column narrows the rest through parquet row-group stats; read-back
+  * types never depend on partition-value inference. At 100 TB the
+  * occupancy rule makes the raw cell count n/S (NOT low-cardinality), so
+  * the bucket — not the cell — is the directory key, and growth lands as
+  * bigger maxRecordsPerFile-split files inside a fixed directory fan-out.
   *
   * Serve-path scale shape: two scans of the index table (index side +
   * query side), one cell equi-join, one per-query top-k window — no
@@ -123,19 +126,46 @@ object AnnIndex {
     }
   }
 
-  /** Broadcast-centroid cell assignment shared by every lifecycle op:
-    * one row per input vector — (vec_id, v, nrm, cell, probes) — via the
-    * `q_sim_ivf` scoring rule (rounded cosine, (−cos, c_id) sort). The
-    * n·k score matrix never exists as rows; `probes` precomputes the
-    * query-side cell list so serving needs no centroid math at all.
+  /** Routed cell assignment shared by every lifecycle op: one row per
+    * input vector — (vec_id, v, nrm, cell, probes) — via the
+    * `q_sim_ivf` scoring rule (rounded cosine, (−cos, c_id) sort)
+    * through the r13 occupancy+routed election ([[Llm.routedAssign]]).
+    * `cents` is the FLAT centroid-row frame persisted beside the index
+    * (`_cents`); the route layer re-derives deterministically from it
+    * under `routeSalt`, so build-time and serve-time assignment cannot
+    * drift. `probes` precomputes the query-side cell list so serving
+    * needs no centroid math at all.
     */
-  private def assignCells(vecsDf: DataFrame, cents: DataFrame): DataFrame =
-    vecsDf.crossJoin(broadcast(cents))
-      .filter(expr("size(cents) > 0"))
-      .withColumn("pc", expr(Llm.cellsSpark(s"${Llm.IvfProbes}")))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        expr("element_at(pc, 1).c_id").as("cell"),
-        expr("transform(pc, p -> p.c_id)").as("probes"))
+  private def assignCells(vecsDf: DataFrame, cents: DataFrame,
+      routeSalt: String): DataFrame =
+    Llm.routedAssign(vecsDf, cents, routeSalt)
+
+  /** Geometry version folded into every embeddings-lifecycle
+    * fingerprint (the [[RagGeomVer]] rule applied to this family): the
+    * r13 occupancy+route change is a quantizer RULE change, and a
+    * pre-change /tmp artifact must not serve stale √n-cell results
+    * against the new oracle.
+    */
+  private val IdxGeomVer = "occr1-"
+
+  /** Directory-bucketing of the cell id for the partitioned layouts:
+    * under the occupancy rule the cell COUNT grows as n/S — no longer a
+    * low-cardinality column, so raw cell-per-directory partitioning
+    * violates [[Partitioned]]'s own write discipline (the r13 sf1.0
+    * chunk index measured 926 directories x 32 writer tasks = 42,510
+    * files for 175 MB, and the steady-state serve paid ~10 s of file
+    * opens). `cell_part = pmod(cell, IdxDirParts)` bounds the directory
+    * count FOREVER (growth lands as bigger, maxRecordsPerFile-split
+    * files inside the 64 buckets); a one-cell probe still prunes to one
+    * directory (1/64 of the corpus) and the `cell` DATA column narrows
+    * the rest via row-group stats. The write repartitions by the bucket
+    * so each directory is produced by one task — file count stays
+    * O(buckets + size/maxRecordsPerFile), never O(buckets x tasks).
+    */
+  private[graft] val IdxDirParts = 64
+  private def withCellPart(df: DataFrame): DataFrame =
+    df.withColumn("cell_part", pmod(col("cell"), lit(IdxDirParts)))
+      .repartition(col("cell_part"))
 
   /** Build + persist, returning the on-disk path and the written
     * schema. The overwrite is STATIC (whole-path truncate, not
@@ -155,18 +185,18 @@ object AnnIndex {
     // the persisted quantizer (the writeUpdArtifact materialize-once
     // rule; without the checkpoint the _cents write below re-runs the
     // whole corpus sample)
-    val cents = Llm.ivfCentArr(s, dir).localCheckpoint(true)
-    val df = assignCells(Llm.vecs(s, dir), cents).withColumn("cell_part", col("cell"))
+    val cents = Llm.ivfOccCentRows(s, dir).localCheckpoint(true)
+    val df = withCellPart(assignCells(Llm.vecs(s, dir), cents, Llm.EmbRouteSalt))
     // invalidate-before-truncate: a crash between here and the marker
     // commit leaves NO marker, never one pointing at a half-written path
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path + ".marker"))
     Partitioned.writeStatic(df, path, maxRecordsPerFile = 1 << 18, "cell_part")
     // the coarse quantizer is part of the index (Faiss persists it the
-    // same way): without the centroid array on storage, a NEW query
+    // same way): without the centroid rows on storage, a NEW query
     // vector could not be probe-assigned without the corpus — the
     // online-serve path ([[serveBatch]]) reads it back instead
     cents.write.mode("overwrite").parquet(path + "_cents")
-    commitMarker(path, fingerprint(dir), df.schema)
+    commitMarker(path, IdxGeomVer + fingerprint(dir), df.schema)
     (path, df.schema)
   }
 
@@ -179,7 +209,7 @@ object AnnIndex {
     */
   private[graft] def ensureIndex(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val path = indexPath(dir)
-    freshArtifact(path, fingerprint(dir)) match {
+    freshArtifact(path, IdxGeomVer + fingerprint(dir)) match {
       case Some(schema) => (path, schema)
       case None => writeIndex(s, dir)
     }
@@ -214,7 +244,7 @@ object AnnIndex {
     val qv = queries
       .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(graft.functions.graft_dot(col("v"), col("v"))))
-    val qry = assignCells(qv, cents)
+    val qry = assignCells(qv, cents, Llm.EmbRouteSalt)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(col("probes")).as("cell"))
     val idx0 = s.read.schema(schema).parquet(path).select(col("vec_id").as("n_id"),
@@ -244,8 +274,8 @@ object AnnIndex {
         .orderBy("cell")
     },
     Some(s"""WITH ${Llm.vecsSql},
-             ${Llm.ivfCentSql},
-             ${Llm.ivfAsgSql}
+             ${Llm.ivfOccCentSql},
+             ${Llm.routedAsgSql(Llm.EmbRouteSalt)}
              SELECT c_id AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                     CAST(SUM(vec_id) AS BIGINT) AS id_sum
              FROM asg WHERE arn = 1 GROUP BY c_id ORDER BY cell"""))
@@ -268,8 +298,8 @@ object AnnIndex {
     // identical result contract to q_sim_ivf: persistence must be
     // lossless, so the serve answer IS the inline answer
     Some(s"""WITH ${Llm.vecsSql},
-             ${Llm.ivfCentSql},
-             ${Llm.ivfAsgSql},
+             ${Llm.ivfOccCentSql},
+             ${Llm.routedAsgSql(Llm.EmbRouteSalt)},
              idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
                      FROM asg WHERE arn = 1),
              qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
@@ -285,20 +315,23 @@ object AnnIndex {
     Llm.vecs(s, dir).withColumn("is_base",
       expr(s"pmod(${Llm.md5Hex32Spark("concat('annu_', CAST(vec_id AS STRING))")}, 10) != 0"))
 
-  /** IVF centroids hash-sampled from the BASE generation only (thr =
-    * 1/√n_base) — the update contract freezes the coarse quantizer at
+  /** IVF centroids hash-sampled from the BASE generation only
+    * (occupancy threshold over n_base — [[Llm.occCentRows]], salt
+    * annuc_) — the update contract freezes the coarse quantizer at
     * build time; incoming vectors are assigned against it, never against
-    * centroids they could have been sampled into.
+    * centroids they could have been sampled into. Returned as the flat
+    * centroid ROWS the routed election consumes; the route layer (salt
+    * annur_) re-derives deterministically from them, so the frozen
+    * contract covers routes too.
     */
-  private def baseCentArr(sp: DataFrame): DataFrame = {
-    val base = sp.filter(col("is_base"))
-    val thr = base.agg(count(lit(1)).as("n"))
-      .select(expr("CAST(1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("thr"))
-    base.crossJoin(broadcast(thr))
-      .filter(expr(Llm.md5U01Spark("concat('annuc_', CAST(vec_id AS STRING))")) < col("thr"))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
-  }
+  private def baseCentRows(sp: DataFrame): DataFrame =
+    Llm.occCentRows(sp.filter(col("is_base")), "annuc_")
+
+  /** Route salt of the two-generation update artifact (independent of
+    * [[Llm.EmbRouteSalt]] — its quantizer is the base-only sample, a
+    * different centroid population).
+    */
+  private val UpdRouteSalt = "annur_"
 
   /** The update lifecycle's artifact: base generation written static,
     * delta generation APPENDED — a two-generation cell-partitioned
@@ -330,9 +363,9 @@ object AnnIndex {
     // checkpointing sp and the 1-row cents frame leaves one corpus scan
     // for the split and one for the sample
     val sp = updSplit(s, dir).localCheckpoint(true)
-    val cents = baseCentArr(sp).localCheckpoint(true)
-    val base = assignCells(sp.filter(col("is_base")), cents)
-      .withColumn("gen", lit("base")).withColumn("cell_part", col("cell"))
+    val cents = baseCentRows(sp).localCheckpoint(true)
+    val base = withCellPart(assignCells(sp.filter(col("is_base")), cents, UpdRouteSalt)
+      .withColumn("gen", lit("base")))
     // invalidate-before-truncate, as in writeIndex
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path + ".marker"))
     Partitioned.writeStatic(base, path, 1 << 18, "cell_part")
@@ -350,15 +383,15 @@ object AnnIndex {
     */
   private[graft] def appendBatch(s: SparkSession, batch: DataFrame, path: String): Unit = {
     val cents = s.read.parquet(path + "_cents")
-    val delta = assignCells(batch, cents)
-      .withColumn("gen", lit("delta")).withColumn("cell_part", col("cell"))
+    val delta = withCellPart(assignCells(batch, cents, UpdRouteSalt)
+      .withColumn("gen", lit("delta")))
     Partitioned.append(delta, path, 1 << 18, "cell_part")
   }
 
   private def writeUpdArtifact(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val (path, schema, incoming) = writeUpdBase(s, dir)
     appendBatch(s, incoming, path)
-    commitMarker(path, fingerprint(dir), schema)
+    commitMarker(path, IdxGeomVer + fingerprint(dir), schema)
     (path, schema)
   }
 
@@ -370,7 +403,7 @@ object AnnIndex {
     */
   private def ensureUpdArtifact(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val path = indexPath(dir) + "_upd"
-    freshArtifact(path, fingerprint(dir)) match {
+    freshArtifact(path, IdxGeomVer + fingerprint(dir)) match {
       case Some(schema) => (path, schema)
       case None => writeUpdArtifact(s, dir)
     }
@@ -402,18 +435,17 @@ object AnnIndex {
              sp AS (SELECT vec_id, v, nrm,
                       (${Llm.md5Hex32Sql("'annu_' || CAST(vec_id AS VARCHAR)")}) % 10 <> 0 AS is_base
                     FROM n),
-             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM sp WHERE is_base),
-             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM sp CROSS JOIN prm
+             prm AS (SELECT ${Llm.occThrSql} AS thr FROM sp WHERE is_base),
+             cent AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+                      FROM sp CROSS JOIN prm
                       WHERE is_base AND ${Llm.md5U01Sql("'annuc_' || CAST(vec_id AS VARCHAR)")} < thr),
-             asg AS (SELECT sp.vec_id, sp.is_base, c_id,
-                       row_number() OVER (PARTITION BY sp.vec_id ORDER BY
-                         ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id) AS arn
-                     FROM sp CROSS JOIN cent)
-             SELECT c_id AS cell,
-                    CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
-                    CAST(SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
-                    CAST(SUM(vec_id) AS BIGINT) AS id_sum
-             FROM asg WHERE arn = 1 GROUP BY c_id ORDER BY cell"""))
+             ${Llm.routedAsgSql(UpdRouteSalt)}
+             SELECT asg.c_id AS cell,
+                    CAST(SUM(CASE WHEN sp.is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                    CAST(SUM(CASE WHEN NOT sp.is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                    CAST(SUM(asg.vec_id) AS BIGINT) AS id_sum
+             FROM asg JOIN sp ON asg.vec_id = sp.vec_id
+             WHERE arn = 1 GROUP BY asg.c_id ORDER BY cell"""))
 
   /** Index compaction — the maintenance job an append-only layout needs
     * periodically (`q_etl_compact`'s role applied to this table): one
@@ -437,7 +469,7 @@ object AnnIndex {
       val (upd, schema) = ensureUpdArtifact(s, dir)
       val cpath = indexPath(dir) + "_cmp"
       val merged = s.read.schema(schema).parquet(upd)
-        .withColumn("gen", lit("base"))
+        .withColumn("gen", lit("base")).repartition(col("cell_part"))
       Partitioned.writeStatic(merged, cpath, 1 << 18, "cell_part")
       s.read.schema(schema).parquet(cpath)
         .groupBy("cell")
@@ -450,13 +482,11 @@ object AnnIndex {
              sp AS (SELECT vec_id, v, nrm,
                       (${Llm.md5Hex32Sql("'annu_' || CAST(vec_id AS VARCHAR)")}) % 10 <> 0 AS is_base
                     FROM n),
-             prm AS (SELECT CAST(1 AS DOUBLE) / sqrt(COUNT(*)) AS thr FROM sp WHERE is_base),
-             cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM sp CROSS JOIN prm
+             prm AS (SELECT ${Llm.occThrSql} AS thr FROM sp WHERE is_base),
+             cent AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+                      FROM sp CROSS JOIN prm
                       WHERE is_base AND ${Llm.md5U01Sql("'annuc_' || CAST(vec_id AS VARCHAR)")} < thr),
-             asg AS (SELECT sp.vec_id, c_id,
-                       row_number() OVER (PARTITION BY sp.vec_id ORDER BY
-                         ROUND(list_dot_product(v, cv) / (nrm * cn), 4) DESC, c_id) AS arn
-                     FROM sp CROSS JOIN cent)
+             ${Llm.routedAsgSql(UpdRouteSalt)}
              SELECT c_id AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                     CAST(0 AS BIGINT) AS n_delta,
                     CAST(SUM(vec_id) AS BIGINT) AS id_sum
@@ -468,13 +498,8 @@ object AnnIndex {
     * corpus-scale text indexes (the chunk index featurizes documents),
     * returned as centroid ROWS (c_id, cv, cn) for [[Llm.routedAssign]].
     */
-  private def occCentsFlat(vecsDf: DataFrame, salt: String): DataFrame = {
-    val thr = vecsDf.agg(count(lit(1)).as("n"))
-      .select(expr(Llm.occThrSpark).as("thr"))
-    vecsDf.crossJoin(broadcast(thr))
-      .filter(expr(Llm.md5U01Spark(s"concat('$salt', CAST(vec_id AS STRING))")) < col("thr"))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-  }
+  private def occCentsFlat(vecsDf: DataFrame, salt: String): DataFrame =
+    Llm.occCentRows(vecsDf, salt)
 
   /** Build + persist the CHUNK index: `q_text_chunk`'s tiling,
     * featurized per chunk ([[Llm.chunkVec]]), cell-partitioned under its
@@ -495,13 +520,13 @@ object AnnIndex {
     * tag a pre-change /tmp artifact would serve stale √n-cell results
     * against the new oracle.
     */
-  private val RagGeomVer = "occ2l-"
+  private val RagGeomVer = "occ2l64-"
 
   private[graft] def writeRagIndex(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val path = indexPath(dir) + "_rag"
     val cv = Llm.chunkVec(s, dir).localCheckpoint(true)
     val cents = occCentsFlat(cv, "ragc_").localCheckpoint(true)
-    val df = Llm.routedAssign(cv, cents, "ragr_").withColumn("cell_part", col("cell"))
+    val df = withCellPart(Llm.routedAssign(cv, cents, "ragr_"))
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path + ".marker"))
     Partitioned.writeStatic(df, path, 1 << 18, "cell_part")
     cents.write.mode("overwrite").parquet(path + "_cents")
@@ -635,8 +660,8 @@ object AnnIndex {
       Llm.cellTopK(idx, qry)
     },
     Some(s"""WITH ${Llm.vecsSql},
-             ${Llm.ivfCentSql},
-             ${Llm.ivfAsgSql},
+             ${Llm.ivfOccCentSql},
+             ${Llm.routedAsgSql(Llm.EmbRouteSalt)},
              live AS (SELECT * FROM asg
                       WHERE (${Llm.md5Hex32Sql("'annd_' || CAST(vec_id AS VARCHAR)")}) % 10 <> 0),
              idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell

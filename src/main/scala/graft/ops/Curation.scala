@@ -638,8 +638,8 @@ object Curation {
     * index between epochs.
     *
     * Scale shape: candidate generation IS the shared `q_sim_ivf` probe
-    * spelling (broadcast √n centroid array, map-only assignment, cell
-    * equi-join — never all-pairs), and the band filter runs BEFORE the
+    * spelling (occupancy quantizer + routed election, cell equi-join —
+    * never all-pairs), and the band filter runs BEFORE the
     * per-anchor window, so only in-band skinny (q_id, n_id, cos) rows
     * reach the top-k shuffle. Anchors whose probed cells hold no in-band
     * candidate simply emit nothing — exactly the production behavior
@@ -648,12 +648,7 @@ object Curation {
   private val qSampleHardNegatives = Q(
     "q_sample_hard_negatives",
     (s, dir) => {
-      val probed = Llm.vecs(s, dir)
-        .crossJoin(broadcast(Llm.ivfCentArr(s, dir)))
-        .filter(expr("size(cents) > 0"))
-        .withColumn("pc", expr(Llm.cellsSpark(s"${Llm.IvfProbes}")))
-        .select(col("vec_id"), col("v"), col("nrm"), col("pc"))
-        .localCheckpoint(true)
+      val probed = Llm.ivfOccProbed(s, dir)
       val idx = probed.select(col("vec_id").as("n_id"), col("v").as("nv"),
         col("nrm").as("nn"), expr("element_at(pc, 1).c_id").as("cell"))
       val qry = probed.select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -670,8 +665,8 @@ object Curation {
         .orderBy("q_id", "rnk")
     },
     Some(s"""WITH ${Llm.vecsSql},
-             ${Llm.ivfCentSql},
-             ${Llm.ivfAsgSql},
+             ${Llm.ivfOccCentSql},
+             ${Llm.routedAsgSql(Llm.EmbRouteSalt)},
              idx AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell
                      FROM asg WHERE arn = 1),
              qry AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
