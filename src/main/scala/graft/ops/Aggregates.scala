@@ -248,6 +248,85 @@ object Aggregates {
             FROM li JOIN th USING (g)
             GROUP BY li.g ORDER BY li.g"""))
 
+  /** GINI COEFFICIENT of customer spend per nation (r13 — Gini 1912 via
+    * the rank form G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx): the classic
+    * whole-distribution inequality number, the audit read next to
+    * `q_agg_activity_dist`'s bucket census and `q_mix_concentration`'s
+    * HHI — HHI weighs the head, Gini integrates the entire Lorenz curve,
+    * and a revenue/traffic team reads both). Customers with no orders
+    * count at spend 0 (dropping them understates inequality). D1:
+    * spend in exact integer cents (the `q_agg_winsorize` rule); ranks
+    * come from the (nation, cents) VALUE HISTOGRAM — the tied block at
+    * cents = v with count c and prior cumulative p contributes
+    * v·(2·p·c + c·(c+1)) to 2·Σ i·x₍ᵢ₎, which is permutation-invariant
+    * under ties — so no row-level rank window ever runs. Both engines
+    * truncate the final non-negative division identically (G ≥ 0 by the
+    * rearrangement inequality). Output per nation: customer count,
+    * total spend, floor-bp Gini; ORDER BY n_name (≤ 25 rows).
+    *
+    * Scale shape: one map-combinable per-customer cents agg over orders
+    * (the corpus-sized work) + broadcast-joined nation name, then the
+    * histogram agg and a per-nation cumulative window over the ≤
+    * |distinct (nation, cents)| histogram frame — the `q_agg_winsorize`
+    * / `q_agg_spearman` bounded-grid discipline. Overflow (ADVICE-r10
+    * class): Σ cents·rank ≈ n²·x̄ per nation overflows BIGINT near 10⁶
+    * customers/nation at this price scale, so both moment sums widen
+    * BEFORE the multiply (DECIMAL(38,0) / HUGEINT — exact to n ≈ 10¹⁵)
+    * and only the final bp lands back in BIGINT.
+    */
+  private val qAggGini = Q(
+    "q_agg_gini",
+    (s, dir) => {
+      val perCust = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val spend = Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"))
+        .join(perCust.select(col("o_custkey").as("c_custkey"), col("cents")),
+          Seq("c_custkey"), "left")
+        .select(col("n_name"), coalesce(col("cents"), lit(0L)).as("cents"))
+      val hist = spend.groupBy("n_name", "cents").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("n_name").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum("cnt").over(wc))
+        .groupBy("n_name")
+        .agg(
+          sum("cnt").as("n_cust"),
+          sum(expr("CAST(cents AS DECIMAL(38, 0)) * cnt")).as("sx"),
+          sum(expr("CAST(cents AS DECIMAL(38, 0)) * " +
+            "(2L * (cum - cnt) * cnt + cnt * (cnt + 1L))")).as("s2ix"))
+        .select(col("n_name"), col("n_cust"),
+          expr("CAST(sx AS BIGINT)").as("sum_spend_cents"),
+          expr("CASE WHEN sx = 0 THEN 0L ELSE " +
+            "((s2ix - (n_cust + 1L) * sx) * 10000L) div " +
+            "(CAST(n_cust AS DECIMAL(38, 0)) * sx) END").as("gini_bp"))
+        .orderBy("n_name")
+    },
+    Some("""WITH pc AS (SELECT o_custkey,
+                  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                 FROM orders GROUP BY o_custkey),
+            sp AS (SELECT n.n_name, COALESCE(pc.cents, 0) AS cents
+                   FROM customer c
+                   JOIN nation n ON c.c_nationkey = n.n_nationkey
+                   LEFT JOIN pc ON c.c_custkey = pc.o_custkey),
+            h AS (SELECT n_name, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM sp GROUP BY n_name, cents),
+            r AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY n_name ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM h),
+            g AS (SELECT n_name, CAST(SUM(cnt) AS BIGINT) AS n_cust,
+                    SUM(CAST(cents AS HUGEINT) * cnt) AS sx,
+                    SUM(CAST(cents AS HUGEINT)
+                        * (2 * (cum - cnt) * cnt + cnt * (cnt + 1))) AS s2ix
+                  FROM r GROUP BY n_name)
+            SELECT n_name, n_cust, CAST(sx AS BIGINT) AS sum_spend_cents,
+              CAST(CASE WHEN sx = 0 THEN 0
+                        ELSE (s2ix - (n_cust + 1) * sx) * 10000
+                             // (CAST(n_cust AS HUGEINT) * sx) END AS BIGINT) AS gini_bp
+            FROM g ORDER BY n_name"""))
+
   // Approx twins — the 100 TB path for distinct/quantile. Sketches are
   // engine-specific, so no DuckDB oracle (D5); our ScalaTest suite sanity-
   // bounds them against the exact values instead.
@@ -2396,7 +2475,7 @@ object Aggregates {
     qAggAbTest, qAggCuped, qAggSequential, qAggPower, qAggMannwhitney, qAggKsTest, qAggChisq, qAggCramersV, qAggMoments, qAggBenford, qAggSurvival, qAggBootstrap,
     qAggFiltered,
     qAggGlobal, qAggCountDistinct, qAggHaving, qAggRollup, qAggCube,
-    qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggApproxHll,
+    qAggGroupingSets, qAggStats, qAggPercentileExact, qAggWinsorize, qAggGini, qAggApproxHll,
     qAggApproxQuantile, qAggSketchMerge, qAggBitmapDistinct, qAggCountmin, qAggSalted, qAggHistogram,
     qAggPivot, qAggUnpivot, qAggStringAgg, qAggMode, qFilterScalarSubq, qAggFunnel, qAggAttribution,
     qAggRetention, qAggIncremental, qAggCorr, qAggSpearman, qAggDecay,

@@ -456,45 +456,54 @@ object Graph {
              edges AS MATERIALIZED (SELECT DISTINCT LEAST(node, peer) AS a,
                               GREATEST(node, peer) AS b FROM kept)"""
 
-  private val qGraphTriangles = Q(
-    "q_graph_triangles",
-    (s, dir) => {
-      val edges = sparseEdges(s, dir)
-      val deg = edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      // degree-oriented edges: src ≺ dst under the lexicographic pair
-      // (deg, id) — compared two-level, never packed into one BIGINT
-      val ann = edges
-        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
-      val aLtB = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val ori = ann.select(
-          when(aLtB, col("a")).otherwise(col("b")).as("src"),
-          when(aLtB, col("b")).otherwise(col("a")).as("dst"),
-          when(aLtB, col("db")).otherwise(col("da")).as("ddst"))
-        .localCheckpoint(true)
-      // wedges at the ≺-min corner, closed by the oriented (y,z) edge;
-      // the two out-neighbors are ordered by the same (deg, id) pair
-      val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
-        (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
-      val tri = ori.as("e1").join(ori.as("e2"),
-          col("e1.src") === col("e2.src") && wedgeLt)
-        .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
-        .join(ori.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
-      tri.select(col("x").as("node"))
-        .unionByName(tri.select(col("y").as("node")))
-        .unionByName(tri.select(col("z").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
-        .orderBy(col("tri_cnt").desc, col("node"))
-        .limit(20)
-        .select(col("node").as("p_partkey"), col("tri_cnt"))
-    },
-    Some(s"""WITH $sparseEdgesSql,
-             deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  /** Per-node triangle-participation census (node, tri_cnt) over the
+    * shared sparsified co-purchase graph — the degree-oriented wedge
+    * machinery, factored out (r13) so `q_graph_triangles` (the ranking)
+    * and `q_graph_clustering` (the tri/(deg choose 2) ratio) share ONE
+    * spelling in both engines. Each triangle is found exactly once as a
+    * wedge at its (deg, id)-lexicographic min corner closed by an
+    * oriented edge; fan-out O(√|E|) per pivot.
+    */
+  private def triCounts(s: SparkSession, dir: String): DataFrame = {
+    val edges = sparseEdges(s, dir)
+    val deg = edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // degree-oriented edges: src ≺ dst under the lexicographic pair
+    // (deg, id) — compared two-level, never packed into one BIGINT
+    val ann = edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aLtB = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ori = ann.select(
+        when(aLtB, col("a")).otherwise(col("b")).as("src"),
+        when(aLtB, col("b")).otherwise(col("a")).as("dst"),
+        when(aLtB, col("db")).otherwise(col("da")).as("ddst"))
+      .localCheckpoint(true)
+    // wedges at the ≺-min corner, closed by the oriented (y,z) edge;
+    // the two out-neighbors are ordered by the same (deg, id) pair
+    val wedgeLt = col("e1.ddst") < col("e2.ddst") ||
+      (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+    val tri = ori.as("e1").join(ori.as("e2"),
+        col("e1.src") === col("e2.src") && wedgeLt)
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+      .join(ori.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+    tri.select(col("x").as("node"))
+      .unionByName(tri.select(col("y").as("node")))
+      .unionByName(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** The deg/ori/tri/corners/tcnt CTE chain of the same census, shared by
+    * the `q_graph_triangles` and `q_graph_clustering` oracles (tcnt is
+    * MATERIALIZED — the `q_graph_kcore` lesson: DuckDB's default inlining
+    * re-expands a multiply-consumed CTE). Expects `edges` in scope.
+    */
+  private def triCensusSql: String =
+    s"""deg AS MATERIALIZED (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
                        SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges)
                      GROUP BY n),
-             ori AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+             ori AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
                                  THEN e.a ELSE e.b END AS src,
                             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
                                  THEN e.b ELSE e.a END AS dst,
@@ -509,10 +518,65 @@ object Graph {
                                    WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
              corners AS (SELECT x AS node FROM tri
                          UNION ALL SELECT y FROM tri
-                         UNION ALL SELECT z FROM tri)
-             SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS tri_cnt
-             FROM corners GROUP BY node
+                         UNION ALL SELECT z FROM tri),
+             tcnt AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+                     FROM corners GROUP BY node)"""
+
+  private val qGraphTriangles = Q(
+    "q_graph_triangles",
+    (s, dir) =>
+      triCounts(s, dir)
+        .orderBy(col("tri_cnt").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("p_partkey"), col("tri_cnt")),
+    Some(s"""WITH $sparseEdgesSql,
+             $triCensusSql
+             SELECT node AS p_partkey, tri_cnt FROM tcnt
              ORDER BY tri_cnt DESC, node LIMIT 20"""))
+
+  /** LOCAL CLUSTERING COEFFICIENT (r13 — Watts & Strogatz, Nature 1998:
+    * the per-node "how close is my neighborhood to a clique" ratio
+    * cc = 2·tri / (deg·(deg−1)) — the standard completion of the
+    * triangle census, and the per-item tightness score a curation
+    * pipeline reads to separate clique-like co-purchase neighborhoods
+    * (bundles, accessory sets) from hub-like ones (bestsellers that
+    * co-occur with everything). Shares [[triCounts]]/[[triCensusSql]]
+    * with `q_graph_triangles` so the numerator cannot drift between the
+    * two keys. D1: the ratio is floor-bp integer arithmetic
+    * (2·tri·10⁴ div (deg·(deg−1)) — both engines truncate non-negative
+    * division identically); deg ≥ 2 filter keeps the denominator
+    * positive (deg-1 nodes have no defined coefficient). Output: top-20
+    * by (cc_bp, tri_cnt, node) — all-integer, deterministic tie-break.
+    *
+    * Scale shape: rides the persisted sparsified edge artifact; ONE
+    * extra map-combinable deg agg + ONE node-keyed equi-join on top of
+    * the shared wedge census. Overflow bound, explicit (the hub hazard
+    * `q_graph_degree_dist` documents — OR-survival bounds |E|, NOT a
+    * hub's in-degree): a node's tri_cnt is at most the edge count among
+    * its neighbors, so tri_cnt ≤ |E| ≤ n·TriKnn, and 2·10⁴·tri_cnt
+    * stays BIGINT-exact to |E| < 4.6·10¹⁴ — n ≲ 2.9·10¹³ parts.
+    */
+  private val qGraphClustering = Q(
+    "q_graph_clustering",
+    (s, dir) => {
+      val edges = sparseEdges(s, dir)
+      val deg = edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      triCounts(s, dir)
+        .join(deg.select(col("n").as("node"), col("deg")), "node")
+        .filter(col("deg") >= 2)
+        .withColumn("cc_bp", expr("tri_cnt * 2L * 10000L div (deg * (deg - 1L))"))
+        .orderBy(col("cc_bp").desc, col("tri_cnt").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("p_partkey"), col("deg"), col("tri_cnt"), col("cc_bp"))
+    },
+    Some(s"""WITH $sparseEdgesSql,
+             $triCensusSql
+             SELECT t.node AS p_partkey, d.deg, t.tri_cnt,
+                    CAST(t.tri_cnt * 2 * 10000 // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_bp
+             FROM tcnt t JOIN deg d ON t.node = d.n
+             WHERE d.deg >= 2
+             ORDER BY cc_bp DESC, t.tri_cnt DESC, t.node LIMIT 20"""))
 
   /** Fixed superstep count for seeded label propagation — labels reach
     * everything within LpIters hops of a seed while the oracle stays a
@@ -980,6 +1044,6 @@ object Graph {
              FROM per CROSS JOIN mm"""))
 
   val all: Seq[Q] = Seq(qGraphPagerank, qGraphHits, qGraphMixing, qGraphAssortativity,
-    qGraphTriangles, qGraphLabelProp,
+    qGraphTriangles, qGraphClustering, qGraphLabelProp,
     qGraphJaccardNbr, qGraphKcore, qGraphDegreeDist, qGraphBfs, qGraphModularity)
 }

@@ -547,6 +547,55 @@ object Windows {
              CAST(p - least(0, pmin) >= mu_milli AS BIGINT) AS alarm
             FROM p2 ORDER BY day"""))
 
+  /** MAXIMUM DRAWDOWN per user over the event-value series (r13 —
+    * Magdon-Ismail & Atiya 2004: max over i of (running-peak − xᵢ), the
+    * largest peak-to-trough drop — the risk/regression statistic read
+    * next to [[qWinCusum]]'s mean-shift alarm and [[qWinStreak]]'s run
+    * census: CUSUM says "the level shifted", drawdown says "how far
+    * below its own best this series has ever fallen", the number a
+    * quality/engagement dashboard tracks per account. D1: values in
+    * exact integer cents (the `q_agg_winsorize` rule), order pinned by
+    * (ts_us, event_id) — the running MAX and the final extrema are
+    * integer and order-independent given that pinned sequence. Output:
+    * top-20 users by (max_dd, user_id) with event count and peak —
+    * all-integer, deterministic tie-break.
+    *
+    * Scale shape: ONE corpus-sized window, partitioned by user over the
+    * skinny (user, ts, cents) projection — per-key sequential state
+    * with no cross-partition dependence, the shape that scales by
+    * adding partitions (hot single users are bounded by per-user event
+    * counts, the `q_agg_activity_dist` census's subject) — then a
+    * map-combinable per-user extrema agg and a TakeOrdered(20).
+    */
+  private val qWinDrawdown = Q(
+    "q_win_drawdown",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("peak", max("cents").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max("cents").as("max_value_cents"),
+          max(expr("peak - cents")).as("max_dd_cents"))
+        .orderBy(col("max_dd_cents").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+            r AS (SELECT user_id, cents,
+                   MAX(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+                  FROM ev)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(cents) AS BIGINT) AS max_value_cents,
+             CAST(MAX(peak - cents) AS BIGINT) AS max_dd_cents
+            FROM r GROUP BY user_id
+            ORDER BY max_dd_cents DESC, user_id LIMIT 20"""))
+
   /** HOLT double-exponential smoothing over the daily order count — the
     * level+trend forecaster every capacity dashboard runs next to its
     * CUSUM alarm ([[qWinCusum]] detects a shift; Holt projects it
@@ -930,5 +979,5 @@ object Windows {
     qWinRank, qWinRunning, qWinRangeFrame, qWinNtilePct, qWinFirstLast,
     qWinNthValue, qWinDedupLatest, qWinSessionize, qWinIntervalSweep,
     qWinCumeDist, qWinPattern, qWinStreak, qWinTransitions, qWinCusum,
-    qWinHolt, qWinMad, qWinAutocorr, qWinChangepoint, qWinTheilSen)
+    qWinDrawdown, qWinHolt, qWinMad, qWinAutocorr, qWinChangepoint, qWinTheilSen)
 }

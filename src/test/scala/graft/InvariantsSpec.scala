@@ -2484,6 +2484,82 @@ class InvariantsSpec extends SparkSpec {
     info(s"winsorize: ${rows.length} groups, trimmed ${rows.map(_.getAs[Long]("n_trimmed")).sum} rows")
   }
 
+  test("gini: coefficient replays from raw cents via the rank form and is a bounded inequality measure") {
+    val rows = SparkEntry.queries("q_agg_gini")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    val perCust = Tables(spark, floorDir, "orders")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val spend = Tables(spark, floorDir, "customer")
+      .join(Tables(spark, floorDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(perCust.withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey"), "left")
+      .selectExpr("n_name", "COALESCE(cents, 0L) AS cents")
+      .collect().map(r => (r.getAs[String]("n_name"), r.getAs[Long]("cents")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g = r.getAs[String]("n_name")
+      val xs = spend(g).map(_._2).sorted
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val s2ix = xs.zipWithIndex.map { case (x, i) => BigInt(2) * (i + 1) * x }.sum
+      val expected =
+        if (sx == 0) BigInt(0) else (s2ix - (n + 1) * sx) * 10000 / (n * sx)
+      assert(r.getAs[Long]("n_cust") == xs.length.toLong, s"$g: population")
+      assert(BigInt(r.getAs[Long]("sum_spend_cents")) == sx, s"$g: total spend")
+      assert(BigInt(r.getAs[Long]("gini_bp")) == expected, s"$g: rank-form replay")
+      assert(r.getAs[Long]("gini_bp") >= 0 && r.getAs[Long]("gini_bp") < 10000,
+        s"$g: G in [0, 1)")
+    }
+    info(s"gini: ${rows.length} nations, bp range " +
+      s"${rows.map(_.getAs[Long]("gini_bp")).min}..${rows.map(_.getAs[Long]("gini_bp")).max}")
+  }
+
+  test("drawdown: per-user max drawdown replays from the pinned event sequence") {
+    val rows = SparkEntry.queries("q_win_drawdown")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = Tables.events(spark, floorDir)
+      .selectExpr("user_id", "ts_us", "event_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"), r.getAs[Long]("cents"))))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val seq = byUser(u).map(_._2).sortBy(t => (t._1, t._2)).map(_._3)
+      var peak = Long.MinValue; var dd = 0L
+      seq.foreach { x => peak = math.max(peak, x); dd = math.max(dd, peak - x) }
+      assert(r.getAs[Long]("n_events") == seq.length.toLong, s"user $u: event count")
+      assert(r.getAs[Long]("max_value_cents") == seq.max, s"user $u: peak")
+      assert(r.getAs[Long]("max_dd_cents") == dd, s"user $u: drawdown replay")
+      assert(dd >= 0 && dd <= seq.max, "drawdown bounded by the peak")
+    }
+    info(s"drawdown: top ${rows.length} users, max_dd ${rows.head.getAs[Long]("max_dd_cents")}")
+  }
+
+  test("clustering coefficient: top-20 replay exactly from the persisted sparse graph") {
+    val rows = SparkEntry.queries("q_graph_clustering")(spark, floorDir).collect()
+    assert(rows.nonEmpty)
+    val edges = ops.Graph.sparseEdges(spark, floorDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val nbrs = (edges.map { case (a, b) => (a, b) } ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    val edgeSet = edges.toSet
+    rows.foreach { r =>
+      val n = r.getAs[Long]("p_partkey")
+      val nb = nbrs(n)
+      val deg = nb.size.toLong
+      val tri = nb.toSeq.flatMap(x => nb.toSeq.filter(y => x < y).map(y => (x, y)))
+        .count(edgeSet.contains).toLong
+      assert(r.getAs[Long]("deg") == deg, s"node $n: degree")
+      assert(r.getAs[Long]("tri_cnt") == tri, s"node $n: triangle count")
+      assert(r.getAs[Long]("cc_bp") == tri * 2 * 10000 / (deg * (deg - 1)),
+        s"node $n: coefficient formula")
+      assert(r.getAs[Long]("cc_bp") <= 10000, "cc is a ratio of wedges closed")
+    }
+    info(s"clustering: ${rows.length} nodes, cc_bp head ${rows.head.getAs[Long]("cc_bp")}")
+  }
+
   test("silhouette: scores are bounded, conserve members, and separate structure beats boundary cells") {
     val rows = SparkEntry.queries("q_vec_silhouette")(spark, floorDir).collect()
     assert(rows.nonEmpty)
