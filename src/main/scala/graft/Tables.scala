@@ -27,10 +27,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session metadata cache for the fixture tables.
+    *
+    * `spark.read.parquet` pays file listing + footer schema inference on
+    * EVERY call (~65-90 ms each measured on this box) — with ~270 queries
+    * × 3 bench passes × 1-5 table reads each, that metadata tax alone was
+    * tens of seconds per bench run. Production Spark amortizes it through
+    * the session catalog (a registered table resolves schema + file list
+    * once); the fixtures are immutable driver inputs, so the same
+    * amortization is correct here. The cache holds ONLY the lazy scan
+    * DataFrame (schema + file index — metadata): every action still reads
+    * the parquet data from disk, nothing row-shaped is memoized, and the
+    * frame is never persisted/checkpointed so Bench's per-query
+    * clearCache/unpersist hygiene cannot invalidate it. Keyed weakly on
+    * the session (tests/Verify/Bench each build their own) and strongly
+    * on (dir, table).
+    */
+  private val metaCache =
+    new java.util.WeakHashMap[
+      SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val perSession = metaCache.synchronized {
+      var m = metaCache.get(spark)
+      if (m == null) {
+        // first touch of this session: pin the read-critical confs once
+        // (nanosAsLong BEFORE any events read — see the class doc; UTC for
+        // the NTZ bridge) instead of per call.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        m = scala.collection.concurrent.TrieMap.empty
+        metaCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(
+      (sfDir, name), spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Epoch-microseconds bridge for an `events.ts` column of ANY of the
@@ -54,9 +87,15 @@ object Tables {
     *  - `ts_ts`  TimestampType (µs precision) for window()/date functions.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = apply(spark, sfDir, "events")
-    raw
-      .withColumn("ts_us", tsUsExpr(raw.schema("ts").dataType))
-      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+    // memoized beside the base scans (same metadata-only rationale): the
+    // bridge columns are a pure projection over the cached scan, but
+    // re-deriving them re-ran analysis on every one of the many
+    // events-consuming queries.
+    val raw = apply(spark, sfDir, "events") // also initializes the session map
+    val perSession = metaCache.synchronized { metaCache.get(spark) }
+    perSession.getOrElseUpdate((sfDir, "events+bridge"),
+      raw
+        .withColumn("ts_us", tsUsExpr(raw.schema("ts").dataType))
+        .withColumn("ts_ts", timestamp_micros(col("ts_us"))))
   }
 }
