@@ -8,6 +8,17 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // ObjectHashAggregate falls back to SORT-BASED aggregation past this
+      // many distinct groups per task (default 128) — every typed top-k /
+      // sketch aggregate in the suite holds a BOUNDED O(k) buffer, so the
+      // conservative default turned the ANN candidate folds into full
+      // sorts of the match stream (measured 15-39% of the LSH/IVF keys at
+      // sf0.1). 65536 groups × ≤1 KB bounded buffers ≈ 64 MB/task worst
+      // case; unbounded-buffer aggs (collect_list) only buffer MORE when
+      // group count lands in (128, 65536), where their per-group lists
+      // are small by construction. Env-overridable for other deployments.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

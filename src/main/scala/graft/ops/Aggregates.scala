@@ -470,7 +470,11 @@ object Aggregates {
   private val qAggCountmin = Q(
     "q_agg_countmin",
     (s, dir) => {
-      val li = Tables(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      // byCores: the 1-task fixture scan otherwise serializes 600k md5
+      // digests onto one core (profiled 1.7 s on 3 tasks); a wide
+      // production scan skips the repartition entirely (see Llm.Par)
+      val li = Par.byCores(
+        Tables(s, dir, "lineitem").select(col("l_partkey").as("k")), col("k"))
       val sketch = cmUpdates(li)
         .groupBy("r", "cell")
         .agg(count(lit(1)).as("c"))

@@ -126,6 +126,35 @@ object AnnIndex {
     }
   }
 
+  /** Per-session memo of IMMUTABLE digest-guarded artifact reads — the
+    * [[graft.Tables]] metadata-cache rationale applied to the per-corpus
+    * derived artifacts (shpairs, graph edges): `spark.read.parquet` pays
+    * ~65-90 ms of listing + footer work per call, and every consumer of a
+    * fingerprint-fresh artifact re-paid it per query per bench pass. Keyed
+    * on (path, fingerprint): a regenerated fixture changes the
+    * fingerprint, so a stale frame can never serve. ONLY for artifacts
+    * whose path is written once per fingerprint — the mutable index
+    * lifecycle paths (update/append/compact/delete generations,
+    * tombstones) must keep re-reading.
+    */
+  private val artifactReadCache =
+    new java.util.WeakHashMap[
+      SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  private[graft] def readImmutable(s: SparkSession, path: String, fp: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val m = artifactReadCache.synchronized {
+      var mm = artifactReadCache.get(s)
+      if (mm == null) {
+        mm = scala.collection.concurrent.TrieMap.empty
+        artifactReadCache.put(s, mm)
+      }
+      mm
+    }
+    m.getOrElseUpdate((path, fp), s.read.schema(schema).parquet(path))
+  }
+
   /** Routed cell assignment shared by every lifecycle op: one row per
     * input vector — (vec_id, v, nrm, cell, probes) — via the
     * `q_sim_ivf` scoring rule (rounded cosine, (−cos, c_id) sort)

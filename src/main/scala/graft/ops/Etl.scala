@@ -1260,7 +1260,10 @@ object Etl {
   private val qEtlZorder = Q(
     "q_etl_zorder",
     (s, dir) => {
-      val o = Tables(s, dir, "orders")
+      // byCores: parallelizes the bit-interleave map AND the partitioned
+      // write (the 1-task fixture scan wrote all 64 zb directories from
+      // one task — 2.2 s of this key's 2.8 s); no-op on a wide scan
+      val o = Par.byCores(Tables(s, dir, "orders"), col("o_orderkey"))
       val prm = o.agg(
         min("o_custkey").as("minc"), max("o_custkey").as("maxc"),
         min(to_date(col("o_orderdate"))).as("mind"),
@@ -1280,7 +1283,11 @@ object Etl {
       val md = java.security.MessageDigest.getInstance("MD5")
       val h = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$h"
-      graft.sources.Partitioned.writeStatic(z, path, 1 << 18, "zb")
+      // pin by zb before the partitioned write: each zb lands wholly in
+      // one task, so the layout stays one file per zb directory while 32
+      // tasks write in parallel instead of one task writing all 64
+      graft.sources.Partitioned.writeStatic(
+        Par.pin(z, col("zb")), path, 1 << 18, "zb")
       s.read.schema(z.schema).parquet(path)
         .groupBy("zb")
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),

@@ -76,7 +76,7 @@ object Graph {
     val fp = AnnIndex.fingerprint(dir, "orders.parquet") +
       AnnIndex.fingerprint(dir, "lineitem.parquet")
     AnnIndex.freshArtifact(path, fp) match {
-      case Some(schema) => s.read.schema(schema).parquet(path)
+      case Some(schema) => AnnIndex.readImmutable(s, path, fp, schema)
       case None =>
         val pairs = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
           .join(Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
@@ -89,7 +89,7 @@ object Graph {
         val edgesDeg = edges.join(deg, "src")
         edgesDeg.write.mode("overwrite").parquet(path)
         AnnIndex.commitMarker(path, fp, edgesDeg.schema)
-        s.read.schema(edgesDeg.schema).parquet(path)
+        AnnIndex.readImmutable(s, path, fp, edgesDeg.schema)
     }
   }
 
@@ -99,16 +99,21 @@ object Graph {
       // degree-annotated edges read from the per-corpus artifact; the
       // parquet read replays cheaply per superstep, no checkpoint needed
       val edgesDeg = bipartiteEdges(s, dir)
-      val nodes = edgesDeg.select(col("src").as("id")).distinct().localCheckpoint(true)
+      val nodes = edgesDeg.select(col("src").as("id")).distinct()
       var ranks = nodes.select(col("id"), lit(PrInit).as("r")).localCheckpoint(true)
       for (_ <- 1 to PrIters) {
         val contrib = edgesDeg
           .join(ranks.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), expr("r DIV deg").as("m"))
           .groupBy("id").agg(sum("m").as("m"))
-        ranks = nodes.join(contrib, Seq("id"), "left")
+        // no per-superstep left join back onto `nodes`: the edge artifact
+        // materializes BOTH directions of every pair, so every node has an
+        // in-edge and `contrib` covers the node set exactly — coalesce(m,0)
+        // could never fire (the oracle keeps its LEFT JOIN spelling; the
+        // result is row-identical, proven by the DuckDB sweep)
+        ranks = contrib
           .select(col("id"),
-            expr(s"${PrInit * 15 / 100}L + (85 * coalesce(m, 0L)) DIV 100").as("r"))
+            expr(s"${PrInit * 15 / 100}L + (85 * m) DIV 100").as("r"))
           .localCheckpoint(true)
       }
       ranks
@@ -175,9 +180,10 @@ object Graph {
       val edges = bipartiteEdges(s, dir)
       // a1 = in-degree: on the symmetric edge artifact that is deg(src)
       val a1 = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("a"))
+      // h1 has exactly one consumer (a2's join) — a checkpoint here bought
+      // no reuse, only a blocking materialization job per run
       val h1 = edges.join(a1.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("h"))
-        .localCheckpoint(true)
       val a2 = edges.join(h1.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
         .localCheckpoint(true)
@@ -405,12 +411,12 @@ object Graph {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_graph_$h"
     val fp = AnnIndex.fingerprint(dir, "lineitem.parquet")
     AnnIndex.freshArtifact(path, fp) match {
-      case Some(schema) => s.read.schema(schema).parquet(path)
+      case Some(schema) => AnnIndex.readImmutable(s, path, fp, schema)
       case None =>
         val edges = buildSparseEdges(s, dir)
         edges.write.mode("overwrite").parquet(path)
         AnnIndex.commitMarker(path, fp, edges.schema)
-        s.read.schema(edges.schema).parquet(path)
+        AnnIndex.readImmutable(s, path, fp, edges.schema)
     }
   }
 

@@ -311,12 +311,12 @@ object Llm {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$h"
     val fp = AnnIndex.fingerprint(dir, "documents.parquet")
     AnnIndex.freshArtifact(path, fp) match {
-      case Some(schema) => s.read.schema(schema).parquet(path)
+      case Some(schema) => AnnIndex.readImmutable(s, path, fp, schema)
       case None =>
         val df = build
         df.write.mode("overwrite").parquet(path)
         AnnIndex.commitMarker(path, fp, df.schema)
-        s.read.schema(df.schema).parquet(path)
+        AnnIndex.readImmutable(s, path, fp, df.schema)
     }
   }
 
@@ -623,19 +623,45 @@ object Llm {
     * sketch ([[wcwsCandidates]]) so sketch and estimand can never
     * weight differently.
     */
+  /** [[idfShingleFrame]] of the corpus documents PERSISTED once per
+    * corpus (the [[jaccardPairs]] "shingle once, analyze many" pattern,
+    * same digest guard): the shingle explode + distinct + df join is the
+    * dominant shared cost of the weighted-dedup family — q_dedup_weighted
+    * and q_dedup_weighted_near each rebuilt the identical frame per run.
+    * The written parquet also reads back ~32-file parallel, which the
+    * in-line localCheckpoint (AQE-coalesced to 2 partitions) never did.
+    */
+  private def idfShinglesPersisted(s: SparkSession, dir: String): DataFrame =
+    corpusArtifact(s, dir, "idfsh")(
+      idfShingleFrame(Tables(s, dir, "documents")))
+
   private def idfShingleFrame(docs: DataFrame): DataFrame = {
     val mat = shinglesRawFrom(docs).distinct().localCheckpoint(true)
     val dfS = mat.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
     val tot = docs.agg(count(lit(1)).as("n_docs"))
-    mat.join(dfS, "sh").crossJoin(broadcast(tot))
+    // pin the sh join input: the join's OUTPUT partitioning is what the
+    // consumers checkpoint and then explode 16× through the ICWS scoring
+    // (md5+ln per row) — the AQE-coalesced 2-partition join output made
+    // that stage run 2 tasks / 5.6 s at sf0.1 (see [[Par]]); dfS's own
+    // groupBy already hash-partitions by sh at full width, so only the
+    // checkpointed mat side needs the explicit exchange
+    Par.pin(mat, col("sh")).join(dfS, "sh")
+      .crossJoin(broadcast(tot))
       .withColumn("w", expr(idfUnits("df")))
       .select("doc_id", "sh", "w")
   }
 
-  private[graft] def weightedPairsFrom(docs: DataFrame): DataFrame = {
-    val shw = idfShingleFrame(docs)
-      .localCheckpoint(true) // feeds per-doc weights AND both join sides
+  private[graft] def weightedPairsFrom(docs: DataFrame): DataFrame =
+    weightedPairsOf(idfShingleFrame(docs)
+      .localCheckpoint(true)) // feeds per-doc weights AND both join sides
+
+  /** The pair tail over an already-shared (doc_id, sh, w) frame: the
+    * declared corpus query rides the persisted [[idfShinglesPersisted]]
+    * artifact; tests and the eval harness call [[weightedPairsFrom]] on
+    * synthetic frames.
+    */
+  private def weightedPairsOf(shw: DataFrame): DataFrame = {
     val wDoc = shw.groupBy("doc_id").agg(sum("w").as("wdoc"))
     shw.as("a").join(shw.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -671,7 +697,7 @@ object Llm {
   private val qDedupWeighted = Q(
     "q_dedup_weighted",
     (s, dir) =>
-      weightedPairsFrom(Tables(s, dir, "documents"))
+      weightedPairsOf(idfShinglesPersisted(s, dir))
         .filter(col("wjac_bp") >= 1000)
         .select("d1", "d2", "inter_w", "w1", "w2", "wjac_bp")
         .orderBy("d1", "d2"),
@@ -768,8 +794,7 @@ object Llm {
   private val qDedupWeightedNear = Q(
     "q_dedup_weighted_near",
     (s, dir) => {
-      val shw = idfShingleFrame(Tables(s, dir, "documents"))
-        .localCheckpoint(true) // sketch AND both verify sides share it
+      val shw = idfShinglesPersisted(s, dir) // sketch AND both verify sides share it
       val wDoc = shw.groupBy("doc_id").agg(sum("w").as("wdoc"))
       wcwsCandidatesFrom(shw)
         .join(shw.select(col("doc_id").as("d1"), col("sh"), col("w")), Seq("d1"))
@@ -1357,7 +1382,10 @@ object Llm {
     */
   private def lshBuckets(s: SparkSession, dir: String): DataFrame =
     dropHotKeys(
-      vecs(s, dir).crossJoin(broadcast(lshPlanes(s, dir)))
+      // byCores: the per-vector plane dots + sig/margin math otherwise
+      // inherit the 1-task fixture scan (see [[Par]]); no-op on a wide scan
+      Par.byCores(vecs(s, dir), col("vec_id"))
+        .crossJoin(broadcast(lshPlanes(s, dir)))
         // per band, keep the raw hyperplane dots for one extra select:
         // the SIGNS make the signature, the MAGNITUDES are the probe
         // margins (a near neighbor most plausibly lands across the
@@ -1417,7 +1445,9 @@ object Llm {
     * so the per-match hamming is a codegen'd bit_count chain.
     */
   private def lshSketch(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir).crossJoin(broadcast(lshSketchPlanes(s, dir)))
+    // byCores: 1020 plane dots per vector — the suite's heaviest map
+    Par.byCores(vecs(s, dir), col("vec_id"))
+      .crossJoin(broadcast(lshSketchPlanes(s, dir)))
       .select(col("vec_id"),
         expr(s"graft_sketch(v, kpl, $LshSketchBits)").as("ks"))
 
@@ -1623,7 +1653,11 @@ object Llm {
     val negham = expr((0 until LshSketchWords)
       .map(w => s"bit_count(a.k$w ^ b.k$w)")
       .mkString("CAST(-(", " + ", ") AS DOUBLE)"))
-    val raw = probes.as("a").join(build.as("b"),
+    // pin the (band, sig) exchange: the join stage runs the 17-word
+    // bit_count hamming over every raw match — CPU-heavy, byte-light, the
+    // AQE-coalescing trap (profiled 4 stages / 10 tasks / 5.1 s here)
+    val raw = Par.pin(probes, col("band"), col("sig")).as("a")
+      .join(Par.pin(build, col("band"), col("sig")).as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
