@@ -100,7 +100,15 @@ object Graph {
       // parquet read replays cheaply per superstep, no checkpoint needed
       val edgesDeg = bipartiteEdges(s, dir)
       val nodes = edgesDeg.select(col("src").as("id")).distinct()
-      var ranks = nodes.select(col("id"), lit(PrInit).as("r")).localCheckpoint(true)
+      var ranks = nodes.select(col("id"), lit(PrInit).as("r"))
+      // no per-superstep localCheckpoint: rank_t references rank_{t-1}
+      // exactly ONCE, so with the FIXED PrIters=3 the un-truncated plan
+      // is a linear 7-exchange chain — AQE materializes each exchange as
+      // a reusable query stage anyway, and dropping the three blocking
+      // checkpoint jobs measured 1.94 -> 1.23 s at sf0.1. (The converged
+      // loops — CC, label-prop, k-core, BFS — keep their checkpoints:
+      // they reference the previous frame 2-3x per round, where an
+      // un-truncated plan grows exponentially.)
       for (_ <- 1 to PrIters) {
         val contrib = edgesDeg
           .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -114,7 +122,6 @@ object Graph {
         ranks = contrib
           .select(col("id"),
             expr(s"${PrInit * 15 / 100}L + (85 * m) DIV 100").as("r"))
-          .localCheckpoint(true)
       }
       ranks
         .select(

@@ -2307,7 +2307,8 @@ object Llm {
 
   /** One beam-search superstep: expand out-edges, score the deduped
     * frontier once, keep the top-[[NswBeam]] per query. */
-  private def nswStep(st: NswState, beam: DataFrame): DataFrame = {
+  private def nswStep(st: NswState, beam: DataFrame,
+      ckpt: Boolean = true): DataFrame = {
     val expand = beam.select(col("q_id"), col("n_id").as("src"))
       .join(st.edges, "src")
       .filter(col("q_id") =!= col("dst"))
@@ -2322,7 +2323,7 @@ object Llm {
       .groupBy("q_id", "n_id").agg(max("cos").as("cos"))
       .withColumn("rn", row_number().over(st.wq))
       .filter(col("rn") <= NswBeam).select("q_id", "n_id", "cos")
-      .localCheckpoint(true)
+      .transform(b => if (ckpt) b.localCheckpoint(true) else b)
   }
 
   /** The PRODUCTION-depth NSW search: supersteps until no beam admits a
